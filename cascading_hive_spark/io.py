@@ -1,0 +1,115 @@
+"""Format-dispatching table I/O (SURVEY.md §2 A1-A8, A13-A14, A21-A22).
+
+The reference's Schemes (RCFile.java, ORCFile.java) couple three
+concerns Spark separates: file-format (de)serialization, schema
+acquisition, and projection pushdown. Here each is one argument:
+
+- ``fmt``      — "orc" | "parquet" | "csv" | "text" | "json"; ORC and
+  Parquet scans are vectorized + columnar (the reference's RCFile is a
+  legacy columnar format — its role is filled by ORC/Parquet; RCFile
+  tables remain readable through the Hive catalog, see catalog.py).
+- ``schema``   — None (infer: ORC/Parquet footers = ORCFile.java
+  inferSchema, A7), a Hive DDL string (= RCFile.java:95-121, A9), or a
+  StructType (= explicit Fields, RCFile.java:77-92).
+- ``columns``  — projection; Catalyst prunes the scan to exactly these
+  (replaces hive.io.file.readcolumn.ids, RCFile.java:136-141 /
+  ORCFile.java:286-301, A3/A6). Unknown columns raise at plan time like
+  HCatScheme.validate (HCatScheme.java:160-165, A19).
+
+Multi-path reads concatenate partitions like MultiSourceTap
+(TapFactory.java:49-71, A13); ``partition_by`` writes produce the
+per-partition directory layout HCatalog models one Tap per partition
+for (A14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from cascading_hive_spark.schema import parse_ddl
+
+_READ_FORMATS = {"orc", "parquet", "csv", "text", "json"}
+
+
+def read_table(
+    spark: SparkSession,
+    paths: str | list[str],
+    fmt: str = "parquet",
+    schema: str | T.StructType | None = None,
+    columns: list[str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read one or many paths of ``fmt`` into a DataFrame.
+
+    Schema modes mirror SURVEY.md §1.3; ``columns`` is projection
+    pushdown (verify with ``df.explain`` → ReadSchema shows only the
+    selected columns).
+    """
+    fmt = fmt.lower()
+    if fmt not in _READ_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; use one of {sorted(_READ_FORMATS)}")
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = spark.read.format(fmt)
+    if isinstance(schema, str):
+        schema = parse_ddl(schema)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        # delimited text with header, like the reference's test inputs
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(paths)
+    if columns is not None:
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            # plan-time validation parity: HCatScheme.java:160-165
+            raise ValueError(f"columns not in table schema: {missing}; have {df.columns}")
+        df = df.select(*columns)
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = "snappy",
+    **options: str,
+) -> None:
+    """Write a DataFrame as a table directory.
+
+    ``partition_by`` produces one directory per partition value —
+    the layout the reference's HCatalog Taps enumerate (A12-A14).
+    ``compression`` replaces the JobConf passthrough of A21
+    (orc.compress=SNAPPY — ORCFileTest.java:116-117).
+    """
+    writer = df.write.format(fmt.lower()).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """By-name schema alignment with null-fill, the reference's sink
+    semantics (DefaultHCatScheme.writeValue, DefaultHCatScheme.java:119-149,
+    A17): reorder to target column order; missing columns become nulls;
+    extra DataFrame columns are dropped; types are cast to the target.
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    for field in target.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

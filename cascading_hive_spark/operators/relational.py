@@ -1,0 +1,106 @@
+"""Relational operators (SURVEY.md §2.B / §2.C).
+
+Each function is a thin, declarative DataFrame transform — Catalyst
+owns pruning/pushdown/join selection, so these stay whole-stage
+codegen'd JVM plans with zero Python in the row loop. Reference
+citations point at the Cascading usage whose semantics each reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- B1: projection / identity rename (HCatTapTest.java:70,177,192) ---
+def project(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Keep + reorder named columns; unknown names fail at plan time
+    (plan-time validation parity with HCatScheme.java:160-165)."""
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in schema: {missing}")
+    return df.select(*columns)
+
+
+# --- B2: ExpressionFilter (HCatTapTest.java:122,155) ---
+def expression_filter(df: DataFrame, remove_expr: str) -> DataFrame:
+    """Cascading ``ExpressionFilter`` REMOVES rows matching the
+    expression (HCatTapTest.java:122 keeps col1 <= 3 for "col1 > 3").
+    Java primitive comparison never sees SQL NULL, so a null row is NOT
+    removed; Spark's ``~expr`` would drop nulls under three-valued
+    logic. ``remove_expr <=> true`` is false for NULL → null rows kept,
+    matching the reference (SURVEY.md §7 risk register)."""
+    return df.filter(~F.expr(remove_expr).eqNullSafe(F.lit(True)))
+
+
+# --- B3: CountBy — hash aggregate count per key (RCFileTest.java:139) ---
+def count_by(df: DataFrame, keys: list[str], count_name: str = "cnt") -> DataFrame:
+    """Partial (map-side) + final count per key; Spark's
+    HashAggregateExec does the partial/final split CountBy hand-rolls.
+    Reference goldens are key-ordered (RCFileTest.java:144-150) — the
+    caller adds orderBy when display order matters."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+
+
+# --- B4+B5: regex token explode + sort-group count (ORCFileTest.java:238-284) ---
+def tokenize(df: DataFrame, text_col: str, pattern: str, token_name: str = "token") -> DataFrame:
+    """RegexSplitGenerator parity: split on regex, one row per token,
+    EMPTY TOKENS KEPT (the reference counts "" 9 times,
+    ORCFileTest.java:273-274). Spark's ``split`` keeps empty strings."""
+    return df.select(F.explode(F.split(F.col(text_col), pattern)).alias(token_name))
+
+
+def wordcount(df: DataFrame, text_col: str, pattern: str = r"[ \[\]\(\),.]") -> DataFrame:
+    """The reference's flagship end-to-end flow (ORCFileTest wordcount,
+    ORCFileTest.java:238-284): tokenize → group → count → order by key."""
+    tokens = tokenize(df, text_col, pattern)
+    return tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).orderBy("token")
+
+
+# --- B6: Coerce — typed cast of named columns (HCatTapTest.java:84-86) ---
+def coerce(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    out = df
+    for name, dtype in casts.items():
+        out = out.withColumn(name, F.col(name).cast(dtype))
+    return out
+
+
+# --- §2.C free wins -------------------------------------------------
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """All join flavors (inner/left/right/full/semi/anti/cross). The
+    reference has NO join of its own — it configures Hive's map-join
+    with a 1 GB small-table threshold (hive-site.xml:56-59). Spark
+    analog: ``broadcast_right=True`` forces a broadcast-hash join for
+    dimension tables; otherwise AQE picks broadcast vs sort-merge at
+    runtime from observed sizes."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """orderBy+limit → Spark plans TakeOrderedAndProject: per-partition
+    partial top-k then a single small merge, no global sort shuffle —
+    the scalable top-k at 100 TB."""
+    return df.orderBy(*order).limit(k)
+
+
+def dedupe_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """distinct / dropDuplicates — hash-shuffle on the key columns."""
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """Window rank within groups (absent in the reference; §2.C)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_name, F.rank().over(w))
