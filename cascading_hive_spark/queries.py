@@ -532,3 +532,247 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.C — absent in the reference, free in Spark)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    ranked = R.ranked(o, ["o_custkey"], [F.col("o_totalprice").desc()])
+    return ranked.filter(F.col("rnk") <= 3).select("o_custkey", "o_orderkey", "rnk")
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # (ts, event_id) ordering makes the accumulation order identical in
+    # both engines -> bitwise-equal running sums (rounded for safety)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running")
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id", "user_id", (us - F.lag(us).over(w)).alias("delta_us")
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+    FROM events
+    """,
+)
+def q_window_mavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg")
+    )
+
+
+@register(
+    "window_ntile",
+    """
+    SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.C — reference has union-of-partitions only, A13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select("c_custkey")
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT event_type AS tag FROM events
+    UNION
+    SELECT o_orderpriority AS tag FROM orders
+    """,
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "events").select(F.col("event_type").alias("tag"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("tag"))
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Time-series over events (streaming-shaped batch; Structured Streaming
+# versions live in cascading_hive_spark/streaming)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 30-minute inactivity gap -> new session; batch twin of the
+    # streaming sessionizer in cascading_hive_spark/streaming.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        F.when(us - F.lag(us).over(w) > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_daily_active",
+    """
+    SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+
+
+@register(
+    "asof_join_last_order",
+    """
+    SELECT event_id, user_id, o_orderdate AS last_order_ts
+    FROM events ASOF JOIN orders
+      ON user_id = o_custkey AND CAST(ts AS TIMESTAMP) >= o_orderdate
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    out = asof_join(
+        ev, o,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        value_cols=["o_orderdate"],
+        how="inner",
+    )
+    return out.select("event_id", "user_id", F.col("o_orderdate").alias("last_order_ts"))
