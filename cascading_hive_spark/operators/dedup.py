@@ -1,0 +1,269 @@
+"""Corpus deduplication operators — the LLM-data-pipeline surface
+(BASELINE.json north-star; not in the reference, which stops at file
+I/O). All are pure DataFrame compositions: the hot loops are JVM
+expressions (xxhash64, array ops) inside whole-stage codegen, no
+Python in the row path.
+
+Scale design (100 TB corpus, 1000 executors):
+
+- Exact dedup is one hash-shuffle on a 64/128-bit digest, never on the
+  full text (shuffle bytes ∝ digest, not document).
+- MinHash-LSH: signatures are computed scan-side (narrow); only
+  (band_id, band_hash, doc_id) tuples shuffle — b rows/doc of ~24
+  bytes. Candidate verification joins shingle SETS only for candidate
+  pairs, not all pairs.
+- Giant buckets (boilerplate docs) are the skew hazard: buckets larger
+  than ``max_bucket`` are dropped (standard LSH practice — a bucket of
+  10k docs is 50M pairs and means the band is non-discriminative).
+- SimHash uses 4-band pigeonhole blocking: hamming distance <= 3 on a
+  64-bit signature guarantees an exact match on one of the 4 16-bit
+  quarters, so the blocking is EXACT (no recall loss), and bucket
+  joins stay tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side:
+    split + transform over index sequence + array_distinct)."""
+    toks = F.split(text, r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+        lambda i: F.substring(text, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (as double)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    minimum id as keeper and the duplicate count.
+
+    At 100 TB: group on the md5 digest so the shuffle carries 16-byte
+    keys instead of documents. (Digest collisions are ~2^-64 — the
+    standard trade.)
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            F.col(id_col).cast("long").alias("_id"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature: permutation i is
+    min(xxhash64(shingle, seed=i)) over the shingle set. Entirely
+    scan-side (array_min over transform) — no explode, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard on the shingle sets.
+
+    b=16 bands of r=4 rows over 64 perms: P(candidate) = 1-(1-j^4)^16,
+    ~0.97 at j=0.8 — the false-negative rate the threshold implies.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_perm // bands
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = base.select("_id", "_sh", minhash_signature(F.col("_sh"), num_perm).alias("_sig"))
+
+    band_rows = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.get(F.col("_sig"), b * rows + r) for r in range(rows)]).alias(
+                            "bhash"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", "bk.band", "bk.bhash")
+
+    # prune non-discriminative giant buckets (skew guard)
+    sized = band_rows.withColumn(
+        "_bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bhash"))
+    ).filter((F.col("_bucket_n") > 1) & (F.col("_bucket_n") <= max_bucket))
+
+    a = sized.select("band", "bhash", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sized.select("band", "bhash", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.select(
+        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with deterministic blocking (oracle-checkable twin)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard over pairs within a blocking key.
+
+    The blocking key bounds the quadratic pair space (equi-join =
+    shuffle on the block key); with a selective key this is the
+    SQL-expressible exact twin of minhash_lsh_pairs.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        char_ngrams(F.col(text_col), n).alias("_g"),
+        *[F.col(c) for c in block_cols],
+    )
+    a = base.select(*block_cols, F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    b = base.select(*block_cols, F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.select("id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"))
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs with hamming <= max_hamming (<=3).
+
+    Signature: per word-bigram feature, xxhash64; bit j votes +1/-1;
+    sign of the vote sum sets bit j. (Bigrams, not unigrams: corpora
+    with a shared vocabulary make unigram simhashes collide en masse;
+    bigrams restore discrimination.) Blocking: the 4x16-bit quarters —
+    pigeonhole makes it exact for hamming <= 3. Verification:
+    bit_count(xor) on the candidate pairs.
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    # bit 63 as a long literal is MIN_LONG in two's complement
+    bit_literals = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    sig = votes.select(
+        "_id",
+        sum(
+            [
+                F.when(F.col(f"v{j}") > 0, F.lit(bit_literals[j]).cast("long")).otherwise(F.lit(0))
+                for j in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("sig"),
+    )
+    quarters = sig.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("sig"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "sig", "b.q", "b.qv")
+    a = quarters.select("q", "qv", F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = quarters.select("q", "qv", F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        a.join(b, ["q", "qv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

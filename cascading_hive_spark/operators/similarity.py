@@ -1,0 +1,181 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+North-star operator set (BASELINE.json); nothing comparable in the
+reference. Design:
+
+- Cosine is computed in DOUBLE with a fixed left-to-right summation
+  (``F.aggregate`` over the array). float32 inputs make every product
+  exactly representable in double, and the sequential sum gives
+  bitwise-identical results in any engine that does the same — which
+  is what the DuckDB oracles do (explicit list_transform + list_sum in
+  double, NOT list_cosine_similarity, which accumulates in float32).
+- Brute-force top-k: one scan, per-partition partial top-k via
+  TakeOrderedAndProject — the correct baseline and the verifier for
+  the approximate paths.
+- knn_join (small query set × corpus): broadcast the queries, window
+  rank per query. Quadratic in |Q|×|corpus| — the 100 TB path is IVF.
+- IVF: coarse quantization to deterministic centroids, search only the
+  nprobe nearest cells — the shuffle-light scale path (approximate;
+  recall is property-tested against brute force, no SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of a single query vector against the
+    corpus. ``query`` is a 1-row DataFrame with ``vec_col``; it is
+    broadcast so the scan stays a single narrow stage feeding
+    TakeOrderedAndProject (no full sort, no wide shuffle)."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qv")))
+    scored = vectors.crossJoin(q).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k nearest corpus vectors for EACH query row (brute force).
+
+    Queries are broadcast; ranking is a window per query id. Use for
+    query sets that fit in a broadcast (<~10 MB); beyond that, IVF.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+        )
+    )
+    scored = vectors.crossJoin(q).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build a deterministic IVF index: centroids = mean of each of
+    n_cells hash-assigned seed groups (one aggregation pass — a
+    k-means-free coarse quantizer that is stable across runs), then
+    assign every vector to its nearest centroid.
+
+    Returns (assignments, centroids); assignments add a ``cell``
+    column — at scale you'd ``write.partitionBy("cell")`` so probes
+    prune to nprobe directories.
+    """
+    centroids = (
+        vectors.select(
+            (F.xxhash64(F.col(id_col)) % n_cells).alias("_seed_cell"),
+            F.col(vec_col).alias("_v"),
+        )
+        .withColumn("_seed_cell", F.abs("_seed_cell"))
+        .groupBy("_seed_cell")
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.get(F.col("_v"), i).cast("double")).alias(f"c{i}")
+                    for i in range(_dim_of(vectors, vec_col))
+                ]
+            ).alias("centroid")
+        )
+        .select(F.col("_seed_cell").alias("cell"), "centroid")
+    )
+    c = F.broadcast(centroids)
+    scored = vectors.crossJoin(c).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
+    assignments = (
+        scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r", "_sim")
+    )
+    return assignments, centroids
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search only the nprobe cells whose centroids are nearest the
+    query — the IVF probe. Approximate: recall < 1 when true neighbors
+    live in unprobed cells (property-tested in tests/test_similarity)."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qv")))
+    probe_cells = F.broadcast(
+        centroids.crossJoin(q)
+        .select("cell", cosine(F.col("centroid"), F.col("_qv")).alias("_sim"))
+        .orderBy(F.col("_sim").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = assignments.join(probe_cells, "cell")
+    return (
+        cand.crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _dim_of(vectors: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (index build time
+    only — not in any per-row path)."""
+    row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])

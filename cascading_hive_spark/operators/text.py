@@ -1,0 +1,107 @@
+"""Text analysis operators for training-data pipelines (north-star
+surface; the reference's only text op is the regex token split its
+wordcount test exercises, ORCFileTest.java:249-251).
+
+All expressions are JVM built-ins (regexp_*, split, aggregate) — no
+Python UDFs — so a 100 TB corpus pass is one narrow scan stage with
+full codegen, and every metric is SQL-expressible for the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit
+# language heuristic. Deliberately small and hard-coded: the lang-id
+# here is a *pipeline quality signal*, not a linguistics model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "es", "una", "y"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs (the regex family BPE tokenizers approximate); a cheap,
+    deterministic stand-in for a real tokenizer at scan speed."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.length(text).cast("double")
+
+
+def stopword_ratio(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+    return hits.cast("double") / token_count(text).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword
+    presence - punctuation excess. Deterministic arithmetic only."""
+    len_ok = F.when((F.length(text) >= 50) & (F.length(text) <= 10000), 0.4).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text, LANG_MARKERS["en"]) > 0.02, 0.3).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.1, 0.3).otherwise(0.0)
+    return len_ok + stop_ok + punct_ok
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_ratio(text, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over stopword-hit ratios; 'und' (undetermined)
+    when no marker fires. Ties resolve in fixed lang order."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = None
+    for lang in langs:
+        cond = (scores[lang] > 0) & F.lit(True)
+        for other in langs:
+            if other == lang:
+                continue
+            op = scores[lang] >= scores[other] if langs.index(other) > langs.index(lang) else scores[lang] > scores[other]
+            cond = cond & op
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("und")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Content-defined document fingerprint: md5 of the
+    sorted-distinct-token normal form. Robust to token order and
+    duplication — the classic shingle-free fingerprint for exact-ish
+    dedup keys."""
+    norm = F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(text), r"\s+"))), " ")
+    return F.md5(norm)
+
+
+def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass text-analysis projection: all metrics in one scan."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(quality_score(t), 2).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        rolling_fingerprint(t).alias("fingerprint"),
+    )

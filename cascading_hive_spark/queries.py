@@ -776,3 +776,271 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
     )
     return out.select("event_id", "user_id", F.col("o_orderdate").alias("last_order_ts"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: deduplication (BASELINE.json; operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# MinHash-LSH near-dup: xxhash64 signatures are Spark-specific → no
+# cross-engine oracle; exact-Jaccard equivalence is property-tested in
+# tests/test_dedup.py against a brute-force pass.
+@register("dedup_minhash_lsh", None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+# Exact n-gram Jaccard twin with fingerprint blocking — the SQL-
+# checkable near-dup operator: pairs whose sorted-distinct-token normal
+# form collides, verified by char-3-gram Jaccard.
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split_regex(lower(text), '\s+'))), ' ')) AS fp,
+             list_distinct(list_transform(generate_series(1, greatest(len(text)-2, 1)),
+                 i -> substr(text, i, 3))) AS g
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.g, b.g))::DOUBLE
+                 / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g))::DOUBLE
+          / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import ngram_jaccard_pairs
+    from cascading_hive_spark.operators.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "fp", rolling_fingerprint(F.col("text"))
+    )
+    return ngram_jaccard_pairs(d, "doc_id", "text", ["fp"], n=3, threshold=0.8)
+
+
+# SimHash: xxhash64-based → rows-only; hamming verified in pytest.
+@register("dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+# Embedding-cosine near-dup, blocked by label. Cosine is sequential
+# double arithmetic on BOTH sides (see operators/similarity.py docstring)
+# so the values are bitwise-identical cross-engine.
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_COS = (
+    f"({_DOT.format(a='a.embedding', b='b.embedding')} / "
+    f"(sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) * "
+    f"sqrt({_DOT.format(a='b.embedding', b='b.embedding')})))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("_c")
+    )
+    return scored.filter(F.col("_c") >= 0.35).select(
+        "id_a", "id_b", F.round("_c", 6).alias("cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_QCOS = (
+    "(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    SELECT e.vec_id, round({_QCOS}, 6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY {_QCOS} DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0)
+    return cosine_topk(e, query, k=10)
+
+
+@register(
+    "ann_knn_join",
+    f"""
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             round({_QCOS}, 6) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_QCOS} DESC, e.vec_id) AS BIGINT) AS rnk
+      FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+    WHERE rnk <= 5
+    """,
+)
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = knn_join(e, queries_df, k=5, query_id_col="query_id")
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+# IVF probe search — approximate by design (recall property-tested in
+# tests/test_similarity.py); rows-only driver check.
+@register("ann_ivf_topk", None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import ivf_build, ivf_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_build(e, n_cells=16)
+    query = e.filter(F.col("vec_id") == 0)
+    return ivf_search(assignments, centroids, query, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_analyze",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|a|in|is)\b')) AS hits_en,
+             len(regexp_extract_all(lower(text),
+                 '\b(der|die|das|und|nicht|ist)\b')) AS hits_de,
+             len(regexp_extract_all(lower(text),
+                 '\b(le|la|les|et|est|une)\b')) AS hits_fr,
+             len(regexp_extract_all(lower(text),
+                 '\b(el|los|las|es|una|y)\b')) AS hits_es,
+             len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+      FROM documents),
+    m AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+             n_punct::DOUBLE / len(text)::DOUBLE AS punct_ratio,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)::DOUBLE AS avg_token_len,
+             hits_en::DOUBLE / len(toks)::DOUBLE AS s_en,
+             hits_de::DOUBLE / len(toks)::DOUBLE AS s_de,
+             hits_fr::DOUBLE / len(toks)::DOUBLE AS s_fr,
+             hits_es::DOUBLE / len(toks)::DOUBLE AS s_es
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(avg_token_len, 6) AS avg_token_len,
+           round(CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN s_en > 0.02 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END, 2) AS quality,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+                ELSE 'und' END AS lang_guess,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(text), '\s+'))), ' ')) AS fingerprint
+    FROM m
+    """,
+)
+def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import analyze
+
+    return analyze(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal binary columns (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           (strlen(text) * 2654435761 + ascii(substr(text, 1, 1))) % 2147483648 AS checksum,
+           CAST(strlen(text) % 640 AS INT) AS fake_width,
+           CAST(strlen(text) % 480 AS INT) AS fake_height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.multimodal import attach_binary, extract_meta
+
+    media = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return extract_meta(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS id, CAST(unnest(range(0, strlen(text), 64)) AS INT) AS offset
+    FROM documents
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.multimodal import attach_binary, frame_sample
+
+    media = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return frame_sample(media, every_n_bytes=64)
