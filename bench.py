@@ -1,0 +1,77 @@
+"""Benchmark runner (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes end-to-end into the
+``noop`` sink — full scan/shuffle/compute cost, no driver collect —
+which is the honest per-operator wall time at this scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline set: one per operator family (scan/agg, join tree, window,
+# asof, LSH dedup, ANN, text, multimodal, sessionize).
+HEADLINE = [
+    "wordcount",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_inner",
+    "window_rank_orders",
+    "asof_join_last_order",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_knn_join",
+    "text_analyze",
+    "multimodal_meta",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cascading_hive_spark import queries as Q
+    from cascading_hive_spark.session import get_session
+
+    spark = get_session("bench")
+    # Warm up JVM codegen + the Python (Arrow) worker pool so the first
+    # measured query doesn't absorb session spin-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -27,14 +27,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a compute-dense input to at least the cluster's
+    default parallelism. Small corpora arrive as one or two parquet
+    files -> one or two tasks, serializing CPU-heavy per-row work
+    (shingling, hashing) on a single core; a cheap round-robin shuffle
+    of the raw rows unlocks the full cluster. Never SHRINKS an
+    already-parallel input (at 100 TB the scan supplies plenty of
+    partitions and this is a no-op)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
 
-def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side:
-    split + transform over index sequence + array_distinct)."""
-    toks = F.split(text, r"\s+")
+def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column. ``toks`` must be a real attribute (not a ``split(...)``
+    subexpression): Catalyst does not CSE subexpressions through
+    higher-order-function lambdas, so an inline split is re-evaluated
+    on every element access — O(tokens^2) per document. Callers
+    materialize the split in a prior projection (see
+    ``tokenized``)."""
     if n == 1:
         return F.array_distinct(toks)
     grams = F.transform(
@@ -43,6 +61,26 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     )
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text column. Convenience
+    form for small inputs/tests; hot paths use ``tokenized`` +
+    ``shingles_from_tokens`` (see that docstring for why)."""
+    return shingles_from_tokens(F.split(text, r"\s+"), n)
+
+
+def tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _toks) with the whitespace split materialized BEFORE the
+    spread exchange — the exchange is a hard optimizer barrier, so the
+    downstream shingle projection indexes a concrete array attribute
+    instead of re-splitting the text per access."""
+    return spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.split(F.col(text_col), r"\s+").alias("_toks"),
+        )
     )
 
 
@@ -75,7 +113,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     standard trade.)
     """
     return (
-        df.select(
+        spread(df).select(
             F.md5(F.col(text_col)).alias("text_hash"),
             F.col(id_col).cast("long").alias("_id"),
         )
@@ -121,21 +159,37 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_perm // bands
-    base = df.select(
-        F.col(id_col).cast("long").alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sig = base.select("_id", "_sh", minhash_signature(F.col("_sh"), num_perm).alias("_sig"))
-
-    band_rows = sig.select(
+    # NOTE: no size(_sh) filter — shingles_from_tokens always yields a
+    # non-empty array, and a predicate on a computed alias gets pushed
+    # below the spread exchange, re-evaluating the full shingle
+    # expression SERIALLY on the unspread scan side (measured 14x
+    # slow-down at sf0.1). Null text is filtered at the scan instead.
+    base = tokenized(df, id_col, text_col).select(
+        "_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
+    )
+    # Signatures + band hashes entirely SCAN-SIDE (narrow): 64 named
+    # min-hash columns (each consumed exactly once, so CollapseProject
+    # folds them without duplication), then 16 band hashes, then the
+    # 16x band explode of thin (id, band, bhash) rows — ~24 bytes/row.
+    # Nothing wider ever shuffles; shingle arrays stay out of every
+    # wide op and are joined back by id for candidate pairs only.
+    sig_wide = base.select(
         "_id",
-        "_sh",
+        *[
+            F.array_min(
+                F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            ).alias(f"_h{i}")
+            for i in range(num_perm)
+        ],
+    )
+    band_rows = sig_wide.select(
+        "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.get(F.col("_sig"), b * rows + r) for r in range(rows)]).alias(
+                        F.xxhash64(*[F.col(f"_h{b * rows + r}") for r in range(rows)]).alias(
                             "bhash"
                         ),
                     )
@@ -143,24 +197,41 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_sh", "bk.band", "bk.bhash")
+    ).select("_id", "bk.band", "bk.bhash")
 
-    # prune non-discriminative giant buckets (skew guard)
-    sized = band_rows.withColumn(
-        "_bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bhash"))
-    ).filter((F.col("_bucket_n") > 1) & (F.col("_bucket_n") <= max_bucket))
-
-    a = sized.select("band", "bhash", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sized.select("band", "bhash", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    cand = (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # ONE shuffle builds the buckets; pairs are generated in-bucket by
+    # an index-aware transform over the sorted member list. Buckets of
+    # 1 produce nothing; giant buckets (non-discriminative bands, the
+    # LSH skew hazard) are dropped via max_bucket.
+    buckets = (
+        band_rows.groupBy("band", "bhash")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+        .select(F.array_sort("_ids").alias("_ids"))
     )
-    verified = cand.select(
-        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    cand = pairs.dropDuplicates(["id_a", "id_b"])
+
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -182,7 +253,7 @@ def ngram_jaccard_pairs(
     shuffle on the block key); with a selective key this is the
     SQL-expressible exact twin of minhash_lsh_pairs.
     """
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).cast("long").alias("_id"),
         char_ngrams(F.col(text_col), n).alias("_g"),
         *[F.col(c) for c in block_cols],
@@ -215,9 +286,9 @@ def simhash_pairs(
     pigeonhole makes it exact for hamming <= 3. Verification:
     bit_count(xor) on the candidate pairs.
     """
-    toks = df.select(
-        F.col(id_col).cast("long").alias("_id"),
-        F.explode(word_shingles(F.col(text_col), 2)).alias("tok"),
+    toks = tokenized(df, id_col, text_col).select(
+        "_id",
+        F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("_id").agg(
         *[

@@ -34,6 +34,8 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Model a media table: the text payload re-encoded as an opaque
     binary column + typed metadata (format tag, byte length). Stands in
     for image/audio bytes with identical Spark plumbing."""
+    # NOTE: no repartition here — binary payloads must not shuffle
+    # (docstring scale note); mapInPandas parallelism follows the scan.
     return df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).cast("binary").alias("payload"),

@@ -53,10 +53,19 @@ def cosine_topk(
     corpus. ``query`` is a 1-row DataFrame with ``vec_col``; it is
     broadcast so the scan stays a single narrow stage feeding
     TakeOrderedAndProject (no full sort, no wide shuffle)."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("_qv")))
-    scored = vectors.crossJoin(q).select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    q = F.broadcast(
+        query.select(F.col(vec_col).alias("_qv"), norm(F.col(vec_col)).alias("_qn"))
+    )
+    # norms precomputed per side: each row pays one dot, not three
+    scored = (
+        vectors.withColumn("_n", norm(F.col(vec_col)))
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6).alias(
+                "cos_sim"
+            ),
+        )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -78,13 +87,21 @@ def knn_join(
 
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    scored = vectors.crossJoin(q).select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    scored = (
+        vectors.withColumn("_n", norm(F.col(vec_col)))
+        .crossJoin(q)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -163,11 +180,16 @@ def ivf_search(
         .select("cell")
     )
     cand = assignments.join(probe_cells, "cell")
+    qn = F.broadcast(query.select(norm(F.col(vec_col)).alias("_qn")))
     return (
-        cand.crossJoin(q)
+        cand.withColumn("_n", norm(F.col(vec_col)))
+        .crossJoin(q)
+        .crossJoin(qn)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            F.round(dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

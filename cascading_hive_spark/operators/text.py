@@ -94,8 +94,10 @@ def rolling_fingerprint(text: Column) -> Column:
 
 def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass text-analysis projection: all metrics in one scan."""
+    from cascading_hive_spark.operators.dedup import spread
+
     t = F.col(text_col)
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),

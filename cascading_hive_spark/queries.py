@@ -874,14 +874,26 @@ _COS = (
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cascading_hive_spark.operators.similarity import cosine
+    from cascading_hive_spark.operators.similarity import dot, norm
 
+    # norms precomputed per side (factored out of the pair loop); the
+    # cosine value is bitwise-unchanged: same double ops, same order
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = e.select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        "label",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("_c")
+        "id_a", "id_b", (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("_c")
     )
     return scored.filter(F.col("_c") >= 0.35).select(
         "id_a", "id_b", F.round("_c", 6).alias("cos_sim")
