@@ -1,0 +1,131 @@
+"""Catalog-backed tables — HCatalog parity (SURVEY.md §2 A10-A20).
+
+The reference's HCatTap resolves db.table(+partition filter) through a
+Hive metastore, validates requested fields, aligns sink tuples to the
+table schema by name with null-fill, and publishes new data by
+altering the table location after a successful write
+(HCatTap.java:53-195, CascadingHCatUtil.java:64-176,
+DefaultHCatScheme.java:92-149).
+
+Spark mapping: ``spark.catalog`` + SQL DDL. With
+``get_session(hive_support=True)`` these calls hit a real Hive
+metastore (Thrift, like HCatUtil.getHiveClient); with the default
+in-memory catalog the same API surface works session-locally — the
+functions below are catalog-implementation-agnostic, exactly as
+HCatScheme is serde-agnostic.
+
+Partition filters: the reference accepts ``"ds=20120401"`` with
+``and or like ( ) = <> < > <= >=`` (HCatTap.java:76-88) and pushes it
+to ``listPartitionsByFilter``. That grammar is a subset of SQL WHERE,
+so ``F.expr(filter)`` + Catalyst partition pruning reproduces it —
+including pruning at the file-source level (PruneFileSourcePartitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cascading_hive_spark.io import align_to_schema
+
+
+def table(
+    spark: SparkSession,
+    name: str,
+    filter: str | None = None,  # noqa: A002 — reference nomenclature (HCatTap "filter")
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Read a catalog table with optional partition filter + field
+    subset (A10/A11/A19).
+
+    ``fields`` outside the table schema raise at plan time like
+    HCatScheme.validate (HCatScheme.java:160-165, asserted
+    HCatTapTest.java:107-115).
+    """
+    df = spark.table(name)
+    if filter:
+        df = df.filter(F.expr(filter))
+    if fields is not None:
+        missing = [c for c in fields if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"fields not in table {name!r} schema: {missing}; have {df.columns}"
+            )
+        df = df.select(*fields)
+    return df
+
+
+def create_table(
+    spark: SparkSession,
+    name: str,
+    source_df: DataFrame,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Create/replace a managed catalog table from a DataFrame (A20
+    createResource + A14 partitioned layout)."""
+    writer = source_df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+
+
+def write_into(spark: SparkSession, df: DataFrame, name: str, align: bool = True) -> None:
+    """Append into an existing table with the reference's sink
+    semantics (A17, DefaultHCatScheme.writeValue): columns matched BY
+    NAME against the table schema, missing columns null-filled, extra
+    columns dropped, types cast."""
+    target = spark.table(name).schema
+    out = align_to_schema(df, target) if align else df
+    out.write.insertInto(name, overwrite=False)
+
+
+def publish(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    path: str,
+    fmt: str = "parquet",
+) -> None:
+    """Atomic-publish pattern (A18, HCatTap.commitResource +
+    CascadingHCatUtil.setDataStorageLocation): write the data to a NEW
+    location, then repoint the table at it in the catalog. Readers see
+    either the old or the new table, never a partial write."""
+    df.write.format(fmt).mode("overwrite").save(path)
+    if not table_exists(spark, name):
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        spark.sql(f"CREATE TABLE {name} ({cols}) USING {fmt} LOCATION '{path}'")
+    else:
+        spark.sql(f"ALTER TABLE {name} SET LOCATION '{path}'")
+        spark.sql(f"REFRESH TABLE {name}")
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """A20 resourceExists."""
+    return spark.catalog.tableExists(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """A20 deleteResource."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def partitions(spark: SparkSession, name: str, filter: str | None = None) -> list[dict]:  # noqa: A002
+    """Enumerate table partitions, optionally filtered (A11/A12 —
+    listPartitionsByFilter + per-partition file listing is Catalyst's
+    job now; this surfaces the metadata for tooling)."""
+    rows = spark.sql(f"SHOW PARTITIONS {name}").collect()
+    out = []
+    for r in rows:
+        spec = dict(kv.split("=", 1) for kv in r[0].split("/"))
+        out.append(spec)
+    if filter:
+        import re
+
+        m = re.match(r"^\s*(\w+)\s*=\s*'?([^'\s]+)'?\s*$", filter)
+        if not m:
+            raise ValueError(f"unsupported partition filter for enumeration: {filter!r}")
+        k, v = m.group(1), m.group(2)
+        out = [p for p in out if p.get(k) == v]
+    return out

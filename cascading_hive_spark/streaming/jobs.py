@@ -1,0 +1,117 @@
+"""Streaming jobs over the events table.
+
+``stream_events`` treats the driver's events parquet as a file-stream
+source (the standard replay pattern for testing streaming topologies);
+``hourly_counts`` is the watermarked windowed aggregate;
+``sessionize_stream`` is custom stateful processing via
+applyInPandasWithState, the streaming twin of the batch
+``events_sessionize`` query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes, matching events_sessionize
+
+_EVENT_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet. The file carries
+    TIMESTAMP(NANOS) (see tables.load_table) — read nanos as long and
+    integer-divide to micros, exactly like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type: the
+    Structured Streaming form of the batch events_hourly query. Late
+    rows beyond the watermark are dropped; state is bounded by
+    (watermark / window) per key — safe for unbounded streams."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "cnt", "sum_value")
+    )
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Stateful sessionization: per user, a new session starts after a
+    30-minute silence. State is one (last_ts, counters) row per user —
+    constant per key, shuffle-partitioned by user_id, the canonical
+    applyInPandasWithState shape. Emits the running per-user totals
+    each micro-batch (update mode semantics); the final batch of an
+    availableNow replay therefore matches the batch events_sessionize
+    aggregation exactly (asserted in tests/test_streaming.py).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = -1, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"].astype("int64") // 1000:  # ns -> us
+                if last_ts < 0 or ts - last_ts > SESSION_GAP_US:
+                    n_sessions += 1
+                last_ts = int(ts)
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _SESSION_OUT, _SESSION_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available input
+    (Trigger.AvailableNow) into an in-memory sink and return the result
+    as a batch DataFrame — the standard pattern for asserting streaming
+    semantics in tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update" if query_name.startswith("session") else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -4,10 +4,16 @@ import pytest
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from cascading_hive_spark.session import get_session
 
-    s = get_session("tests", master="local[8]", shuffle_partitions=8)
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_session(
+        "tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 

@@ -1,0 +1,90 @@
+"""Catalog parity tests (A10-A20): field validation, by-name aligned
+writes with null-fill, partition enumeration/pruning, atomic publish
+via SET LOCATION."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_hive_spark import catalog as C
+from cascading_hive_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def nation_table(spark, sf_dir):
+    C.drop_table(spark, "t_nation")
+    C.create_table(spark, "t_nation", load_table(spark, sf_dir, "nation"))
+    yield "t_nation"
+    C.drop_table(spark, "t_nation")
+
+
+def test_table_read_and_filter(spark, nation_table):
+    df = C.table(spark, nation_table, filter="n_regionkey = 0")
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.n_regionkey == 0 for r in rows)
+
+
+def test_field_validation_raises(spark, nation_table):
+    # HCatTapTest.java:107-115: invalid source fields -> plan-time error
+    with pytest.raises(ValueError, match="nope"):
+        C.table(spark, nation_table, fields=["n_name", "nope"])
+
+
+def test_write_into_aligns_by_name_with_null_fill(spark, nation_table):
+    # DefaultHCatScheme.java:119-149: reorder by name, missing -> null,
+    # extra ignored
+    extra = spark.createDataFrame(
+        [(99, "extra_col_ignored", 77)],
+        "n_regionkey int, junk string, n_nationkey int",
+    )
+    C.write_into(spark, extra, nation_table)
+    got = spark.table(nation_table).filter(F.col("n_nationkey") == 77).collect()
+    assert len(got) == 1
+    assert got[0].n_name is None  # null-filled
+    assert got[0].n_regionkey == 99
+
+
+def test_partitioned_table_enumeration_and_pruning(spark, sf_dir, tmp_path):
+    C.drop_table(spark, "t_orders_part")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    C.create_table(spark, "t_orders_part", orders, partition_by=["o_year"])
+    try:
+        parts = C.partitions(spark, "t_orders_part")
+        years = {p["o_year"] for p in parts}
+        assert len(years) >= 2
+        one = C.partitions(spark, "t_orders_part", filter=f"o_year={min(years)}")
+        assert len(one) == 1
+        # partition filter prunes at plan level
+        df = C.table(spark, "t_orders_part", filter=f"o_year = {min(years)}")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert df.count() > 0
+    finally:
+        C.drop_table(spark, "t_orders_part")
+
+
+def test_publish_set_location_swaps_data(spark, sf_dir, tmp_path):
+    # A18: write new path, ALTER TABLE SET LOCATION, readers see the swap
+    C.drop_table(spark, "t_pub")
+    region = load_table(spark, sf_dir, "region")
+    p1 = str(tmp_path / "v1")
+    p2 = str(tmp_path / "v2")
+    C.publish(spark, region, "t_pub", p1)
+    try:
+        assert spark.table("t_pub").count() == 5
+        C.publish(spark, region.limit(2), "t_pub", p2)
+        assert spark.table("t_pub").count() == 2  # repointed, not appended
+    finally:
+        C.drop_table(spark, "t_pub")
+
+
+def test_exists_and_drop(spark, sf_dir):
+    C.drop_table(spark, "t_tmp")
+    assert not C.table_exists(spark, "t_tmp")
+    C.create_table(spark, "t_tmp", load_table(spark, sf_dir, "region"))
+    assert C.table_exists(spark, "t_tmp")
+    C.drop_table(spark, "t_tmp")
+    assert not C.table_exists(spark, "t_tmp")
