@@ -1,0 +1,93 @@
+"""Plan-quality gates: the properties that decide 100 TB behavior.
+
+Each assertion encodes 'the plan I'd want on a 1000-executor cluster':
+scans pruned to needed columns, predicates at the source, dimension
+joins broadcast, no accidental cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_hive_spark import queries as Q
+from cascading_hive_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema,
+)
+
+
+def _q(spark, sf_dir, name):
+    return Q.queries()[name](spark, sf_dir)
+
+
+def test_q1_scan_pruned_and_filter_pushed(spark, sf_dir):
+    df = _q(spark, sf_dir, "q1_pricing_summary")
+    # only the 7 needed lineitem columns are read, not all 11
+    assert_read_schema(
+        df,
+        ["l_returnflag", "l_quantity", "l_shipdate"],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_projection_query_prunes(spark, sf_dir):
+    df = _q(spark, sf_dir, "b1_projection")
+    assert_read_schema(df, ["c_custkey", "c_name", "c_mktsegment"], ["c_acctbal", "c_nationkey"])
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = _q(spark, sf_dir, "join_broadcast_dims")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_q5_join_tree_no_cartesian(spark, sf_dir):
+    df = _q(spark, sf_dir, "q5_local_supplier_volume")
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)  # region (and under AQE most dims) broadcast
+
+
+def test_q3_filters_pushed_to_all_scans(spark, sf_dir):
+    df = _q(spark, sf_dir, "q3_shipping_priority")
+    assert_pushed_filters(df, "c_mktsegment")
+    assert_pushed_filters(df, "o_orderdate")
+    assert_pushed_filters(df, "l_shipdate")
+    assert_no_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from cascading_hive_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_minhash_never_shuffles_shingles(spark, sf_dir):
+    """The LSH bucket shuffle must carry only (id, band, bhash) — the
+    shingle arrays stay scan-side (see operators/dedup.py scale notes).
+    """
+    from cascading_hive_spark.operators.dedup import minhash_lsh_pairs
+    from cascading_hive_spark.tables import load_table
+
+    df = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    plan = df._jdf.queryExecution().toString()
+    # the groupBy(band,bhash) exchange partitions on band/bhash; assert
+    # no exchange hash-partitions on a column carrying shingles
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "_sh" in line:
+            raise AssertionError(f"shingle array in a shuffle: {line}")
+
+
+def test_asof_join_single_shuffle_shape(spark, sf_dir):
+    from cascading_hive_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "asof_join_last_order")
+    plan = physical_plan(df)
+    # union+window asof: no join node at all, one window over __k
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
