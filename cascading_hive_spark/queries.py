@@ -1056,3 +1056,268 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return frame_sample(media, every_n_bytes=64)
+
+
+# ---------------------------------------------------------------------------
+# Deeper TPC-H-shaped coverage + SQL-API entry points
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q12_priority_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(sum(l_quantity), 2) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING sum(l_quantity) > 150
+    """,
+)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw"),
+        )
+        .filter(F.col("_raw") > 150)
+        .drop("_raw")
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, p.p_partkey == li.l_partkey)
+    cond = (
+        ((p.p_brand == "Brand#1") & p.p_size.between(1, 15) & li.l_quantity.between(1, 20))
+        | ((p.p_brand == "Brand#2") & p.p_size.between(10, 30) & li.l_quantity.between(10, 30))
+        | ((p.p_brand == "Brand#3") & p.p_size.between(20, 50) & li.l_quantity.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "q22_scalar_subquery",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL-API path: scalar subquery through spark.sql over a temp view
+    from cascading_hive_spark.tables import register_views
+
+    tune_for_queries(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        """
+    )
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.tables import register_views
+
+    tune_for_queries(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "array_higher_order",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE * 2.0)), 6) AS sum2x,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * 2.0),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sum2x"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substr(c_name, 1, 8) AS prefix,
+           replace(c_name, '#', '-') AS repl,
+           reverse(c_mktsegment) AS rseg,
+           CAST(strpos(c_name, '#') AS INT) AS haspos,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev
+    FROM customer
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.regexp_replace("c_name", "#", "-").alias("repl"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.instr("c_name", "#").alias("haspos"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_end
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday -> +1 in oracle
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_add(d, 30).alias("plus30"),
+        F.last_day(d).alias("eom"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_end"),
+    )
+
+
+@register(
+    "percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
