@@ -104,3 +104,40 @@ def ranked(
     """Window rank within groups (absent in the reference; §2.C)."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(rank_name, F.rank().over(w))
+
+
+# --- skew handling: salting (100 TB hygiene) ------------------------
+def salted_group_count(
+    df: DataFrame, keys: list[str], salt_buckets: int = 16, count_name: str = "cnt"
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: phase 1 groups on
+    (key, salt) so a hot key spreads over ``salt_buckets`` reducers;
+    phase 2 merges the partials per key. Same result as ``count_by``,
+    different shuffle profile — use when one key holds >~1/parallelism
+    of all rows. (AQE skew-join handles JOIN skew automatically; agg
+    skew still wants explicit salt.)"""
+    salt = (F.spark_partition_id() % salt_buckets).alias("_salt")
+    partial = (
+        df.select(*keys, salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").cast("bigint").alias(count_name))
+
+
+def salted_join_small_skewed(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed side with a random-ish
+    bucket id and EXPLODE the small side once per bucket, so a hot key
+    no longer lands on a single reducer. Deterministic output (the
+    salt only routes rows). Small side grows by salt_buckets x — only
+    for genuinely small dimensions."""
+    salted = skewed.withColumn("_salt", F.spark_partition_id() % salt_buckets)
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted.join(replicated, [key, "_salt"]).drop("_salt")

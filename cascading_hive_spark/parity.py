@@ -67,6 +67,11 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def check_query(spark: SparkSession, name: str, sf_dir: str) -> ParityResult:
+    if name not in Q._REGISTRY:
+        import difflib
+
+        close = difflib.get_close_matches(name, Q._REGISTRY, n=3)
+        raise KeyError(f"unknown query {name!r}; did you mean {close}?")
     fn, oracle = Q._REGISTRY[name]
     sdf = fn(spark, sf_dir)
     srows = sdf.collect()

@@ -1321,3 +1321,69 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
     )
+
+
+@register(
+    "skew_salted_group_count",
+    """
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def q_salted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identical result to a plain groupBy (the oracle IS the plain
+    # form); the salt only changes the shuffle profile for hot keys
+    return R.salted_group_count(_t(spark, sf_dir, "events"), ["event_type"], salt_buckets=16)
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT event_id, event_type, n_name
+    FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", (F.col("user_id") % 25).cast("int").alias("n_nationkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = R.salted_join_small_skewed(ev, n, "n_nationkey", salt_buckets=8)
+    return out.select("event_id", "event_type", "n_name")
+
+
+@register(
+    "all_types_surface",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS INT) AS i32,
+           CAST(o_orderkey % 128 AS TINYINT) AS i8,
+           CAST(o_orderkey % 32000 AS SMALLINT) AS i16,
+           CAST(o_totalprice AS FLOAT) AS f32,
+           o_totalprice AS f64,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(38,18)) AS dec,
+           o_totalprice > 100000 AS flag,
+           encode(o_orderpriority) AS bin,
+           CAST(o_orderdate AS TIMESTAMP) AS ts,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+    """,
+)
+def q_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 all_types coverage (FIXTURES.md; RCFileTest.java:51-54): every
+    # primitive the reference's schemes convert, flowing through one
+    # projection. decimal pinned to (38,18) like the reference's
+    # unconstrained BigDecimal (SURVEY.md §7).
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("int").alias("i32"),
+        (F.col("o_orderkey") % 128).cast("tinyint").alias("i8"),
+        (F.col("o_orderkey") % 32000).cast("smallint").alias("i16"),
+        F.col("o_totalprice").cast("float").alias("f32"),
+        F.col("o_totalprice").alias("f64"),
+        F.col("o_totalprice").cast("decimal(18,4)").cast("decimal(38,18)").alias("dec"),
+        (F.col("o_totalprice") > 100000).alias("flag"),
+        F.col("o_orderpriority").cast("binary").alias("bin"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )

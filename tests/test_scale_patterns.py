@@ -1,0 +1,85 @@
+"""Scale-pattern tests: salting equivalence, bucketed co-located joins,
+spread behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_hive_spark.operators import relational as R
+from cascading_hive_spark.tables import load_table
+
+
+def test_salted_group_count_equals_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {(r.event_type, r.cnt) for r in R.count_by(ev, ["event_type"]).collect()}
+    salted = {
+        (r.event_type, r.cnt)
+        for r in R.salted_group_count(ev, ["event_type"], salt_buckets=16).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 25).cast("int").alias("n_nationkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    plain = {(r.event_id, r.n_name) for r in ev.join(n, "n_nationkey").collect()}
+    salted = {
+        (r.event_id, r.n_name)
+        for r in R.salted_join_small_skewed(ev, n, "n_nationkey").collect()
+    }
+    assert salted == plain
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Bucketing = the reference's bucket-map-join intent
+    (hive.optimize.bucketmapjoin, hive-site.xml:44-51): two tables
+    bucketed on the join key co-locate, so the sort-merge join needs NO
+    exchange on either side."""
+    from cascading_hive_spark import catalog as C
+
+    C.drop_table(spark, "b_orders")
+    C.drop_table(spark, "b_customer")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    try:
+        (
+            orders.write.format("parquet")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            customer.write.format("parquet")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable("b_customer")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        try:
+            j = spark.table("b_orders").join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+            assert j.count() == orders.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        C.drop_table(spark, "b_orders")
+        C.drop_table(spark, "b_customer")
+
+
+def test_spread_never_shrinks(spark, sf_dir):
+    from cascading_hive_spark.operators.dedup import spread
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.repartition(64)
+    assert spread(wide).rdd.getNumPartitions() == 64
+    narrow = li.coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
