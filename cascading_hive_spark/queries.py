@@ -1387,3 +1387,66 @@ def q_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp").alias("ts"),
         F.col("o_orderdate").cast("date").alias("d"),
     )
+
+
+@register(
+    "dedup_keep_first",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang, source FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keeper selection: the row-level counterpart of dedup_exact —
+    # keep the lowest-id copy of each distinct text WITH its payload
+    # (window over the digest, so the shuffle key is 16 bytes)
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "pipeline_quality_dedup_rollup",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split_regex(lower(text), '\s+'))), ' ')) AS fp,
+             CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN len(regexp_extract_all(lower(text),
+                       '\b(the|and|of|to|a|in|is)\b'))::DOUBLE
+                     / len(string_split_regex(trim(text), '\s+'))::DOUBLE > 0.02
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                     / len(text)::DOUBLE < 0.1 THEN 0.3 ELSE 0.0 END AS quality
+      FROM documents),
+    kept AS (
+      SELECT doc_id, lang, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored WHERE quality >= 0.7)
+    SELECT lang, count(*) AS n_docs FROM kept WHERE rn = 1 GROUP BY lang
+    """,
+)
+def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end training-data pipeline shape: quality-filter ->
+    # fingerprint dedup (keep first) -> per-language rollup, in one
+    # declarative plan (single pass + one window + one agg)
+    from cascading_hive_spark.operators.text import quality_score, rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        rolling_fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.7)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
