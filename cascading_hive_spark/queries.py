@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level so pandas_udf string type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1450,3 +1452,84 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("fp").orderBy("doc_id")
     kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "a25_null_detection",
+    """
+    SELECT event_id,
+           list_bool_or(list_transform(
+               [json_extract_string(props, '$.k'), json_extract_string(props, '$.missing')],
+               x -> x IS NULL)) AS has_null,
+           list_bool_and(list_transform(
+               [json_extract_string(props, '$.k'), json_extract_string(props, '$.missing')],
+               x -> x IS NULL)) AS all_null
+    FROM events
+    """,
+)
+def q_null_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A25 (SerDeUtils.hasAnyNullObject, SerDeUtils.java:394-502):
+    # recursive null detection over a nested value -> F.exists/F.forall
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array(
+        F.get_json_object("props", "$.k"),
+        F.get_json_object("props", "$.missing"),
+    )
+    return ev.select(
+        "event_id",
+        F.exists(arr, lambda x: x.isNull()).alias("has_null"),
+        F.forall(arr, lambda x: x.isNull()).alias("all_null"),
+    )
+
+
+@register(
+    "pandas_udf_scalar",
+    """
+    SELECT o_orderkey, round(o_totalprice * 0.1 + 1.0, 6) AS scored
+    FROM orders
+    """,
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sanctioned slow path: an Arrow-vectorized scalar pandas_udf
+    # (vs. row-at-a-time python UDFs — §2.C UDF surface). Deterministic
+    # arithmetic so the SQL oracle is exact. (pandas imported at module
+    # level: string type hints must resolve in the function's globals.)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(x: pd.Series) -> pd.Series:
+        return x * 0.1 + 1.0
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", F.round(score("o_totalprice"), 6).alias("scored"))
+
+
+@register(
+    "grouped_map_udaf",
+    """
+    SELECT user_id,
+           round(exp(avg(ln(value))), 6) AS geo_mean,
+           count(*) AS n
+    FROM events WHERE value > 0 GROUP BY user_id
+    """,
+)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom UDAF surface via applyInPandas grouped-map (geometric
+    # mean — not a Spark built-in). Same log-mean-exp computed in the
+    # oracle; round(6) absorbs summation-order ulps.
+    import numpy as np
+    import pandas as pd
+
+    def geo(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "geo_mean": [float(np.exp(np.log(v).mean()))],
+                "n": [len(v)],
+            }
+        )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    out = ev.groupBy("user_id").applyInPandas(geo, "user_id long, geo_mean double, n long")
+    return out.select("user_id", F.round("geo_mean", 6).alias("geo_mean"), "n")

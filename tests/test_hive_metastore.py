@@ -36,6 +36,26 @@ SCRIPT = textwrap.dedent(
     assert spark.table("hive_region_pub").count() == 3
     C.drop_table(spark, "hive_region")
     C.drop_table(spark, "hive_region_pub")
+
+    # A1/A2: genuine RCFile round-trip through the Hive serde layer
+    # (RCFile.java's whole purpose), plus A15/A16 metastore-driven
+    # format dispatch: the reader resolves ColumnarSerDe from table
+    # metadata, not from the path.
+    spark.sql("CREATE TABLE hive_rc (r_regionkey INT, r_name STRING) STORED AS RCFILE")
+    region.select("r_regionkey", "r_name").write.insertInto("hive_rc")
+    got = {(r.r_regionkey, r.r_name) for r in spark.table("hive_rc").collect()}
+    want = {(r.r_regionkey, r.r_name) for r in region.collect()}
+    assert got == want, (got, want)
+    # textfile serde (LazySimpleSerDe — the reference's test input format)
+    spark.sql("CREATE TABLE hive_text (r_regionkey INT, r_name STRING) STORED AS TEXTFILE")
+    region.select("r_regionkey", "r_name").write.insertInto("hive_text")
+    assert spark.table("hive_text").count() == 5
+    # ORC through the hive serde path too (vs. the native reader in io.py)
+    spark.sql("CREATE TABLE hive_orc (r_regionkey INT, r_name STRING) STORED AS ORC")
+    region.select("r_regionkey", "r_name").write.insertInto("hive_orc")
+    assert spark.table("hive_orc").count() == 5
+    for t in ("hive_rc", "hive_text", "hive_orc"):
+        C.drop_table(spark, t)
     print("HIVE_METASTORE_OK")
     """
 )

@@ -116,3 +116,14 @@ def test_missing_input_raises_with_path(spark):
     # ORCFileTest.java:229-234: missing input -> error names the path
     with pytest.raises(Exception, match="nonexistent"):
         IO.read_table(spark, "/tmp/nonexistent_input_dir_xyz", fmt="orc").collect()
+
+
+def test_direct_open_read_write(spark, sf_dir, tmp_path):
+    # B9 (ORCFileTest.java:164-209): direct open-for-read iteration and
+    # open-for-write without a flow — toLocalIterator / createDataFrame
+    src = load_table(spark, sf_dir, "region")
+    rows = list(src.toLocalIterator())  # streamed, not collect()
+    assert len(rows) == 5
+    path = str(tmp_path / "direct")
+    spark.createDataFrame(rows, src.schema).write.orc(path)
+    assert _rows(IO.read_table(spark, path, fmt="orc")) == _rows(src)
