@@ -52,8 +52,12 @@ def tokenize(df: DataFrame, text_col: str, pattern: str, token_name: str = "toke
 
 def wordcount(df: DataFrame, text_col: str, pattern: str = r"[ \[\]\(\),.]") -> DataFrame:
     """The reference's flagship end-to-end flow (ORCFileTest wordcount,
-    ORCFileTest.java:238-284): tokenize → group → count → order by key."""
-    tokens = tokenize(df, text_col, pattern)
+    ORCFileTest.java:238-284): tokenize → group → count → order by key.
+    Input spread to full parallelism (tokenize+explode is compute-dense
+    and the corpus may arrive as one file)."""
+    from cascading_hive_spark.operators.dedup import spread
+
+    tokens = tokenize(spread(df.select(text_col)), text_col, pattern)
     return tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).orderBy("token")
 
 

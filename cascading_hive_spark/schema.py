@@ -46,34 +46,163 @@ HIVE_TO_SPARK_TYPE = {
 }
 
 
-def _normalize_type(hive_type: str) -> str:
-    """Map a (possibly nested) Hive type string to Spark DDL.
+_PRIMITIVES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "real": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "tinyint": T.ByteType(),
+    "byte": T.ByteType(),
+    "smallint": T.ShortType(),
+    "short": T.ShortType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+    "date": T.DateType(),
+    "void": T.NullType(),
+}
 
-    Parameterized / nested types pass through — Spark's parser accepts
-    hive-style decimal(p,s), varchar(n), array<>, map<>, struct<> —
-    but the reference's aliases are rewritten at token level:
-    ``bigdecimal`` and bare ``decimal`` (no precision) both become
-    decimal(38,18) (ORCFile.java:230-232 flattens to BigDecimal).
-    """
-    import re
 
-    low = hive_type.strip().lower()
-    low = re.sub(r"\b(bigdecimal|decimal)\b(?!\s*\()", "decimal(38,18)", low)
-    return low
+class _DDLParser:
+    """Pure-Python recursive-descent parser for Hive/Spark DDL column
+    lists — the role HiveSchemaUtil.parse fills with the Hive ANTLR
+    parser (HiveSchemaUtil.java:37-77), but with NO JVM dependency so
+    schema handling works before any SparkSession exists. Verified
+    differentially against Spark's own ``StructType.fromDDL`` in
+    tests/test_schema.py."""
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def error(self, msg: str):
+        raise ValueError(f"malformed Hive schema string at pos {self.i}: {msg}")
+
+    def skip_ws(self):
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def peek(self) -> str:
+        self.skip_ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def expect(self, ch: str):
+        if self.peek() != ch:
+            self.error(f"expected {ch!r}, found {self.peek()!r}")
+        self.i += 1
+
+    def ident(self) -> str:
+        self.skip_ws()
+        if self.peek() == "`":
+            self.i += 1
+            j = self.s.find("`", self.i)
+            if j < 0:
+                self.error("unterminated backquote")
+            name, self.i = self.s[self.i : j], j + 1
+            return name
+        j = self.i
+        while j < len(self.s) and (self.s[j].isalnum() or self.s[j] == "_"):
+            j += 1
+        if j == self.i:
+            self.error("expected identifier")
+        name, self.i = self.s[self.i : j], j
+        return name
+
+    def int_lit(self) -> int:
+        self.skip_ws()
+        j = self.i
+        while j < len(self.s) and self.s[j].isdigit():
+            j += 1
+        if j == self.i:
+            self.error("expected integer")
+        v, self.i = int(self.s[self.i : j]), j
+        return v
+
+    def data_type(self) -> T.DataType:
+        name = self.ident().lower()
+        if name in ("decimal", "numeric", "bigdecimal", "dec"):
+            # reference flattens bare decimal to BigDecimal
+            # (ORCFile.java:230-232) -> decimal(38,18)
+            if self.peek() == "(":
+                self.i += 1
+                p = self.int_lit()
+                s = 0
+                if self.peek() == ",":
+                    self.i += 1
+                    s = self.int_lit()
+                self.expect(")")
+                return T.DecimalType(p, s)
+            return T.DecimalType(38, 18)
+        if name in ("varchar", "char"):
+            if self.peek() == "(":
+                self.i += 1
+                n = self.int_lit()
+                self.expect(")")
+                return T.VarcharType(n) if name == "varchar" else T.CharType(n)
+            return T.StringType()
+        if name == "array":
+            self.expect("<")
+            elem = self.data_type()
+            self.expect(">")
+            return T.ArrayType(elem)
+        if name == "map":
+            self.expect("<")
+            k = self.data_type()
+            self.expect(",")
+            v = self.data_type()
+            self.expect(">")
+            return T.MapType(k, v)
+        if name == "struct":
+            self.expect("<")
+            fields = []
+            while True:
+                fname = self.ident()
+                self.expect(":")
+                fields.append(T.StructField(fname, self.data_type(), True))
+                if self.peek() == ",":
+                    self.i += 1
+                    continue
+                break
+            self.expect(">")
+            return T.StructType(fields)
+        if name in _PRIMITIVES:
+            return _PRIMITIVES[name]
+        self.error(f"unknown type {name!r}")
+
+    def column_list(self) -> T.StructType:
+        fields = []
+        while True:
+            fname = self.ident()
+            # optional ':' (struct-style) or whitespace separator
+            if self.peek() == ":":
+                self.i += 1
+            fields.append(T.StructField(fname, self.data_type(), True))
+            self.skip_ws()
+            if self.peek() == ",":
+                self.i += 1
+                continue
+            break
+        self.skip_ws()
+        if self.i != len(self.s):
+            self.error(f"trailing input {self.s[self.i:]!r}")
+        return T.StructType(fields)
 
 
 def parse_ddl(ddl: str) -> T.StructType:
-    """Parse a Hive DDL column list into a StructType.
+    """Parse a Hive DDL column list into a StructType — pure Python,
+    no SparkSession required.
 
     Raises ValueError on malformed input (reference raises
     RuntimeException — HiveSchemaUtil.java:58-66).
     """
     if not ddl or not ddl.strip():
         raise ValueError("empty schema string")
-    try:
-        return T.StructType.fromDDL(_normalize_type(ddl))
-    except Exception as exc:  # noqa: BLE001 — normalize parser errors
-        raise ValueError(f"malformed Hive schema string: {ddl!r}") from exc
+    return _DDLParser(ddl.strip()).column_list()
 
 
 def parse_ddl_names_types(ddl: str) -> tuple[list[str], list[str]]:

@@ -69,3 +69,42 @@ def test_default_names():
 def test_to_ddl_roundtrip():
     ddl = "a int, b array<string>, c struct<x:bigint,y:string>"
     assert S.to_ddl(S.parse_ddl(ddl)) == ddl.replace(" ,", ",")
+
+
+def test_ddl_roundtrip_property(spark):
+    """Property test (hypothesis): any generated column list survives
+    to_ddl ∘ parse_ddl unchanged, and the pure-Python parser agrees
+    with Spark's own DDL parser."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    simple_types = st.sampled_from(
+        ["int", "bigint", "string", "double", "float", "boolean", "date",
+         "timestamp", "binary", "smallint", "tinyint", "decimal(12,3)"]
+    )
+    nested_types = st.recursive(
+        simple_types,
+        lambda inner: st.one_of(
+            inner.map(lambda t: f"array<{t}>"),
+            st.tuples(inner, inner).map(lambda ab: f"map<{ab[0]},{ab[1]}>"),
+            inner.map(lambda t: f"struct<f1:{t},f2:int>"),
+        ),
+        max_leaves=4,
+    )
+    names = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+    cols = st.lists(st.tuples(names, nested_types), min_size=1, max_size=6,
+                    unique_by=lambda nt: nt[0])
+
+    from pyspark.sql import types as T
+
+    @given(cols)
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    def check(col_list):
+        ddl = ", ".join(f"{n} {t}" for n, t in col_list)
+        st1 = S.parse_ddl(ddl)
+        assert S.to_ddl(S.parse_ddl(S.to_ddl(st1))) == S.to_ddl(st1)
+        assert [f.name for f in st1.fields] == [n for n, _ in col_list]
+        # differential: pure-Python parser == Spark's JVM DDL parser
+        assert st1 == T.StructType.fromDDL(ddl)
+
+    check()
