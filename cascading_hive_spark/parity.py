@@ -61,9 +61,45 @@ def run_oracle(sql: str, sf_dir: str):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    arrow_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    return cols, rel.fetchall(), arrow_types
+
+
+_SPARK_TO_DUCK = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "binary": "BLOB",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _type_mismatches(spark_schema, duck_types: dict[str, str]) -> list[str]:
+    """Exact logical-type comparison — the driver compares schemas, so
+    an int32 rank vs int64 rank must be caught even when values hash
+    equal after stringification."""
+    out = []
+    for f in spark_schema.fields:
+        s = f.dataType.simpleString()
+        d = duck_types.get(f.name, "?")
+        if s.startswith("decimal"):
+            expect = s.upper().replace(" ", "")
+            if d.replace(" ", "") != expect:
+                out.append(f"{f.name}: spark {s} vs duckdb {d}")
+        elif s in _SPARK_TO_DUCK:
+            if d != _SPARK_TO_DUCK[s]:
+                out.append(f"{f.name}: spark {s} vs duckdb {d}")
+        # nested/array types: skip strict check (rare in outputs)
+    return out
 
 
 def check_query(spark: SparkSession, name: str, sf_dir: str) -> ParityResult:
@@ -78,11 +114,16 @@ def check_query(spark: SparkSession, name: str, sf_dir: str) -> ParityResult:
     scols = sdf.columns
     if oracle is None:
         return ParityResult(name, True, "rows-only (no oracle)", len(srows), -1)
-    ocols, orows = run_oracle(oracle, sf_dir)
+    ocols, orows, otypes = run_oracle(oracle, sf_dir)
     if sorted(scols) != sorted(ocols):
         return ParityResult(
             name, False, f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}",
             len(srows), len(orows),
+        )
+    tmis = _type_mismatches(sdf.schema, otypes)
+    if tmis:
+        return ParityResult(
+            name, False, f"type mismatch: {tmis}", len(srows), len(orows)
         )
     if len(srows) != len(orows):
         return ParityResult(name, False, "row-count mismatch", len(srows), len(orows))

@@ -548,13 +548,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderkey,
              rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
       FROM orders)
-    WHERE rnk <= 3
+    WHERE rnk <= 3 -- rnk is BIGINT here and in Spark (cast below)
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     ranked = R.ranked(o, ["o_custkey"], [F.col("o_totalprice").desc()])
-    return ranked.filter(F.col("rnk") <= 3).select("o_custkey", "o_orderkey", "rnk")
+    # Spark rank() yields int32, DuckDB's BIGINT -> align schemas
+    return ranked.filter(F.col("rnk") <= 3).select(
+        "o_custkey", "o_orderkey", F.col("rnk").cast("bigint").alias("rnk")
+    )
 
 
 @register(
@@ -626,7 +629,9 @@ def q_window_mavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+    return c.select(
+        "c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1003,9 +1008,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
            round(punct_ratio, 6) AS punct_ratio,
            round(avg_token_len, 6) AS avg_token_len,
-           round(CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
+           round((CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
                  + CASE WHEN s_en > 0.02 THEN 0.3 ELSE 0.0 END
-                 + CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END, 2) AS quality,
+                 + CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END)::DOUBLE, 2) AS quality,
            CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                 WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
                 WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
