@@ -39,11 +39,26 @@ def main() -> int:
 
     spark = get_session("bench")
     # Warm up JVM codegen + the Python (Arrow) worker pool so the first
-    # measured query doesn't absorb session spin-up.
+    # measured query doesn't absorb session spin-up. Exercises each
+    # operator SHAPE (agg, split/explode, window, sort-merge join,
+    # global sort, Arrow exchange) on synthetic rows — classes load
+    # once here instead of inside the first measured query.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    import pandas as _pd
-
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    warm = spark.range(10_000).selectExpr(
+        "id", "concat('a b,c.d ', id) AS text", "id % 7 AS k"
+    )
+    (
+        warm.selectExpr("k", "explode(split(text, '[ ,.]')) AS tok")
+        .groupBy("k", "tok")
+        .count()
+        .selectExpr("k", "count", "rank() OVER (PARTITION BY k ORDER BY count) AS r")
+        .join(warm.selectExpr("id % 7 AS k", "id AS j").limit(100), "k")
+        .orderBy("k", "r")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     qs = Q.queries()
     timings: dict[str, float] = {}
