@@ -224,10 +224,25 @@ def minhash_lsh_pairs(
     ).select("p.id_a", "p.id_b")
     cand = pairs.dropDuplicates(["id_a", "id_b"])
 
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # Verification joins shingles back for CANDIDATE docs only, in two
+    # steps that keep the full corpus shingle table out of any wide op:
+    # 1. semi-join base against the distinct candidate ids (a small
+    #    relation AQE can broadcast) — the corpus-wide shingle table is
+    #    filtered scan-side, never shuffled or broadcast;
+    # 2. shuffle-hash join the filtered shingles (≈ 2x|pairs| rows)
+    #    with the pair list. The full base must NEVER be a broadcast
+    #    build side: it is a computed table whose size Catalyst
+    #    underestimates (range-derived inputs estimate near-zero), and
+    #    at corpus scale it fits nowhere (measured OOM at 500k docs).
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("_id")
+    ).dropDuplicates(["_id"])
+    sh_cand = base.join(cand_ids, "_id", "left_semi")
+    sh_a = sh_cand.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = sh_cand.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = (
-        cand.join(sh_a, "id_a")
+        cand.hint("shuffle_hash")
+        .join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -34,9 +34,13 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: the driver JVM is the whole cluster — size it
+        # accordingly (only applies at JVM creation)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -32,6 +32,7 @@ def synthetic_documents(
     seed: int = 42,
     dup_rate: float = 0.05,
     n_tokens: int = 60,
+    n_vocab: int | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
     """Word-salad documents with a planted near-duplicate fraction.
@@ -40,21 +41,40 @@ def synthetic_documents(
     doc (id - 1..16) with the last token perturbed — guaranteed
     high-Jaccard pairs for dedup recall tests. Columns match the
     driver's documents table (doc_id, text, lang, source, n_chars).
+
+    ``n_vocab``: vocabulary size. The default 30-word vocabulary reads
+    naturally but makes LSH bands non-discriminative past ~100k docs
+    (min-hashes over a tiny shingle space concentrate, and the
+    max_bucket skew guard then drops the flooded buckets — by design).
+    For large-n dedup recall tests pass n_vocab >= ~5000 to emulate a
+    real corpus vocabulary.
     """
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
-    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    if n_vocab and n_vocab > len(_VOCAB):
+        vocab = None
+    else:
+        n_vocab = len(_VOCAB)
+        vocab = F.array(*[F.lit(w) for w in _VOCAB])
     # dup docs re-seed from a nearby "source" doc id
     is_dup = _u01(F.col("id"), F.lit(seed), F.lit("dup")) < dup_rate
     src_id = F.when(
         is_dup & (F.col("id") > 16),
         F.col("id") - 1 - (F.abs(F.xxhash64("id", F.lit(seed))) % 16),
     ).otherwise(F.col("id"))
-    toks = F.transform(
-        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
-        lambda i: F.get(
-            vocab, (F.abs(F.xxhash64(src_id, i, F.lit(seed))) % len(_VOCAB)).cast("int")
-        ),
-    )
+    if vocab is not None:
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda i: F.get(
+                vocab, (F.abs(F.xxhash64(src_id, i, F.lit(seed))) % n_vocab).cast("int")
+            ),
+        )
+    else:
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda i: F.concat(
+                F.lit("w"), (F.abs(F.xxhash64(src_id, i, F.lit(seed))) % n_vocab).cast("string")
+            ),
+        )
     # perturb the final token of dup docs so they are NEAR-dups
     toks = F.when(
         is_dup, F.concat(F.slice(toks, 1, n_tokens - 1), F.array(F.lit("zzz")))
