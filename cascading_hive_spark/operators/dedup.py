@@ -234,9 +234,9 @@ def minhash_lsh_pairs(
     #    build side: it is a computed table whose size Catalyst
     #    underestimates (range-derived inputs estimate near-zero), and
     #    at corpus scale it fits nowhere (measured OOM at 500k docs).
-    cand_ids = cand.select(
-        F.explode(F.array("id_a", "id_b")).alias("_id")
-    ).dropDuplicates(["_id"])
+    # (no distinct on the ids — left_semi ignores duplicates, and the
+    # dedup would cost an extra shuffle)
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
     sh_cand = base.join(cand_ids, "_id", "left_semi")
     sh_a = sh_cand.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = sh_cand.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))

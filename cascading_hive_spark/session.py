@@ -34,7 +34,11 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # 8g default: enough for local-mode shuffles up to ~1M-doc corpora
+    # (the scale smoke in BASELINE.md), while staying small enough that
+    # G1 young collections stay cheap — a 48g heap measured ~1.8x
+    # slower across the whole bench. Override with SPARK_GRAFT_DRIVER_MEM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
