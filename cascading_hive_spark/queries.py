@@ -1538,3 +1538,81 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     out = ev.groupBy("user_id").applyInPandas(geo, "user_id long, geo_mean double, n long")
     return out.select("user_id", F.round("geo_mean", 6).alias("geo_mean"), "n")
+
+
+@register(
+    "range_join_error_window",
+    """
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 DAY
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-interval join via the binning rewrite (operators/
+    # rangejoin.py) — a plain equi-shuffle instead of the
+    # nested-loop plan Spark gives the naive BETWEEN join: purchases
+    # within one day after an error event of the same user
+    from cascading_hive_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("win_end"),
+    )
+    out = range_join(
+        purchases, errors, "ts", "win_start", "win_end",
+        on=("p_user", "e_user"), bucket_seconds=86_400,
+    )
+    return out.select("purchase_id", "error_id")
+
+
+@register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS} >= 0.35
+    ),
+    sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(id, l) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.l FROM sym s JOIN reach r ON r.id = s.v
+    )
+    SELECT id, CAST(min(l) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative algorithm surface: near-dup pairs -> connected
+    # components (min-label propagation with checkpointed rounds);
+    # oracle is the equivalent recursive CTE
+    from cascading_hive_spark.operators.graph import dedup_clusters
+    from cascading_hive_spark.operators.similarity import dot, norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        "label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        "label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= 0.35)
+        .select("id_a", "id_b")
+    )
+    out = dedup_clusters(pairs)
+    return out.select("id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
