@@ -115,3 +115,21 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-id dedup: dropDuplicates keyed on
+    event_id with a watermark bounding the dedup state (ids older than
+    the watermark are evicted — without it state grows forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key_expr: str) -> DataFrame:
+    """Stream-static join: enrich the event stream against a static
+    dimension table (planned as a broadcast per micro-batch — the
+    streaming twin of the reference's map-join intent)."""
+    from pyspark.sql import functions as FF
+
+    return events.withColumn("__k", FF.expr(key_expr)).join(
+        FF.broadcast(dim), FF.col("__k") == dim[dim.columns[0]]
+    ).drop("__k")

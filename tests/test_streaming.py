@@ -45,3 +45,33 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, events_stream):
     g = {r.user_id: (r.n_sessions, r.n_events) for r in final}
     b = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
     assert g == b
+
+
+def test_dedup_stream_drops_replayed_ids(spark, sf_dir, events_stream):
+    from cascading_hive_spark.streaming.jobs import dedup_stream, run_available_now
+
+    # the source has unique event_ids; a dedup pass must be lossless
+    got = run_available_now(
+        dedup_stream(events_stream).select("event_id"), "dedup_stream_test"
+    )
+    from cascading_hive_spark.tables import load_table
+
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_src
+    assert got.distinct().count() == n_src
+
+
+def test_enrich_stream_static_join(spark, sf_dir, events_stream):
+    from cascading_hive_spark.streaming.jobs import enrich_stream, run_available_now
+    from cascading_hive_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = run_available_now(
+        enrich_stream(events_stream, nation, "CAST(user_id % 25 AS INT)").select(
+            "event_id", "n_name"
+        ),
+        "enrich_stream_test",
+    )
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_src
+    assert out.filter(F.col("n_name").isNull()).count() == 0
