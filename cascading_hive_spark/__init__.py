@@ -20,7 +20,9 @@ partition pruning, predicate pushdown, and join selection (SURVEY.md §4:
 the reference hand-implements or delegates all of these).
 """
 
+from cascading_hive_spark.io import align_to_schema, read_table, write_table  # noqa: F401
+from cascading_hive_spark.schema import parse_ddl, to_ddl  # noqa: F401
 from cascading_hive_spark.session import get_session  # noqa: F401
-from cascading_hive_spark.tables import load_table, TABLES  # noqa: F401
+from cascading_hive_spark.tables import TABLES, load_table  # noqa: F401
 
 __version__ = "0.1.0"

@@ -127,3 +127,13 @@ def test_direct_open_read_write(spark, sf_dir, tmp_path):
     path = str(tmp_path / "direct")
     spark.createDataFrame(rows, src.schema).write.orc(path)
     assert _rows(IO.read_table(spark, path, fmt="orc")) == _rows(src)
+
+
+def test_text_format_round_trip(spark, tmp_path):
+    # single-column line-oriented text (the reference's delimited-text
+    # test inputs, RCFileTest.java:85)
+    df = spark.createDataFrame([("line one",), ("line two",)], "value string")
+    path = str(tmp_path / "textrt")
+    IO.write_table(df, path, fmt="text", compression=None)
+    back = IO.read_table(spark, path, fmt="text")
+    assert _rows(back) == _rows(df)
