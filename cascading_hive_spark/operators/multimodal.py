@@ -117,3 +117,23 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             F.sequence(F.lit(0), F.length("payload") - 1, F.lit(every_n_bytes))
         ).alias("offset"),
     )
+
+
+def resize_payload(df: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' the opaque payload by deterministic byte subsampling
+    (every ``factor``-th byte) — the binary-OUT direction of the Arrow
+    plumbing (extract_meta is binary-IN). A real image resize swaps
+    the subsampling lambda for a codec call; schema, batching and
+    partition behavior are identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": pdf["payload"].map(lambda b: bytes(b[::factor])),
+                    "orig_bytes": pdf["payload"].str.len().astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, "id long, payload binary, orig_bytes long")

@@ -201,3 +201,55 @@ def _dim_of(vectors: DataFrame, vec_col: str) -> int:
     only — not in any per-row path)."""
     row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])
+
+
+def ivf_write(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    path: str,
+) -> None:
+    """Persist an IVF index: vectors partitioned BY CELL on disk plus a
+    centroid sidecar. A probe then reads only nprobe of n_cells
+    partition directories — Catalyst partition pruning turns the ANN
+    probe into a fractional scan (the disk-backed scale path)."""
+    assignments.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_from_disk(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index. The cell filter is an IN-list on
+    the partition column, so the scan touches only the nprobe
+    directories (verify: PartitionFilters in the plan)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qv")))
+    probe_cells = [
+        r.cell
+        for r in centroids.crossJoin(q)
+        .select("cell", cosine(F.col("centroid"), F.col("_qv")).alias("_sim"))
+        .orderBy(F.col("_sim").desc(), F.col("cell"))
+        .limit(nprobe)
+        .collect()
+    ]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probe_cells))
+    qn = F.broadcast(query.select(norm(F.col(vec_col)).alias("_qn")))
+    return (
+        vectors.withColumn("_n", norm(F.col(vec_col)))
+        .crossJoin(q)
+        .crossJoin(qn)
+        .select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -53,3 +53,14 @@ def test_frame_sample_offsets(media):
     offsets = sorted(x.offset for x in r)
     assert offsets[0] == 0
     assert all(o % 64 == 0 for o in offsets)
+
+
+def test_resize_payload_binary_roundtrip(spark, media, sf_dir):
+    out = M.resize_payload(media, factor=4)
+    docs = load_table(spark, sf_dir, "documents")
+    row = out.filter(F.col("id") == 0).collect()[0]
+    text0 = docs.filter(F.col("doc_id") == 0).collect()[0].text.encode()
+    assert bytes(row.payload) == text0[::4]  # binary OUT of Arrow intact
+    assert row.orig_bytes == len(text0)
+    # schema carries a true binary column
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)["payload"] == "binary"

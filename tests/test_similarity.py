@@ -71,3 +71,19 @@ def test_knn_join_each_query_gets_k(spark, emb):
     for q, rows in by_q.items():
         assert sorted(r.rnk for r in rows) == [1, 2, 3, 4, 5]
         assert rows[0].vec_id == q  # self is nearest
+
+
+def test_ivf_disk_index_prunes_partitions(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf_index")
+    assignments, centroids = S.ivf_build(emb, n_cells=16)
+    S.ivf_write(assignments, centroids, path)
+    query = emb.filter(F.col("vec_id") == 0)
+    out = S.ivf_probe_from_disk(spark, path, query, k=10, nprobe=4)
+    # partition pruning reached the scan: only the probed cells' files
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    rows = out.collect()
+    assert len(rows) == 10
+    # must agree with the in-memory probe on the same index
+    mem = {r.vec_id for r in S.ivf_search(assignments, centroids, query, k=10, nprobe=4).collect()}
+    assert {r.vec_id for r in rows} == mem
