@@ -1616,3 +1616,123 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dedup_clusters(pairs)
     return out.select("id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+@register(
+    "text_clean_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS clean,
+           regexp_replace(text, '\b(spark|vector)\b', '<TOK>', 'g') AS masked
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-data text normalization: lowercase, strip non-alnum,
+    # collapse whitespace; plus token masking (the PII-redaction shape)
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    masked = F.regexp_replace("text", r"\b(spark|vector)\b", "<TOK>")
+    return d.select("doc_id", clean.alias("clean"), masked.alias("masked"))
+
+
+@register(
+    "events_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id)
+    SELECT s.user_id, count(e.event_id) AS purchases_after_signup
+    FROM s LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.first_signup
+    GROUP BY s.user_id
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # funnel step: signup -> later purchases per user
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "event_id"
+    )
+    joined = s.join(
+        p, (s.user_id == p.p_user) & (p.p_ts >= s.first_signup), "left"
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("event_id").alias("purchases_after_signup")
+    )
+
+
+@register(
+    "events_sessions_detail",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx, count(*) AS n_events,
+           epoch_us(CAST(max(ts) AS TIMESTAMP)) - epoch_us(CAST(min(ts) AS TIMESTAMP)) AS duration_us
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+)
+def q_events_sessions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session-level rows (id, size, duration) — the detail twin of
+    # events_sessionize's per-user rollup
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(us - F.lag(us).over(w) > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(cum).cast("bigint").alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
