@@ -59,3 +59,53 @@ def assert_broadcast_join(df: DataFrame) -> None:
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, f"unexpected cartesian product:\n{plan}"
+
+
+def plan_report(df, name: str = "") -> dict:
+    """One-line plan-quality summary for a query: which scan columns,
+    pushed filters, join strategies, and red flags (cartesian)."""
+    import re as _re
+
+    fplan = formatted_plan(df)
+    pplan = physical_plan(df)
+    return {
+        "name": name,
+        "read_schemas": _re.findall(r"ReadSchema: struct<([^>]*)>", fplan),
+        "pushed_filters": [f for f in _re.findall(r"PushedFilters: \[([^\]]*)\]", fplan) if f],
+        "joins": sorted(
+            set(_re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", pplan))
+        ),
+        "has_cartesian": "CartesianProduct" in pplan,
+        "take_ordered": "TakeOrderedAndProject" in pplan,
+        "exchanges": pplan.count("Exchange "),
+    }
+
+
+def main() -> int:
+    """CLI: plan-quality audit of every registered query.
+
+    ``python -m cascading_hive_spark.plans.explain [names...]``
+    """
+    import json
+    import os
+    import sys
+
+    from cascading_hive_spark import queries as Q
+    from cascading_hive_spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_session("plan-audit")
+    names = sys.argv[1:] or list(Q._REGISTRY)
+    for name in names:
+        fn, _ = Q._REGISTRY[name]
+        try:
+            rep = plan_report(fn(spark, sf_dir), name)
+            flag = " !! CARTESIAN" if rep["has_cartesian"] else ""
+            print(json.dumps(rep) + flag)
+        except Exception as exc:  # noqa: BLE001 — audit keeps going
+            print(json.dumps({"name": name, "error": repr(exc)[:200]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
