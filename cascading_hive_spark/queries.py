@@ -1736,3 +1736,21 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "posexplode_tokens",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS l
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(u.g - 1 AS INT) AS pos, l[u.g] AS token
+    FROM t, unnest(generate_series(1, len(l))) AS u(g)
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UDTF-shaped op with position output (posexplode — JVM-side; the
+    # python @udtf API twin is covered in tests/test_udtf.py)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token")
+    )
