@@ -113,3 +113,13 @@ def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge semantics without a transactional table format: rows in
+    ``updates`` replace same-key rows in ``target``; unmatched update
+    rows are inserts. Planned as anti-join + union — one shuffle on
+    the key, no full-outer row widening. (With a transactional format
+    this becomes MERGE INTO; the dataflow is the same.)"""
+    kept = target.join(updates.select(*keys), keys, "left_anti")
+    return updates.unionByName(kept)

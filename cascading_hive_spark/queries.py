@@ -1754,3 +1754,46 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token")
     )
+
+
+@register(
+    "upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS price, 'UPDATED' AS tag
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL
+      SELECT o_orderkey + 10000000, 1.0, 'INSERTED' FROM orders WHERE o_orderkey < 5
+    ),
+    kept AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price, 'KEPT' AS tag
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT * FROM updates UNION ALL SELECT * FROM kept
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # merge/upsert dataflow (io.upsert): updates replace, unmatched
+    # update keys insert, everything else kept
+    from cascading_hive_spark.io import upsert
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price"), F.lit("KEPT").alias("tag")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+            F.lit("UPDATED").alias("tag"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") < 5).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit(1.0).alias("price"),
+                F.lit("INSERTED").alias("tag"),
+            )
+        )
+    )
+    return upsert(target, updates, ["o_orderkey"])

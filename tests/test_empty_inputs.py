@@ -1,0 +1,76 @@
+"""Empty-input robustness: every operator must degrade to an empty
+(or identity) result, not an error — the behavior that matters when a
+partition filter eliminates all data mid-pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascading_hive_spark.operators import dedup as D
+from cascading_hive_spark.operators import relational as R
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_minhash_empty_corpus(spark):
+    out = D.minhash_lsh_pairs(_empty_docs(spark), "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_simhash_empty_corpus(spark):
+    assert D.simhash_pairs(_empty_docs(spark), "doc_id", "text").count() == 0
+
+
+def test_exact_dedup_empty(spark):
+    assert D.exact_dedup(_empty_docs(spark), "doc_id", "text").count() == 0
+
+
+def test_asof_join_empty_right(spark):
+    from cascading_hive_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7)], "eid int, ts string, k int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame([], "rts timestamp, rk int, payload int")
+    assert asof_join(left, right, "ts", "rts", "k", "rk", ["payload"], how="inner").count() == 0
+    left_out = asof_join(left, right, "ts", "rts", "k", "rk", ["payload"], how="left").collect()
+    assert len(left_out) == 1 and left_out[0].payload is None
+
+
+def test_range_join_empty_sides(spark):
+    from cascading_hive_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([], "eid int, ts timestamp, k int")
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-02 00:00:00", 7, 1)],
+        "ws string, we string, rk int, rid int",
+    ).select(
+        F.col("ws").cast("timestamp").alias("ws"),
+        F.col("we").cast("timestamp").alias("we"),
+        "rk",
+        "rid",
+    )
+    assert range_join(left, right, "ts", "ws", "we", on=("k", "rk")).count() == 0
+
+
+def test_connected_components_empty(spark):
+    from cascading_hive_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_wordcount_empty(spark):
+    assert R.wordcount(_empty_docs(spark), "text").count() == 0
+
+
+def test_upsert_empty_updates(spark):
+    from cascading_hive_spark.io import upsert
+
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    updates = spark.createDataFrame([], "k int, v string")
+    rows = upsert(target, updates, ["k"]).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a")]
