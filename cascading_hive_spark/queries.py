@@ -1797,3 +1797,27 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return upsert(target, updates, ["o_orderkey"])
+
+
+@register(
+    "map_type_ops",
+    """
+    SELECT event_id,
+           list_sort(json_keys(props)) AS ks,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MapType surface: JSON -> map<string,int>, key enumeration +
+    # value access (§2.C nested types; parsed-but-unprocessed in the
+    # reference, SURVEY.md §1.2)
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("ks"),
+        m.getItem("k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
