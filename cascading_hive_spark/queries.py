@@ -1821,3 +1821,97 @@ def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("k").alias("k_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@register(
+    "streaming_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured Streaming run END-TO-END inside a driver-checked
+    # query: replay the events table as a file stream, sessionize with
+    # applyInPandasWithState, flush with Trigger.AvailableNow, and
+    # return the final state as a batch DataFrame. The oracle is the
+    # BATCH sessionization SQL — stream/batch duality is the checked
+    # contract, not just a unit test.
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import sessionize_stream, stream_events
+
+    tune_for_queries(spark)
+    name = f"q_stream_sess_{uuid.uuid4().hex[:8]}"
+    stream = sessionize_stream(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # availableNow = one batch -> exactly one (final) row per user
+    emitted = spark.table(name)
+    return emitted.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events")
+    )
+
+
+@register(
+    "string_agg_names",
+    """
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           count(*) AS n
+    FROM (SELECT * FROM customer WHERE c_custkey <= 30)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic string aggregation: collect_list is unordered, so
+    # sort before joining — matches string_agg(... ORDER BY)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 30)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "conditional_scalars",
+    """
+    SELECT o_orderkey,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           least(o_totalprice, 100000.0) AS capped,
+           greatest(o_totalprice, 1000.0) AS floored,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS band,
+           if(o_orderpriority = '1-URGENT', 1, 0) AS urgent
+    FROM orders
+    """,
+)
+def q_conditional_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("floored"),
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent"),
+    )
