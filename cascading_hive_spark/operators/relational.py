@@ -45,9 +45,19 @@ def count_by(df: DataFrame, keys: list[str], count_name: str = "cnt") -> DataFra
 # --- B4+B5: regex token explode + sort-group count (ORCFileTest.java:238-284) ---
 def tokenize(df: DataFrame, text_col: str, pattern: str, token_name: str = "token") -> DataFrame:
     """RegexSplitGenerator parity: split on regex, one row per token,
-    EMPTY TOKENS KEPT (the reference counts "" 9 times,
-    ORCFileTest.java:273-274). Spark's ``split`` keeps empty strings."""
-    return df.select(F.explode(F.split(F.col(text_col), pattern)).alias(token_name))
+    with JAVA ``String.split`` limit=0 semantics — interior empty
+    tokens are KEPT (the reference counts "" 9 times over wc.txt,
+    ORCFileTest.java:273-274) but TRAILING empty tokens are DROPPED
+    (each wc.txt doc ends in '.', yet "" counts 9, not 14). Spark's
+    ``split`` keeps trailing empties, so the trailing separator run is
+    stripped first; an all-separator text yields no tokens, like
+    Java's empty split result."""
+    cleaned = F.regexp_replace(F.col(text_col), f"{pattern}+$", "")
+    toks = F.when(F.length(cleaned) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(cleaned, pattern)
+    )
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(*keep, F.explode(toks).alias(token_name))
 
 
 def wordcount(df: DataFrame, text_col: str, pattern: str = r"[ \[\]\(\),.]") -> DataFrame:

@@ -68,8 +68,10 @@ _WC_PATTERN = r"[ \[\]\(\),.]"
     "wordcount",
     r"""
     SELECT token, count(*) AS cnt
-    FROM (SELECT unnest(regexp_split_to_array(text, '[ \[\]\(\),.]')) AS token
-          FROM documents)
+    FROM (SELECT unnest(regexp_split_to_array(
+              regexp_replace(text, '[ \[\]\(\),.]+$', ''), '[ \[\]\(\),.]')) AS token
+          FROM documents
+          WHERE regexp_replace(text, '[ \[\]\(\),.]+$', '') <> '')
     GROUP BY token ORDER BY token
     """,
 )
@@ -126,13 +128,18 @@ def q_group_count_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b5_token_explode",
     r"""
-    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \[\]\(\),.]')) AS token
-    FROM documents WHERE doc_id < 100
+    SELECT doc_id, unnest(regexp_split_to_array(
+               regexp_replace(text, '[ \[\]\(\),.]+$', ''), '[ \[\]\(\),.]')) AS token
+    FROM documents
+    WHERE doc_id < 100 AND regexp_replace(text, '[ \[\]\(\),.]+$', '') <> ''
     """,
 )
 def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Java String.split limit=0 semantics (see R.tokenize docstring)
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select("doc_id", F.explode(F.split("text", _WC_PATTERN)).alias("token"))
+    return R.tokenize(d.select("doc_id", "text"), "text", _WC_PATTERN).select(
+        "doc_id", "token"
+    )
 
 
 # B6 — Coerce typed cast (HCatTapTest.java:84-86). Spark double->int
