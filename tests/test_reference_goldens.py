@@ -110,3 +110,67 @@ def test_read_reference_produced_wc_orc(spark, wc_docs):
 def test_read_reference_produced_parquet(spark, simple3):
     pq = spark.read.parquet(f"{DATA}/test.parquet")
     assert pq.count() == simple3.count()
+
+
+@pytest.fixture(scope="module")
+def sample07(spark):
+    return spark.read.csv(
+        f"{DATA}/sample_07.csv",
+        sep="\t",
+        schema="code string, description string, total_emp string, salary string",
+    )
+
+
+def test_sample07_identity_projection_golden(spark, sample07):
+    # HCatTapTest.testDataIn: Identity over all four fields, golden =
+    # hcatout.txt (pipe-delimited copy of the table)
+    ours = R.project(sample07, ["code", "description", "total_emp", "salary"])
+    got = [("|".join(x if x is not None else "" for x in r)) for r in ours.collect()]
+    want = [
+        line.rstrip("\n")
+        for line in open(f"{DATA}/hcatout.txt", encoding="utf-8")
+    ]
+    assert got == want
+
+
+def test_sample07_source_fields_subset_golden(spark, sample07):
+    # HCatTapTest.testDataInWithSouceFields: Fields("code","salary")
+    # subset, golden = hcat_result_fields.txt
+    ours = R.project(sample07, ["code", "salary"])
+    got = ["|".join(r) for r in ours.collect()]
+    want = [
+        line.rstrip("\n")
+        for line in open(f"{DATA}/hcat_result_fields.txt", encoding="utf-8")
+    ]
+    assert got == want
+
+
+def test_sample07_coerce_round_trip_golden(spark, sample07):
+    # HCatTapTest.testDataOut: Coerce total_emp/salary to int, write,
+    # byte-compare against the original csv — numeric rendering must be
+    # exactly Java's Integer.toString (no decimal point, no padding)
+    coerced = R.coerce(sample07, {"total_emp": "int", "salary": "int"})
+    got = [
+        f"{r.code}\t{r.description}\t{r.total_emp}\t{r.salary}" for r in coerced.collect()
+    ]
+    want = [
+        line.rstrip("\n") for line in open(f"{DATA}/sample_07.csv", encoding="utf-8")
+    ]
+    assert got == want
+
+
+def test_partition_union_matches_partition_files(spark):
+    # A13: MultiSourceTap over the partitioned table's two ds
+    # directories == concatenation of the partition files
+    schema = "code string, description string, total_emp string, salary string"
+    p0 = spark.read.csv(f"{DATA}/test_partition_0.txt", sep="|", schema=schema)
+    p1 = spark.read.csv(f"{DATA}/test_partition_1.txt", sep="|", schema=schema)
+    both = spark.read.csv(
+        [f"{DATA}/test_partition_0.txt", f"{DATA}/test_partition_1.txt"],
+        sep="|",
+        schema=schema,
+    )
+    assert both.count() == p0.count() + p1.count()
+    assert sorted(map(tuple, both.collect())) == sorted(
+        map(tuple, p0.union(p1).collect())
+    )
