@@ -1922,3 +1922,76 @@ def q_conditional_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent"),
     )
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wide -> long (melt): the inverse of pivot_linestatus (§2.C)
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    # unpivot emits the column name; align labels with the oracle
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("measure", "^l_", "").alias("measure"),
+        F.round("val", 2).alias("val"),
+    )
+
+
+@register(
+    "like_patterns",
+    """
+    SELECT p_partkey,
+           p_type LIKE 'PROMO%' AS is_promo,
+           p_name LIKE '%steel%' AS has_steel,
+           p_brand LIKE 'Brand#1_' AS brand_1x,
+           regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words
+    FROM part
+    """,
+)
+def q_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.col("p_name").like("%steel%").alias("has_steel"),
+        F.col("p_brand").like("Brand#1_").alias("brand_1x"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+$").alias("two_words"),
+    )
+
+
+@register(
+    "bitwise_ops",
+    """
+    SELECT l_returnflag,
+           bit_or(l_orderkey & 255) AS or_low,
+           bit_and(l_orderkey | 15) AS and_pat,
+           CAST(sum(xor(l_orderkey, l_partkey) % 97) AS BIGINT) AS xor_mod_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_or(F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("or_low"),
+        F.bit_and(F.col("l_orderkey").bitwiseOR(F.lit(15))).alias("and_pat"),
+        F.sum(F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")) % 97)
+        .cast("bigint")
+        .alias("xor_mod_sum"),
+    )
