@@ -79,6 +79,7 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     compression: str | None = "snappy",
+    max_records_per_file: int | None = None,
     **options: str,
 ) -> None:
     """Write a DataFrame as a table directory.
@@ -87,8 +88,13 @@ def write_table(
     the layout the reference's HCatalog Taps enumerate (A12-A14).
     ``compression`` replaces the JobConf passthrough of A21
     (orc.compress=SNAPPY — ORCFileTest.java:116-117).
+    ``max_records_per_file`` caps output file size (at 100 TB,
+    unbounded task outputs produce multi-GB files that defeat
+    split-based parallelism downstream).
     """
     writer = df.write.format(fmt.lower()).mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if compression is not None:

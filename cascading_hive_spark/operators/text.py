@@ -107,3 +107,20 @@ def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(t).alias("lang_guess"),
         rolling_fingerprint(t).alias("fingerprint"),
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    test_permille: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/test assignment: xxhash64(id, seed) mod
+    1000 < test_permille -> 'test'. Content-addressed and stable across
+    runs/cluster sizes — the reproducible alternative to randomSplit
+    for corpus curation (no sampling nondeterminism, no reshuffling
+    when data is appended)."""
+    bucket = F.abs(F.xxhash64(F.col(id_col), F.lit(seed))) % 1000
+    return df.withColumn(
+        "split", F.when(bucket < test_permille, "test").otherwise("train")
+    )

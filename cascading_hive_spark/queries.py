@@ -1995,3 +1995,25 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("xor_mod_sum"),
     )
+
+
+@register(
+    "train_test_split",
+    """
+    SELECT split, lang, count(*) AS n FROM (
+      SELECT lang, CASE WHEN (doc_id * 2654435761) % 1000 < 100
+                        THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    GROUP BY split, lang
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic corpus split rollup. (The operator variant,
+    # text.deterministic_split, uses xxhash64 content addressing —
+    # engine-specific, covered by pytest; this query pins the same
+    # dataflow with an arithmetic bucket both engines can compute.)
+    d = _t(spark, sf_dir, "documents")
+    split = F.when((F.col("doc_id") * 2654435761) % 1000 < 100, "test").otherwise("train")
+    return d.select("lang", split.alias("split")).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -83,3 +83,29 @@ def test_spread_never_shrinks(spark, sf_dir):
     assert spread(wide).rdd.getNumPartitions() == 64
     narrow = li.coalesce(1)
     assert spread(narrow).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_deterministic_split_stable_and_sized(spark, sf_dir):
+    from cascading_hive_spark.operators.text import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = deterministic_split(docs, "doc_id", test_permille=100)
+    b = deterministic_split(docs.repartition(13), "doc_id", test_permille=100)
+    ga = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    gb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert ga == gb  # partitioning-independent assignment
+    frac = sum(1 for v in ga.values() if v == "test") / len(ga)
+    assert 0.05 < frac < 0.15  # ~10%
+
+
+def test_write_max_records_per_file(spark, sf_dir, tmp_path):
+    import os
+
+    from cascading_hive_spark import io as IO
+    from cascading_hive_spark.tables import load_table as lt
+
+    li = lt(spark, sf_dir, "lineitem").coalesce(1)
+    path = str(tmp_path / "capped")
+    IO.write_table(li, path, max_records_per_file=1000)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 5  # 6000 rows / 1000 cap
