@@ -23,7 +23,7 @@ Scale design (100 TB corpus, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 

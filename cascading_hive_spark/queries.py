@@ -2017,3 +2017,37 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("lang", split.alias("split")).groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "events_daily_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1)
+    SELECT spine.day, coalesce(cnt, 0) AS cnt
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-filled daily series: a generated date spine left-joined with
+    # the observed counts — missing days appear as 0 instead of being
+    # silently absent (the correctness trap of naive GROUP BY day)
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
