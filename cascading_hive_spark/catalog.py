@@ -101,6 +101,51 @@ def publish(
         spark.sql(f"REFRESH TABLE {name}")
 
 
+def publish_partition(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    partition_spec: dict[str, str],
+    path: str,
+    fmt: str = "parquet",
+) -> None:
+    """Partition-level atomic publish (A18 for PARTITIONED tables —
+    the reference's commit path carries per-partition storage
+    descriptors, CascadingHCatUtil.java:149-176 + TapFactory.java:45-47;
+    round-1 `publish` only repointed whole tables).
+
+    Writes the partition's data to a NEW location, then repoints (or
+    adds) exactly that partition in the catalog. Readers of the
+    partition see the old files or the new files, never a mix; other
+    partitions are untouched. ``df`` must hold the partition's DATA
+    columns only (partition values come from ``partition_spec``, as
+    with a Hive static-partition insert).
+    """
+    df.write.format(fmt).mode("overwrite").save(path)
+    spec_sql = ", ".join(f"`{k}` = '{v}'" for k, v in partition_spec.items())
+    existing = {tuple(sorted(p.items())) for p in partitions(spark, name)}
+    if tuple(sorted((k, str(v)) for k, v in partition_spec.items())) in existing:
+        spark.sql(f"ALTER TABLE {name} PARTITION ({spec_sql}) SET LOCATION '{path}'")
+    else:
+        spark.sql(f"ALTER TABLE {name} ADD PARTITION ({spec_sql}) LOCATION '{path}'")
+    spark.sql(f"REFRESH TABLE {name}")
+
+
+def overwrite_partitions(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """Dynamic-partition-overwrite sink (A14/A18): replace exactly the
+    partitions present in ``df``, leave every other partition intact —
+    the Spark-native form of the reference's per-partition commit.
+    Uses INSERT OVERWRITE with partitionOverwriteMode=dynamic scoped
+    to this write."""
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        target = spark.table(name).schema
+        align_to_schema(df, target).write.insertInto(name, overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
 def table_exists(spark: SparkSession, name: str) -> bool:
     """A20 resourceExists."""
     return spark.catalog.tableExists(name)
@@ -114,18 +159,26 @@ def drop_table(spark: SparkSession, name: str) -> None:
 def partitions(spark: SparkSession, name: str, filter: str | None = None) -> list[dict]:  # noqa: A002
     """Enumerate table partitions, optionally filtered (A11/A12 —
     listPartitionsByFilter + per-partition file listing is Catalyst's
-    job now; this surfaces the metadata for tooling)."""
+    job now; this surfaces the metadata for tooling).
+
+    ``filter`` supports the reference's FULL partition-filter grammar
+    — ``and or like ( ) = <> < > <= >=`` (HCatTap.java:76-88) — and
+    anything else SQL WHERE can say: the parsed partition specs are
+    evaluated as a (tiny, metadata-sized) one-row-per-partition
+    DataFrame. Partition values compare as STRINGS, as in the
+    metastore's listPartitionsByFilter; cast inside the filter for
+    numeric comparisons (e.g. ``"CAST(o_year AS INT) >= 1995"``)."""
     rows = spark.sql(f"SHOW PARTITIONS {name}").collect()
     out = []
     for r in rows:
         spec = dict(kv.split("=", 1) for kv in r[0].split("/"))
         out.append(spec)
-    if filter:
-        import re
-
-        m = re.match(r"^\s*(\w+)\s*=\s*'?([^'\s]+)'?\s*$", filter)
-        if not m:
-            raise ValueError(f"unsupported partition filter for enumeration: {filter!r}")
-        k, v = m.group(1), m.group(2)
-        out = [p for p in out if p.get(k) == v]
+    if filter and out:
+        cols = list(out[0].keys())
+        spec_df = spark.createDataFrame(
+            [tuple(p.get(c) for c in cols) for p in out],
+            ", ".join(f"`{c}` string" for c in cols),
+        )
+        kept = spec_df.filter(F.expr(filter)).collect()
+        out = [{c: getattr(r, c) for c in cols} for r in kept]
     return out

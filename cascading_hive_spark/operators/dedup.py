@@ -34,9 +34,22 @@ def spread(df: DataFrame) -> DataFrame:
     (shingling, hashing) on a single core; a cheap round-robin shuffle
     of the raw rows unlocks the full cluster. Never SHRINKS an
     already-parallel input (at 100 TB the scan supplies plenty of
-    partitions and this is a no-op)."""
+    partitions and this is a no-op).
+
+    The parallelism probe is plan-side only: ``df.inputFiles()`` (a
+    catalog/file-index lookup) instead of ``df.rdd.getNumPartitions()``,
+    which would force a full physical-plan materialization + RDD
+    conversion per call. Non-file-backed plans (ranges, in-memory
+    relations) report zero input files and get spread — correct for
+    the synthetic generators, harmless elsewhere (round-robin of an
+    already-wide plan is one cheap extra exchange, and AQE coalesces
+    it)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 
@@ -353,3 +366,200 @@ def simhash_pairs(
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup via hyperplane LSH blocking
+# ---------------------------------------------------------------------------
+
+def lsh_bit_coords(dim: int, n_bits: int, seed: int = 7) -> list[int]:
+    """Deterministic coordinate choice for axis-aligned hyperplane LSH
+    bits: bit j is ``sign(v[coords[j]])``. Axis-aligned (single float
+    comparison, no arithmetic) rather than dense random projections so
+    the bucketing is bit-identical in ANY engine — a dense projection's
+    floating sum could round differently across engines and flip a
+    bucket near zero; a single ``v[c] > 0`` cannot. Works whenever the
+    embedding coordinates are roughly centered (true of the usual
+    whitened/normalized model outputs); pass dense hyperplanes via
+    ``embedding_lsh_pairs(mode="dense")`` otherwise."""
+    import random
+
+    rng = random.Random(seed)
+    if n_bits <= dim:
+        return rng.sample(range(dim), n_bits)
+    return [rng.randrange(dim) for _ in range(n_bits)]
+
+
+def _lsh_band_coords(dim: int, bands: int, bits_per_band: int, seed: int = 7) -> list[int]:
+    """Coordinate choice honoring band structure: when total bits
+    exceed dim, sample WITHOUT replacement within each band (a
+    repeated coordinate inside a band is a degenerate bit) while
+    letting bands overlap freely. Collapses to lsh_bit_coords for the
+    n_bits <= dim case so existing oracles stay stable."""
+    import random
+
+    n_bits = bands * bits_per_band
+    if n_bits <= dim:
+        return lsh_bit_coords(dim, n_bits, seed)
+    if bits_per_band > dim:
+        rng = random.Random(seed)
+        return [rng.randrange(dim) for _ in range(n_bits)]
+    rng = random.Random(seed)
+    out: list[int] = []
+    for _ in range(bands):
+        out.extend(rng.sample(range(dim), bits_per_band))
+    return out
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    block_cols: list[str] | None = None,
+    bands: int = 8,
+    bits_per_band: int = 6,
+    max_bucket: int = 200,
+    seed: int = 7,
+    dim: int | None = None,
+    mode: str = "coord",
+) -> DataFrame:
+    """Near-duplicate vector pairs via random-hyperplane LSH banding,
+    verified with exact cosine — the bounded-blocking replacement for
+    the quadratic block-all-pairs join (mirrors minhash_lsh_pairs'
+    structure: thin bucket shuffle, max_bucket skew guard, exact
+    verification on candidates only).
+
+    Each of ``bands`` bands is ``bits_per_band`` sign bits; a pair is
+    a candidate iff some band key matches within the same
+    ``block_cols`` group AND that bucket holds <= max_bucket vectors
+    (larger buckets are non-discriminative — dropping them bounds the
+    in-bucket pair work to O(n * bands * max_bucket), the near-linear
+    scale contract; recall on such flooded buckets is sacrificed by
+    design, exactly like minhash's guard).
+
+    Collision probability per bit for angle theta is ~(1 - theta/pi):
+    at cosine 0.95 a 6-bit band matches ~0.5 of the time, so 8 bands
+    catch ~99.5% of true near-dups. At low thresholds (<0.5) LSH
+    cannot separate signal from background — this operator is built
+    for the near-dup regime.
+
+    SIZE THE BANDS TO THE CORPUS: random pairs collide on a B-bit
+    band with p ~ 2^-B, so candidate volume is ~ n^2 * bands / 2^B.
+    Keep it linear by scaling B with log2(n): B ~ log2(n /
+    target_bucket_size) — e.g. 14 bits for 100k vectors, 17 for 1M,
+    24 for 100M (sampled per band without replacement once
+    bands*bits > dim). True near-dups (cos >= 0.99) still match a
+    17-bit band ~90% of the time, so a handful of bands keeps recall
+    >= 99.9% while background collisions stay at a few per vector.
+
+    Output: (id_a, id_b, cos_sim), id_a < id_b, cos_sim >= threshold.
+    """
+    block_cols = list(block_cols or [])
+    if dim is None:
+        from cascading_hive_spark.operators.similarity import _dim_of
+
+        dim = _dim_of(df, vec_col)
+    n_bits = bands * bits_per_band
+
+    base = spread(
+        df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).alias("_v"),
+            *[F.col(c) for c in block_cols],
+        )
+    )
+
+    if mode == "coord":
+        coords = _lsh_band_coords(dim, bands, bits_per_band, seed)
+        bits = [
+            F.when(F.get(F.col("_v"), c) > F.lit(0.0), 1).otherwise(0) for c in coords
+        ]
+    elif mode == "dense":
+        import random
+
+        rng = random.Random(seed)
+        from cascading_hive_spark.operators.similarity import dot
+
+        planes = [
+            F.array(*[F.lit(rng.choice((-1.0, 1.0))) for _ in range(dim)])
+            for _ in range(n_bits)
+        ]
+        bits = [F.when(dot(F.col("_v"), p) > 0, 1).otherwise(0) for p in planes]
+    else:
+        raise ValueError(f"unknown LSH mode {mode!r} (use 'coord' or 'dense')")
+
+    band_keys = [
+        sum(
+            [bits[b * bits_per_band + r] * (1 << (bits_per_band - 1 - r))
+             for r in range(bits_per_band)],
+            F.lit(0),
+        ).alias(f"_k{b}")
+        for b in range(bands)
+    ]
+    sig = base.select("_id", *block_cols, *band_keys)
+    band_rows = sig.select(
+        "_id",
+        *block_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"_k{b}").alias("bkey"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", *block_cols, "bk.band", "bk.bkey")
+
+    buckets = (
+        band_rows.groupBy(*block_cols, "band", "bkey")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+        .select(F.array_sort("_ids").alias("_ids"))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    cand = pairs.dropDuplicates(["id_a", "id_b"])
+
+    # Exact-cosine verification on candidates only; same two-step
+    # semi-join shape as minhash (corpus vectors never broadcast or
+    # shuffled wholesale — only the candidate subset moves).
+    from cascading_hive_spark.operators.similarity import dot as _dot, norm as _norm
+
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
+    v_cand = base.join(cand_ids, "_id", "left_semi").select(
+        "_id", F.col("_v"), _norm(F.col("_v")).alias("_n")
+    )
+    v_a = v_cand.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    v_b = v_cand.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    # shuffle_hash hints on BOTH sides: the vector table is often
+    # range-derived (synthetic corpora) or freshly computed, so
+    # Catalyst's size estimate is near zero and it would pick a
+    # broadcast build of millions of vectors (measured OOM at 500k).
+    verified = (
+        cand.hint("shuffle_hash")
+        .join(v_a.hint("shuffle_hash"), "id_a")
+        .join(v_b.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("_c"),
+        )
+        .filter(F.col("_c") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("_c", 6).alias("cos_sim"))

@@ -59,6 +59,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        converged = False
         if (i + 1) % checkpoint_every == 0:
             # cut lineage + materialize so convergence check and next
             # round don't recompute the whole history
@@ -72,9 +73,31 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
         else:
             labels = new_labels
+    if not converged:
+        # the loop ran out of rounds between checkpoints — one final
+        # fixpoint check; silently-unconverged labels are WRONG cluster
+        # ids (long-diameter chains), so fail loudly rather than return
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        still_changing = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u)
+            .filter(F.col("nmin") < F.col("component"))
+            .limit(1)
+            .count()
+        )
+        if still_changing:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations (component diameter exceeds the round budget); "
+                "raise max_iterations"
+            )
     return labels
 
 

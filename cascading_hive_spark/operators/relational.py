@@ -52,7 +52,10 @@ def tokenize(df: DataFrame, text_col: str, pattern: str, token_name: str = "toke
     ``split`` keeps trailing empties, so the trailing separator run is
     stripped first; an all-separator text yields no tokens, like
     Java's empty split result."""
-    cleaned = F.regexp_replace(F.col(text_col), f"{pattern}+$", "")
+    # non-capturing group: '+' must bind to the WHOLE pattern, not its
+    # last atom (an alternation like 'ab|cd' would otherwise strip
+    # only repeats of 'cd')
+    cleaned = F.regexp_replace(F.col(text_col), f"(?:{pattern})+$", "")
     toks = F.when(F.length(cleaned) == 0, F.array().cast("array<string>")).otherwise(
         F.split(cleaned, pattern)
     )

@@ -111,51 +111,74 @@ def knn_join(
     )
 
 
-def ivf_build(
-    vectors: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Build a deterministic IVF index: centroids = mean of each of
-    n_cells hash-assigned seed groups (one aggregation pass — a
-    k-means-free coarse quantizer that is stable across runs), then
-    assign every vector to its nearest centroid.
+def _assign_cells(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid
+    table, score every vector against every centroid in one narrow
+    pass, keep the argmax via a per-vector window."""
+    from pyspark.sql import Window
 
-    Returns (assignments, centroids); assignments add a ``cell``
-    column — at scale you'd ``write.partitionBy("cell")`` so probes
-    prune to nprobe directories.
-    """
-    centroids = (
-        vectors.select(
-            (F.xxhash64(F.col(id_col)) % n_cells).alias("_seed_cell"),
-            F.col(vec_col).alias("_v"),
-        )
-        .withColumn("_seed_cell", F.abs("_seed_cell"))
-        .groupBy("_seed_cell")
-        .agg(
-            F.array(
-                *[
-                    F.avg(F.get(F.col("_v"), i).cast("double")).alias(f"c{i}")
-                    for i in range(_dim_of(vectors, vec_col))
-                ]
-            ).alias("centroid")
-        )
-        .select(F.col("_seed_cell").alias("cell"), "centroid")
-    )
-    c = F.broadcast(centroids)
-    scored = vectors.crossJoin(c).select(
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell"),
         cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
-    assignments = (
+    return (
         scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r", "_sim")
     )
+
+
+def _mean_centroids(assignments: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    return (
+        assignments.groupBy("cell")
+        .agg(
+            F.array(
+                *[F.avg(F.get(F.col(vec_col), i).cast("double")).alias(f"c{i}") for i in range(dim)]
+            ).alias("centroid")
+        )
+        .select("cell", "centroid")
+    )
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a deterministic IVF index: seed centroids = mean of each
+    of n_cells hash-assigned groups (one aggregation pass, stable
+    across runs), optionally tightened by ``refine_iterations`` Lloyd
+    steps (assign to nearest centroid -> recompute cell means), then
+    assign every vector to its final nearest centroid.
+
+    Each Lloyd step costs one broadcast-scored narrow pass + one
+    aggregation — no quadratic work — and pulls centroids toward the
+    data's real modes, raising probe recall at a given nprobe (the
+    hash seeding alone scatters centroids uniformly over the data,
+    which over-merges genuine clusters). Deterministic: no random
+    restarts, ties broken by cell id.
+
+    Returns (assignments, centroids); assignments add a ``cell``
+    column — at scale you'd ``write.partitionBy("cell")`` so probes
+    prune to nprobe directories.
+    """
+    dim = _dim_of(vectors, vec_col)
+    seed_assign = vectors.select(
+        F.abs(F.xxhash64(F.col(id_col)) % n_cells).alias("cell"),
+        F.col(vec_col),
+    )
+    centroids = _mean_centroids(seed_assign, vec_col, dim)
+    for _ in range(refine_iterations):
+        assigned = _assign_cells(vectors, centroids, id_col, vec_col)
+        # localCheckpoint: each Lloyd round re-reads assignments once;
+        # without it the lineage re-scores all prior rounds
+        centroids = _mean_centroids(assigned, vec_col, dim).localCheckpoint()
+    assignments = _assign_cells(vectors, centroids, id_col, vec_col)
     return assignments, centroids
 
 

@@ -792,6 +792,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.col("o_orderdate").alias("last_order_ts"))
 
 
+@register(
+    "asof_join_next_event",
+    """
+    SELECT o_orderkey, o_custkey, ts AS next_event_ts
+    FROM orders ASOF JOIN events
+      ON o_custkey = user_id AND CAST(o_orderdate AS TIMESTAMP) <= CAST(ts AS TIMESTAMP)
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: earliest event at-or-after each order's date
+    (merge_asof direction='forward' / DuckDB ASOF with <=)."""
+    from cascading_hive_spark.operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("od_ts")
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = asof_join(
+        o, ev,
+        left_on="od_ts", right_on="ts",
+        left_by="o_custkey", right_by="user_id",
+        value_cols=["ts"],
+        how="inner",
+        direction="forward",
+    )
+    return out.select("o_orderkey", "o_custkey", F.col("ts").alias("next_event_ts"))
+
+
 # ---------------------------------------------------------------------------
 # North-star: deduplication (BASELINE.json; operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -863,9 +891,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
 
 
-# Embedding-cosine near-dup, blocked by label. Cosine is sequential
-# double arithmetic on BOTH sides (see operators/similarity.py docstring)
-# so the values are bitwise-identical cross-engine.
+# Embedding-cosine near-dup with bounded hyperplane-LSH blocking (the
+# round-1 label-block all-pairs join was the one scale-killer: a hot
+# label with 1M vectors is 5e11 pairs). Candidates now come from
+# 8 bands x 6 axis-aligned sign bits within each label, buckets capped
+# at max_bucket=200 — worst-case pair work O(n * bands * max_bucket),
+# near-linear. The DuckDB oracle mirrors the blocking EXACTLY (same
+# coordinates, same band keys, same bucket cap), so the differential
+# check verifies the whole pipeline, not just the verify step; the
+# bits are single float-vs-zero comparisons, so no floating-point
+# accumulation can diverge between engines. Cosine verification stays
+# sequential double arithmetic on BOTH sides (see
+# operators/similarity.py docstring) — bitwise-identical cross-engine.
 _DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), "
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
@@ -876,41 +913,63 @@ _COS = (
     f"sqrt({_DOT.format(a='b.embedding', b='b.embedding')})))"
 )
 
+_ELSH_BANDS, _ELSH_BITS, _ELSH_SEED, _ELSH_MAXB = 8, 6, 7, 200
 
-@register(
-    "dedup_embedding_cosine",
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_COS}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+
+def _elsh_oracle() -> str:
+    from cascading_hive_spark.operators.dedup import lsh_bit_coords
+
+    coords = lsh_bit_coords(64, _ELSH_BANDS * _ELSH_BITS, _ELSH_SEED)
+    keys = []
+    for b in range(_ELSH_BANDS):
+        terms = [
+            f"(CASE WHEN embedding[{coords[b * _ELSH_BITS + r] + 1}] > 0 "
+            f"THEN {1 << (_ELSH_BITS - 1 - r)} ELSE 0 END)"
+            for r in range(_ELSH_BITS)
+        ]
+        keys.append("(" + " + ".join(terms) + f") AS k{b}")
+    kcols = ",\n           ".join(keys)
+    counts = ", ".join(
+        f"COUNT(*) OVER (PARTITION BY label, k{b}) AS c{b}" for b in range(_ELSH_BANDS)
+    )
+    match = " OR ".join(
+        f"(a.k{b} = b.k{b} AND a.c{b} <= {_ELSH_MAXB})" for b in range(_ELSH_BANDS)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, label,
+           {kcols}
+      FROM embeddings
+    ), counted AS (
+      SELECT *, {counts} FROM sig
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM counted a JOIN counted b
+        ON a.label = b.label AND a.vec_id < b.vec_id AND ({match})
+    )
+    SELECT p.id_a, p.id_b, round({_COS}, 6) AS cos_sim
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.id_a
+    JOIN embeddings b ON b.vec_id = p.id_b
     WHERE {_COS} >= 0.35
-    """,
-)
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cascading_hive_spark.operators.similarity import dot, norm
+    """
 
-    # norms precomputed per side (factored out of the pair loop); the
-    # cosine value is bitwise-unchanged: same double ops, same order
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.select(
-        "label",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    b = e.select(
-        "label",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("_c")
-    )
-    return scored.filter(F.col("_c") >= 0.35).select(
-        "id_a", "id_b", F.round("_c", 6).alias("cos_sim")
+
+@register("dedup_embedding_cosine", _elsh_oracle())
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        block_cols=["label"],
+        bands=_ELSH_BANDS,
+        bits_per_band=_ELSH_BITS,
+        max_bucket=_ELSH_MAXB,
+        seed=_ELSH_SEED,
+        dim=64,
     )
 
 

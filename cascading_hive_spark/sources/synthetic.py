@@ -50,11 +50,13 @@ def synthetic_documents(
     real corpus vocabulary.
     """
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
-    if n_vocab and n_vocab > len(_VOCAB):
-        vocab = None
-    else:
+    if n_vocab is None:
         n_vocab = len(_VOCAB)
-        vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    if n_vocab <= len(_VOCAB):
+        # honor small vocabularies (collision stress tests) by slicing
+        vocab = F.array(*[F.lit(w) for w in _VOCAB[:n_vocab]])
+    else:
+        vocab = None
     # dup docs re-seed from a nearby "source" doc id
     is_dup = _u01(F.col("id"), F.lit(seed), F.lit("dup")) < dup_rate
     src_id = F.when(
@@ -98,19 +100,35 @@ def synthetic_embeddings(
     dim: int = 64,
     n_clusters: int = 10,
     seed: int = 42,
+    dup_rate: float = 0.0,
     partitions: int | None = None,
 ) -> DataFrame:
     """Clustered float vectors: cluster centroid (hash of label) plus
     per-vector noise — labeled data for ANN recall tests at any n.
     Columns match the driver's embeddings table (vec_id, embedding,
-    label)."""
+    label).
+
+    ``dup_rate``: fraction of vectors that are a tiny perturbation
+    (cos ~0.999) of an earlier vector (id - 1..16, same label) —
+    planted near-dup pairs for embedding-dedup recall tests; the
+    source id is recoverable as ``id - 1 - (abs(xxhash64(id, seed,
+    'esrc')) % 16)`` for rows where ``_u01(id, seed, 'edup') <
+    dup_rate`` and id > 16."""
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
-    label = (F.abs(F.xxhash64("id", F.lit(seed), F.lit("c"))) % n_clusters).cast("int")
+    is_dup = (_u01(F.col("id"), F.lit(seed), F.lit("edup")) < dup_rate) & (F.col("id") > 16)
+    src_id = F.when(
+        is_dup, F.col("id") - 1 - (F.abs(F.xxhash64("id", F.lit(seed), F.lit("esrc"))) % 16)
+    ).otherwise(F.col("id"))
+    label = (F.abs(F.xxhash64(src_id, F.lit(seed), F.lit("c"))) % n_clusters).cast("int")
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (
             (_u01(label, i, F.lit(seed)) - 0.5)  # centroid component
-            + 0.25 * (_u01(F.col("id"), i, F.lit(seed + 1)) - 0.5)  # noise
+            + 0.25 * (_u01(src_id, i, F.lit(seed + 1)) - 0.5)  # noise
+            # near-dup perturbation: tiny and only on dup rows
+            + F.when(is_dup, 0.02 * (_u01(F.col("id"), i, F.lit(seed + 2)) - 0.5)).otherwise(
+                F.lit(0.0)
+            )
         ).cast("float"),
     )
     return base.select(

@@ -84,8 +84,12 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             last_ts, n_sessions, n_events = state.get
         else:
             last_ts, n_sessions, n_events = -1, 0, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concatenate ALL Arrow chunks before the single sort: a user's
+        # events may span chunks in arbitrary arrival order, and a
+        # per-chunk sort would count phantom sessions at chunk seams
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             for ts in pdf["ts"].astype("int64") // 1000:  # ns -> us
                 if last_ts < 0 or ts - last_ts > SESSION_GAP_US:
                     n_sessions += 1

@@ -88,3 +88,77 @@ def test_exists_and_drop(spark, sf_dir):
     assert C.table_exists(spark, "t_tmp")
     C.drop_table(spark, "t_tmp")
     assert not C.table_exists(spark, "t_tmp")
+
+
+def test_partition_filter_full_grammar(spark, sf_dir):
+    """Reference grammar: and or like ( ) = <> < > <= >=
+    (HCatTap.java:76-88) over the enumeration API."""
+    C.drop_table(spark, "t_ord_grammar")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("string")
+    ).withColumn("o_pri", F.substring("o_orderpriority", 1, 1))
+    C.create_table(spark, "t_ord_grammar", orders, partition_by=["o_year", "o_pri"])
+    try:
+        allp = C.partitions(spark, "t_ord_grammar")
+        years = sorted({p["o_year"] for p in allp})
+        pris = sorted({p["o_pri"] for p in allp})
+        got = C.partitions(
+            spark,
+            "t_ord_grammar",
+            filter=(
+                f"(o_year = '{years[0]}' or o_year > '{years[-1]}') "
+                f"and o_pri like '{pris[0]}%' and o_pri <> 'zzz'"
+            ),
+        )
+        want = [p for p in allp if p["o_year"] == years[0] and p["o_pri"] == pris[0]]
+        assert sorted(got, key=str) == sorted(want, key=str)
+        lt = C.partitions(spark, "t_ord_grammar", filter=f"o_year <= '{years[0]}'")
+        assert {p["o_year"] for p in lt} == {years[0]}
+    finally:
+        C.drop_table(spark, "t_ord_grammar")
+
+
+def test_publish_partition_swaps_one_partition(spark, sf_dir, tmp_path):
+    """A18 at partition granularity: repoint ONE partition; other
+    partitions keep their data; re-publish swaps again (old-or-new,
+    never partial)."""
+    C.drop_table(spark, "t_part_pub")
+    region = load_table(spark, sf_dir, "region").withColumn(
+        "side", (F.col("r_regionkey") % 2).cast("string")
+    )
+    C.create_table(spark, "t_part_pub", region, partition_by=["side"])
+    try:
+        before = spark.table("t_part_pub").count()
+        n_side0 = spark.table("t_part_pub").filter("side = '0'").count()
+        n_side1 = before - n_side0
+        # publish a 1-row replacement for side=0 at a fresh location
+        repl = region.filter("side = '0'").drop("side").limit(1)
+        C.publish_partition(spark, repl, "t_part_pub", {"side": "0"}, str(tmp_path / "s0v2"))
+        assert spark.table("t_part_pub").filter("side = '0'").count() == 1
+        assert spark.table("t_part_pub").filter("side = '1'").count() == n_side1
+        # and a brand-new partition via ADD PARTITION
+        C.publish_partition(
+            spark, repl, "t_part_pub", {"side": "9"}, str(tmp_path / "s9v1")
+        )
+        assert spark.table("t_part_pub").filter("side = '9'").count() == 1
+        assert {p["side"] for p in C.partitions(spark, "t_part_pub")} == {"0", "1", "9"}
+    finally:
+        C.drop_table(spark, "t_part_pub")
+
+
+def test_overwrite_partitions_dynamic(spark, sf_dir):
+    """Dynamic partition overwrite: only partitions present in the
+    incoming frame are replaced."""
+    C.drop_table(spark, "t_dyn")
+    region = load_table(spark, sf_dir, "region").withColumn(
+        "side", (F.col("r_regionkey") % 2).cast("string")
+    )
+    C.create_table(spark, "t_dyn", region, partition_by=["side"])
+    try:
+        n_side1 = spark.table("t_dyn").filter("side = '1'").count()
+        repl = region.filter("side = '0'").limit(1)
+        C.overwrite_partitions(spark, repl, "t_dyn")
+        assert spark.table("t_dyn").filter("side = '0'").count() == 1  # replaced
+        assert spark.table("t_dyn").filter("side = '1'").count() == n_side1  # intact
+    finally:
+        C.drop_table(spark, "t_dyn")

@@ -70,3 +70,57 @@ def test_char_ngrams_short_text(spark):
     df = spark.createDataFrame([(1, "ab")], "id long, t string")
     row = df.select(D.char_ngrams(F.col("t"), 3).alias("g")).collect()[0]
     assert row.g == ["ab"]  # shorter than n -> the text itself (substr clamps)
+
+
+def test_embedding_lsh_recall_on_planted_dups(spark):
+    """Planted near-dup vectors (cos ~0.999) must be recovered by the
+    hyperplane-LSH blocking at a near-dup threshold; no false
+    positives below threshold (exact verify)."""
+    from cascading_hive_spark.sources import synthetic_embeddings
+
+    emb = synthetic_embeddings(
+        spark, n=5_000, dim=64, n_clusters=1_000, seed=11, dup_rate=0.03
+    ).cache()
+    out = D.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, dim=64
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert all(r.cos_sim >= 0.9 for r in out)
+    # recover the planted (src, dup) pairs from the generator contract
+    planted = {
+        tuple(sorted((r.vec_id, r.src)))
+        for r in emb.select(
+            "vec_id",
+            (
+                F.col("vec_id") - 1
+                - (F.abs(F.xxhash64("vec_id", F.lit(11), F.lit("esrc"))) % 16)
+            ).alias("src"),
+            (
+                ((F.abs(F.xxhash64("vec_id", F.lit(11), F.lit("edup"))) % 1_000_000_007)
+                 / 1_000_000_007.0 < 0.03)
+                & (F.col("vec_id") > 16)
+            ).alias("is_dup"),
+        )
+        .filter("is_dup")
+        .collect()
+    }
+    assert len(planted) > 50
+    recall = len(got & planted) / len(planted)
+    # 8 bands x 6 bits at cos ~0.999: per-band match ~0.94, miss ~1e-10;
+    # in practice chained dups / centroid collisions leave slack
+    assert recall >= 0.95, (recall, len(planted))
+
+
+def test_embedding_lsh_max_bucket_guard(spark):
+    """A non-discriminative blocking (1-cluster corpus: every vector
+    nearly identical signature) floods the buckets; the guard must
+    drop them rather than go quadratic."""
+    from cascading_hive_spark.sources import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=500, dim=64, n_clusters=1, seed=3)
+    out = D.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.0, dim=64, max_bucket=50
+    )
+    # with all 500 vectors in ~one bucket per band and the cap at 50,
+    # candidate pairs are bounded far below the 124,750 all-pairs count
+    assert out.count() < 50 * 50 * 8

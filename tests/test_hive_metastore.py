@@ -54,8 +54,33 @@ SCRIPT = textwrap.dedent(
     spark.sql("CREATE TABLE hive_orc (r_regionkey INT, r_name STRING) STORED AS ORC")
     region.select("r_regionkey", "r_name").write.insertInto("hive_orc")
     assert spark.table("hive_orc").count() == 5
-    for t in ("hive_rc", "hive_text", "hive_orc"):
+    # Parquet serde table — the reference's metastore fixture registers
+    # a test_parquet table alongside text/RCFile/ORC (db.sql:141-147)
+    spark.sql("CREATE TABLE hive_parq (r_regionkey INT, r_name STRING) STORED AS PARQUET")
+    region.select("r_regionkey", "r_name").write.insertInto("hive_parq")
+    got = {(r.r_regionkey, r.r_name) for r in spark.table("hive_parq").collect()}
+    assert got == want, (got, want)
+    for t in ("hive_rc", "hive_text", "hive_orc", "hive_parq"):
         C.drop_table(spark, t)
+
+    # partition-level publish against the REAL metastore (A18 with
+    # per-partition storage descriptors, CascadingHCatUtil.java:149-176):
+    # repoint one partition, others' locations untouched, readers see
+    # old-or-new never partial
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    part = nation.withColumn("reg", (nation.n_regionkey % 2).cast("string"))
+    C.create_table(spark, "hive_nat_part", part, partition_by=["reg"])
+    n1 = spark.table("hive_nat_part").filter("reg = '1'").count()
+    repl = part.filter("reg = '0'").drop("reg").limit(2)
+    C.publish_partition(spark, repl, "hive_nat_part", {"reg": "0"}, os.path.join(d, "r0v2"))
+    assert spark.table("hive_nat_part").filter("reg = '0'").count() == 2
+    assert spark.table("hive_nat_part").filter("reg = '1'").count() == n1
+    C.publish_partition(spark, repl, "hive_nat_part", {"reg": "7"}, os.path.join(d, "r7v1"))
+    assert spark.table("hive_nat_part").filter("reg = '7'").count() == 2
+    # full filter grammar against metastore partitions
+    ps = C.partitions(spark, "hive_nat_part", filter="reg = '0' or reg like '7%'")
+    assert {p["reg"] for p in ps} == {"0", "7"}, ps
+    C.drop_table(spark, "hive_nat_part")
     print("HIVE_METASTORE_OK")
     """
 )

@@ -75,14 +75,22 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         C.drop_table(spark, "b_customer")
 
 
-def test_spread_never_shrinks(spark, sf_dir):
+def test_spread_plan_side_probe(spark, sf_dir, tmp_path):
+    """spread() decides from the file index (plan-side metadata), not
+    from df.rdd.getNumPartitions() — the round-1 version materialized
+    a physical plan + RDD conversion on EVERY operator invocation. A
+    many-file scan passes through untouched; a narrow input gets
+    spread to cluster parallelism."""
     from cascading_hive_spark.operators.dedup import spread
 
-    li = load_table(spark, sf_dir, "lineitem")
-    wide = li.repartition(64)
-    assert spread(wide).rdd.getNumPartitions() == 64
-    narrow = li.coalesce(1)
-    assert spread(narrow).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    target = spark.sparkContext.defaultParallelism
+    wide_path = str(tmp_path / "wide")
+    load_table(spark, sf_dir, "orders").repartition(max(64, target)).write.parquet(wide_path)
+    wide = spark.read.parquet(wide_path)
+    assert len(wide.inputFiles()) >= target
+    assert spread(wide) is wide  # no extra exchange inserted
+    narrow = load_table(spark, sf_dir, "lineitem").coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() >= target
 
 
 def test_deterministic_split_stable_and_sized(spark, sf_dir):

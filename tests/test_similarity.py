@@ -52,6 +52,11 @@ def test_ivf_recall_against_brute_force(spark, emb):
     got = {r.vec_id for r in S.ivf_search(assignments, centroids, query, k=10, nprobe=4).collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, f"IVF recall {recall} too low for nprobe=4/16 cells"
+    # Lloyd refinement must not LOSE recall vs the raw hash seeding
+    a0, c0 = S.ivf_build(emb, n_cells=16, refine_iterations=0)
+    got0 = {r.vec_id for r in S.ivf_search(a0, c0, query, k=10, nprobe=4).collect()}
+    recall0 = len(got0 & truth) / len(truth)
+    assert recall >= recall0, (recall, recall0)
     # full probe == brute force (sanity: approximation comes only from pruning)
     got_all = {
         r.vec_id for r in S.ivf_search(assignments, centroids, query, k=10, nprobe=16).collect()

@@ -75,3 +75,42 @@ def test_enrich_stream_static_join(spark, sf_dir, events_stream):
     n_src = load_table(spark, sf_dir, "events").count()
     assert out.count() == n_src
     assert out.filter(F.col("n_name").isNull()).count() == 0
+
+
+def test_sessionize_chunk_order_independent(spark, tmp_path):
+    """Events spanning multiple Arrow chunks in NON-time order must
+    still sessionize correctly: the gap scan concatenates and sorts
+    all chunks per group instead of trusting per-chunk order."""
+    import pandas as pd
+
+    from cascading_hive_spark.streaming.jobs import sessionize_stream
+
+    # one user, 40 events alternating early/late half-hours so any
+    # per-chunk scan over tiny chunks miscounts the 30-min-gap sessions
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i in range(40):
+        # interleave two sessions' worth of timestamps out of order
+        ts = base + pd.Timedelta(hours=(i % 2) * 3, minutes=i // 2)
+        rows.append((i, ts, 1, "click", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            ).parquet(src)
+        )
+        got = run_available_now(sessionize_stream(stream), "session_chunk_test")
+        row = got.collect()[-1]
+        # ground truth: 2 sessions (00:00-00:19 and 03:00-03:19)
+        assert (row.n_sessions, row.n_events) == (2, 40)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
