@@ -121,6 +121,16 @@ def publish_partition(
     columns only (partition values come from ``partition_spec``, as
     with a Hive static-partition insert).
     """
+    for k, v in partition_spec.items():
+        # values are interpolated into DDL below; a quote or control
+        # char would break the statement (or worse) — fail loudly
+        if "'" in str(v) or "\\" in str(v) or "\n" in str(v):
+            raise ValueError(
+                f"partition value {v!r} for {k!r} contains a quote/escape "
+                "character; not representable in ALTER TABLE DDL"
+            )
+    if "'" in path:
+        raise ValueError(f"path {path!r} contains a single quote")
     df.write.format(fmt).mode("overwrite").save(path)
     spec_sql = ", ".join(f"`{k}` = '{v}'" for k, v in partition_spec.items())
     existing = {tuple(sorted(p.items())) for p in partitions(spark, name)}
@@ -168,10 +178,19 @@ def partitions(spark: SparkSession, name: str, filter: str | None = None) -> lis
     DataFrame. Partition values compare as STRINGS, as in the
     metastore's listPartitionsByFilter; cast inside the filter for
     numeric comparisons (e.g. ``"CAST(o_year AS INT) >= 1995"``)."""
+    from urllib.parse import unquote
+
     rows = spark.sql(f"SHOW PARTITIONS {name}").collect()
     out = []
     for r in rows:
-        spec = dict(kv.split("=", 1) for kv in r[0].split("/"))
+        # SHOW PARTITIONS prints the Hive partition PATH, which
+        # URL-escapes special characters (':', ' ', '%', ...);
+        # unescape so values round-trip against publish_partition's
+        # membership check (ADVICE r2)
+        spec = dict(
+            (unquote(k), unquote(v))
+            for k, v in (kv.split("=", 1) for kv in r[0].split("/"))
+        )
         out.append(spec)
     if filter and out:
         cols = list(out[0].keys())

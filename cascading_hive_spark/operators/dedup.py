@@ -25,6 +25,26 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _id_long(df: DataFrame, id_col: str) -> Column:
+    """``id_col`` as long, refusing lossy casts: a string/float id
+    would silently become NULL (string) or collide (float) under
+    ``cast("long")``, yielding empty/garbage pair output instead of an
+    error. Pair operators order ids with ``<``, so they need a
+    comparable integral key; callers with string ids should
+    ``xxhash64`` or ``monotonically_increasing_id`` them first."""
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, _INTEGRAL):
+        raise TypeError(
+            f"id column {id_col!r} must be integral (byte/short/int/long), "
+            f"got {dt.simpleString()}; derive a surrogate key first "
+            "(e.g. xxhash64(id))"
+        )
+    return F.col(id_col).cast("long")
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -91,7 +111,7 @@ def tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     instead of re-splitting the text per access."""
     return spread(
         df.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col).cast("long").alias("_id"),
+            _id_long(df, id_col).alias("_id"),
             F.split(F.col(text_col), r"\s+").alias("_toks"),
         )
     )
@@ -128,7 +148,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         spread(df).select(
             F.md5(F.col(text_col)).alias("text_hash"),
-            F.col(id_col).cast("long").alias("_id"),
+            _id_long(df, id_col).alias("_id"),
         )
         .groupBy("text_hash")
         .agg(
@@ -282,7 +302,7 @@ def ngram_jaccard_pairs(
     SQL-expressible exact twin of minhash_lsh_pairs.
     """
     base = spread(df).select(
-        F.col(id_col).cast("long").alias("_id"),
+        _id_long(df, id_col).alias("_id"),
         char_ngrams(F.col(text_col), n).alias("_g"),
         *[F.col(c) for c in block_cols],
     )
@@ -464,7 +484,7 @@ def embedding_lsh_pairs(
 
     base = spread(
         df.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).cast("long").alias("_id"),
+            _id_long(df, id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
             *[F.col(c) for c in block_cols],
         )

@@ -37,6 +37,8 @@ def connected_components(
     Vertices are those appearing in edges; isolated vertices can be
     unioned in by the caller.
     """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -44,6 +46,7 @@ def connected_components(
     labels = sym.select("u").distinct().select(
         F.col("u").alias("id"), F.col("u").alias("component")
     )
+    converged = False
     for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.id)
@@ -59,7 +62,6 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        converged = False
         if (i + 1) % checkpoint_every == 0:
             # cut lineage + materialize so convergence check and next
             # round don't recompute the whole history

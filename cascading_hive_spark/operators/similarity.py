@@ -219,6 +219,87 @@ def ivf_search(
     )
 
 
+def ivf_knn_join(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k approximate nearest corpus vectors for EACH query row via the
+    IVF index — the batched scale path past ``knn_join``'s broadcast
+    limit (a million-query table can't broadcast; brute force is
+    |Q| x |corpus| work regardless).
+
+    Plan shape:
+
+    1. assign every query to its ``nprobe`` nearest cells — centroids
+       are tiny (n_cells rows) and broadcast, so this is one narrow
+       pass plus a per-query window over |Q| x n_cells thin rows;
+    2. shuffle-hash join queries-with-probe-cells against the corpus
+       ON CELL (the probe side is the build side; the corpus must
+       never be a broadcast build — it is a computed table whose size
+       Catalyst underestimates). Work and shuffle volume are
+       |Q| x nprobe x avg_cell = |Q| x |corpus| x nprobe / n_cells —
+       the nprobe/n_cells fraction of brute force;
+    3. per-query window top-k over the scored candidates (thin
+       (qid, id, score) rows), same as knn_join's ranking.
+
+    At scale, parallelism of step 2 is bounded by n_cells — size the
+    index so n_cells >> cluster cores (e.g. 4096 cells for a 100 TB
+    corpus), which is also what keeps cells individually small. Skewed
+    cell populations (Lloyd leaves modes uneven) are split by AQE's
+    skew-join handling since the join is declarative.
+
+    Approximate exactly like ``ivf_search``: recall < 1 only when true
+    neighbors live in unprobed cells; nprobe = n_cells degenerates to
+    brute force and must equal ``knn_join`` bit-for-bit (asserted in
+    tests/test_similarity.py).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    cscored = q.crossJoin(F.broadcast(centroids)).select(
+        "_qid",
+        "_qv",
+        "_qn",
+        "cell",
+        cosine(F.col("_qv"), F.col("centroid")).alias("_csim"),
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.col("_csim").desc(), F.col("cell"))
+    probes = (
+        cscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("_qid", "_qv", "_qn", "cell")
+    )
+    # corpus norms precomputed ONCE per corpus row (not once per
+    # query x corpus candidate)
+    corpus = assignments.select(
+        "cell", F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+    )
+    cand = corpus.join(probes.hint("shuffle_hash"), "cell")
+    scored = cand.select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
 def _dim_of(vectors: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row (index build time
     only — not in any per-row path)."""

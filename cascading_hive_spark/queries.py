@@ -917,9 +917,13 @@ _ELSH_BANDS, _ELSH_BITS, _ELSH_SEED, _ELSH_MAXB = 8, 6, 7, 200
 
 
 def _elsh_oracle() -> str:
-    from cascading_hive_spark.operators.dedup import lsh_bit_coords
+    # _lsh_band_coords (not lsh_bit_coords): the Spark operator samples
+    # per-band without replacement once bands*bits > dim, so the oracle
+    # must share the SAME coordinate source or raising the band
+    # constants would silently break parity (ADVICE r2).
+    from cascading_hive_spark.operators.dedup import _lsh_band_coords
 
-    coords = lsh_bit_coords(64, _ELSH_BANDS * _ELSH_BITS, _ELSH_SEED)
+    coords = _lsh_band_coords(64, _ELSH_BANDS, _ELSH_BITS, _ELSH_SEED)
     keys = []
     for b in range(_ELSH_BANDS):
         terms = [

@@ -146,6 +146,38 @@ def test_publish_partition_swaps_one_partition(spark, sf_dir, tmp_path):
         C.drop_table(spark, "t_part_pub")
 
 
+def test_publish_partition_rejects_quoted_values(spark, sf_dir, tmp_path):
+    """DDL-breaking partition values / paths fail loudly instead of
+    producing a malformed ALTER TABLE (ADVICE r2)."""
+    region = load_table(spark, sf_dir, "region").limit(1)
+    with pytest.raises(ValueError, match="quote"):
+        C.publish_partition(
+            spark, region, "t_nope", {"side": "o'brien"}, str(tmp_path / "x")
+        )
+    with pytest.raises(ValueError, match="quote"):
+        C.publish_partition(spark, region, "t_nope", {"side": "0"}, "/tmp/o'x")
+
+
+def test_publish_partition_special_chars_republish(spark, sf_dir, tmp_path):
+    """Partition values Hive URL-escapes in partition paths (':')
+    must round-trip through the SHOW PARTITIONS membership check: the
+    second publish of the same spec must SET LOCATION, not fail in
+    ADD PARTITION (ADVICE r2)."""
+    C.drop_table(spark, "t_esc_pub")
+    region = load_table(spark, sf_dir, "region").withColumn("side", F.lit("a:b"))
+    C.create_table(spark, "t_esc_pub", region, partition_by=["side"])
+    try:
+        assert {p["side"] for p in C.partitions(spark, "t_esc_pub")} == {"a:b"}
+        repl = region.drop("side").limit(1)
+        C.publish_partition(spark, repl, "t_esc_pub", {"side": "a:b"}, str(tmp_path / "v1"))
+        assert spark.table("t_esc_pub").filter(F.col("side") == "a:b").count() == 1
+        # re-publish the SAME spec: must take the SET LOCATION branch
+        C.publish_partition(spark, repl, "t_esc_pub", {"side": "a:b"}, str(tmp_path / "v2"))
+        assert spark.table("t_esc_pub").filter(F.col("side") == "a:b").count() == 1
+    finally:
+        C.drop_table(spark, "t_esc_pub")
+
+
 def test_overwrite_partitions_dynamic(spark, sf_dir):
     """Dynamic partition overwrite: only partitions present in the
     incoming frame are replaced."""

@@ -198,3 +198,36 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain is one component
     out = connected_components(chain, max_iterations=40).collect()
     assert {r.component for r in out} == {0}
+
+
+def test_connected_components_rejects_nonpositive_rounds(spark):
+    """max_iterations <= 0 must raise a meaningful ValueError, not a
+    NameError from the never-entered loop (ADVICE r2)."""
+    import pytest as _pytest
+
+    from cascading_hive_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="max_iterations"):
+        connected_components(edges, max_iterations=0)
+
+
+def test_dedup_id_column_must_be_integral(spark):
+    """String ids must raise, not silently cast to NULL and emit
+    empty pair output (ADVICE r2)."""
+    import pytest as _pytest
+
+    from cascading_hive_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "doc_id string, text string"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        D.exact_dedup(docs, "doc_id", "text").collect()
+    with _pytest.raises(TypeError, match="integral"):
+        D.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        D.embedding_lsh_pairs(vecs, "vec_id", "embedding", dim=2).collect()

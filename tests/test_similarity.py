@@ -78,6 +78,48 @@ def test_knn_join_each_query_gets_k(spark, emb):
         assert rows[0].vec_id == q  # self is nearest
 
 
+def test_ivf_knn_join_full_probe_equals_brute_force(spark, emb):
+    """nprobe = n_cells degenerates to brute force: the batched IVF
+    join must reproduce knn_join exactly (same scores, same ranks)."""
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in S.knn_join(emb, queries, k=5).collect()
+    }
+    assignments, centroids = S.ivf_build(emb, n_cells=8)
+    got = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in S.ivf_knn_join(assignments, centroids, queries, k=5, nprobe=8).collect()
+    }
+    assert got == truth
+
+
+def test_ivf_knn_join_recall_at_partial_probe(spark, emb):
+    """Partial probe: every query still gets k rows, ranks are dense,
+    and recall vs brute force is high at nprobe=nc/2."""
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {}
+    for r in S.knn_join(emb, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    assignments, centroids = S.ivf_build(emb, n_cells=8)
+    rows = S.ivf_knn_join(assignments, centroids, queries, k=5, nprobe=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(truth)
+    hits = total = 0
+    for q, qrows in by_q.items():
+        assert sorted(r.rnk for r in qrows) == [1, 2, 3, 4, 5]
+        assert qrows[0].vec_id != q or qrows[0].cos_sim >= 0.999999  # self probe hit
+        hits += len({r.vec_id for r in qrows} & truth[q])
+        total += len(truth[q])
+    assert hits / total >= 0.6, f"batched IVF recall {hits/total} too low"
+
+
 def test_ivf_disk_index_prunes_partitions(spark, emb, tmp_path):
     path = str(tmp_path / "ivf_index")
     assignments, centroids = S.ivf_build(emb, n_cells=16)
