@@ -410,6 +410,32 @@ def lsh_bit_coords(dim: int, n_bits: int, seed: int = 7) -> list[int]:
     return [rng.randrange(dim) for _ in range(n_bits)]
 
 
+def auto_band_bits(n_rows: int) -> int:
+    """Band width B from the corpus size — the docstring sizing rule
+    B ~ log2(n / target_bucket) made executable: random pairs collide
+    on a B-bit band with p ~ 2^-B, so keeping expected bucket size
+    near 8 means B = round(log2(n)) - 3 (14 bits at 100k, 17 at 1M,
+    24 at 100M). Clamped to [4, 32]: below 4 the bands are
+    non-discriminative even for tiny corpora; above 32 adds nothing
+    (near-dup sign bits agree anyway) while costing recall on merely
+    close pairs."""
+    import math
+
+    return int(min(32, max(4, round(math.log2(max(n_rows, 2))) - 3)))
+
+
+def _plan_rowcount(df: DataFrame) -> int | None:
+    """Row count from the optimized plan's statistics if Catalyst can
+    prove one (free — no job); None otherwise."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return None
+
+
 def _lsh_band_coords(dim: int, bands: int, bits_per_band: int, seed: int = 7) -> list[int]:
     """Coordinate choice honoring band structure: when total bits
     exceed dim, sample WITHOUT replacement within each band (a
@@ -438,11 +464,12 @@ def embedding_lsh_pairs(
     threshold: float = 0.9,
     block_cols: list[str] | None = None,
     bands: int = 8,
-    bits_per_band: int = 6,
+    bits_per_band: int | None = None,
     max_bucket: int = 200,
     seed: int = 7,
     dim: int | None = None,
     mode: str = "coord",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs via random-hyperplane LSH banding,
     verified with exact cosine — the bounded-blocking replacement for
@@ -464,14 +491,20 @@ def embedding_lsh_pairs(
     cannot separate signal from background — this operator is built
     for the near-dup regime.
 
-    SIZE THE BANDS TO THE CORPUS: random pairs collide on a B-bit
-    band with p ~ 2^-B, so candidate volume is ~ n^2 * bands / 2^B.
-    Keep it linear by scaling B with log2(n): B ~ log2(n /
-    target_bucket_size) — e.g. 14 bits for 100k vectors, 17 for 1M,
-    24 for 100M (sampled per band without replacement once
-    bands*bits > dim). True near-dups (cos >= 0.99) still match a
-    17-bit band ~90% of the time, so a handful of bands keeps recall
-    >= 99.9% while background collisions stay at a few per vector.
+    BAND BITS AUTO-SIZE TO THE CORPUS: random pairs collide on a
+    B-bit band with p ~ 2^-B, so candidate volume is ~ n^2 * bands /
+    2^B. Keeping it linear means scaling B with log2(n): B ~ log2(n /
+    target_bucket_size) — 14 bits at 100k vectors, 17 at 1M, 24 at
+    100M (``auto_band_bits``; coordinates sampled per band without
+    replacement once bands*bits > dim). True near-dups (cos >= 0.99)
+    still match a 17-bit band ~90% of the time, so a handful of bands
+    keeps recall >= 99.9% while background collisions stay at a few
+    per vector. With ``bits_per_band=None`` (default) B is derived
+    from ``n_hint`` if given, else a free plan-statistics row count,
+    else one ``count()`` job (cheap on file sources — the scan prunes
+    every column; pass n_hint when ``df`` is an expensive computed
+    pipeline). Pin ``bits_per_band`` explicitly when a cross-engine
+    oracle must reproduce the blocking.
 
     Output: (id_a, id_b, cos_sim), id_a < id_b, cos_sim >= threshold.
     """
@@ -480,6 +513,11 @@ def embedding_lsh_pairs(
         from cascading_hive_spark.operators.similarity import _dim_of
 
         dim = _dim_of(df, vec_col)
+    if bits_per_band is None:
+        n_est = n_hint if n_hint is not None else _plan_rowcount(df)
+        if n_est is None:
+            n_est = df.count()
+        bits_per_band = auto_band_bits(n_est)
     n_bits = bands * bits_per_band
 
     base = spread(

@@ -1042,6 +1042,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assignments, centroids, query, k=10, nprobe=4)
 
 
+# Batched IVF ANN join — the 100 TB query-table path (knn_join's
+# broadcast limit removed): cell-assign queries, shuffle-join on cell,
+# per-query window top-k. Approximate (recall property-tested, full-
+# probe == knn_join asserted exactly in tests/test_similarity.py) →
+# rows-only driver check.
+@register("ann_ivf_knn_join", None)
+def q_ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import ivf_build, ivf_knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_build(e, n_cells=16)
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_knn_join(assignments, centroids, queries_df, k=5, nprobe=8)
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis (operators/text.py)
 # ---------------------------------------------------------------------------

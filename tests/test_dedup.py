@@ -111,6 +111,37 @@ def test_embedding_lsh_recall_on_planted_dups(spark):
     assert recall >= 0.95, (recall, len(planted))
 
 
+def test_auto_band_bits_sizing_rule():
+    """B ~ log2(n/8): the docstring's worked examples, plus clamps."""
+    assert D.auto_band_bits(100_000) == 14
+    assert D.auto_band_bits(1_000_000) == 17
+    assert D.auto_band_bits(100_000_000) == 24
+    assert D.auto_band_bits(1) == 4  # floor
+    assert D.auto_band_bits(10**12) == 32  # ceiling
+
+
+def test_embedding_lsh_auto_bits_uses_hint_and_plan_stats(spark):
+    """Default bits_per_band derives from n_hint (or a free plan row
+    count) without changing pair semantics: planted dup still found."""
+    from cascading_hive_spark.sources import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=300, dim=64, n_clusters=300, seed=5, dup_rate=0.1)
+    # n_hint path and the count()/plan-stats path must agree on output
+    a = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, dim=64, n_hint=300
+        ).collect()
+    }
+    b = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, dim=64
+        ).collect()
+    }
+    assert a == b and len(a) > 5
+
+
 def test_embedding_lsh_max_bucket_guard(spark):
     """A non-discriminative blocking (1-cluster corpus: every vector
     nearly identical signature) floods the buckets; the guard must
