@@ -8,14 +8,21 @@ iterative-algorithm surface: a driver-side loop over declarative
 DataFrame steps, with ``localCheckpoint`` every few rounds to cut the
 growing lineage (the standard Spark iteration hygiene).
 
-Algorithm: min-label propagation — every vertex adopts the smallest
-label among itself and its neighbors until fixpoint; rounds needed =
-graph diameter. Dedup-similarity graphs have tiny components (near-dup
-groups), so this converges in a handful of rounds. For web-scale
-graphs with long chains, the alternating large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond") halves the round count; the per-round dataflow below is the
-same shape.
+Two algorithms, selected by ``algorithm=``:
+
+- ``"label"`` (default): min-label propagation — every vertex adopts
+  the smallest label among itself and its neighbors until fixpoint;
+  rounds needed = graph diameter. Dedup-similarity graphs have tiny
+  components (near-dup groups), so this converges in a handful of
+  rounds and each round is one thin shuffle.
+- ``"star"``: alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", ACM WSDM 2014) —
+  each round REWIRES edges toward component minima instead of
+  propagating one hop, so convergence is O(log n) rounds regardless
+  of diameter. The adversarial long-chain graph that exhausts label
+  propagation's round budget converges in ~log2(n) alternations
+  (tests/test_null_semantics.py). Use for graphs whose component
+  diameter is unknown or unbounded.
 """
 
 from __future__ import annotations
@@ -30,19 +37,28 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 20,
     checkpoint_every: int = 3,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
     Returns (id, component) with component = min vertex id reachable.
     Vertices are those appearing in edges; isolated vertices can be
-    unioned in by the caller.
+    unioned in by the caller. ``algorithm``: "label" (diameter rounds,
+    cheapest per round — right for dedup's tiny clusters) or "star"
+    (O(log n) rounds — right for unbounded-diameter graphs); both
+    raise rather than return wrong labels if ``max_iterations`` is
+    exhausted before fixpoint.
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be label|star, got {algorithm!r}")
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.dropDuplicates(["u", "v"]).localCheckpoint()
+    if algorithm == "star":
+        return _star_components(sym, max_iterations)
     labels = sym.select("u").distinct().select(
         F.col("u").alias("id"), F.col("u").alias("component")
     )
@@ -101,6 +117,81 @@ def connected_components(
                 "raise max_iterations"
             )
     return labels
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star: every vertex u connects its LARGER neighbors to
+    m(u) = min(N(u) ∪ {u}). Output edges (v, m) with v > u >= m —
+    strictly (larger, smaller), no self-loops."""
+    nbr_min = sym.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
+    return (
+        sym.join(nbr_min, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """Small-star over (larger, smaller) edges: every vertex u rewires
+    its smaller neighbors (and itself) to m(u) = min neighbor. Output
+    stays (larger, smaller)."""
+    nbr_min = directed.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        directed.join(nbr_min, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = nbr_min.select("u", F.col("m").alias("v"))
+    return rewired.union(self_edge).dropDuplicates(["u", "v"])
+
+
+def _star_components(sym: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternate large-star/small-star until the edge set is a stable
+    star forest (each node -> its component's min id). Each round is
+    two thin (u, v) shuffles + one checksum action; lineage is cut
+    every round (edge tables are small and fully rewritten)."""
+    # seed with the canonical (larger, smaller) form
+    edges = (
+        sym.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    prev_chk: tuple | None = None
+    converged = False
+    for _ in range(max_iterations):
+        # large-star needs the symmetric view of the current edges
+        cur_sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        edges = _small_star(_large_star(cur_sym)).localCheckpoint()
+        # bit_xor, not sum: a sum of 64-bit hashes overflows LongType
+        # (ANSI arithmetic); xor is order-insensitive and closed
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        chk = (row["n"], row["h"])
+        if chk == prev_chk:
+            converged = True
+            break
+        prev_chk = chk
+    if not converged:
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations"
+        )
+    # stable star forest: every edge points node -> component root.
+    # Vertices that only had self-loops vanished at seeding — restore
+    # them as their own singleton component (label-algorithm parity).
+    stars = edges.select(F.col("u").alias("id"), F.col("v").alias("component")).union(
+        edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    ).dropDuplicates(["id"])
+    vertices = sym.select(F.col("u").alias("id")).distinct()
+    return vertices.join(stars, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
