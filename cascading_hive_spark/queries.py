@@ -820,6 +820,67 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey", F.col("ts").alias("next_event_ts"))
 
 
+# Nearest as-of with tolerance — oracle-checked (VERDICT r2 #5: the
+# nearest/tolerance modes previously had only pytest-vs-pandas
+# coverage). DuckDB expresses nearest as two ASOF LEFT JOINs + a
+# least-distance pick; tolerance nulls each side independently BEFORE
+# the pick and an exact-distance tie resolves backward — both exactly
+# asof_join's semantics (operators/asof.py).
+@register(
+    "asof_join_nearest_event",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS od
+      FROM orders
+    ),
+    bw AS (
+      SELECT o.o_orderkey, e.ts AS bts
+      FROM o ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND o.od >= e.ts
+    ),
+    fw AS (
+      SELECT o.o_orderkey, e.ts AS fts
+      FROM o ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND o.od <= e.ts
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_custkey, o.od,
+             CASE WHEN bw.bts IS NOT NULL AND o.od - bw.bts <= INTERVAL 30 DAY
+                  THEN bw.bts END AS bts,
+             CASE WHEN fw.fts IS NOT NULL AND fw.fts - o.od <= INTERVAL 30 DAY
+                  THEN fw.fts END AS fts
+      FROM o JOIN bw USING (o_orderkey) JOIN fw USING (o_orderkey)
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN fts - od < od - bts THEN fts
+                ELSE bts END AS nearest_event_ts
+    FROM j
+    WHERE bts IS NOT NULL OR fts IS NOT NULL
+    """,
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest event within 30 days of each order's date (merge_asof
+    direction='nearest' with tolerance; backward wins distance ties)."""
+    from cascading_hive_spark.operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("od_ts")
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = asof_join(
+        o, ev,
+        left_on="od_ts", right_on="ts",
+        left_by="o_custkey", right_by="user_id",
+        value_cols=["ts"],
+        how="inner",
+        direction="nearest",
+        tolerance="INTERVAL 30 DAYS",
+    )
+    return out.select("o_orderkey", "o_custkey", F.col("ts").alias("nearest_event_ts"))
+
+
 # ---------------------------------------------------------------------------
 # North-star: deduplication (BASELINE.json; operators/dedup.py)
 # ---------------------------------------------------------------------------
