@@ -2017,6 +2017,56 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       >= 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native session_window streaming run END-TO-END: one row per
+    # closed session (start, end = last event + gap, count, sum)
+    # against the batch gaps-and-islands SQL as oracle. Session merge
+    # rule is Spark's: same session iff the gap to the previous event
+    # is STRICTLY under 30 min (an event exactly at the open window's
+    # end starts a new session — hence >= in the oracle's flag).
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import session_windows_stream, stream_events
+
+    tune_for_queries(spark)
+    name = f"q_stream_swin_{uuid.uuid4().hex[:8]}"
+    stream = session_windows_stream(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "string_agg_names",
     """
     SELECT c_mktsegment,

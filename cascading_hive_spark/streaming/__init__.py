@@ -11,6 +11,7 @@ batch-vs-stream in tests.
 
 from cascading_hive_spark.streaming.jobs import (  # noqa: F401
     hourly_counts,
+    session_windows_stream,
     sessionize_stream,
     stream_events,
 )

@@ -105,15 +105,51 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def session_windows_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """True per-session rows via Spark's NATIVE session_window: a
+    session is a maximal run of a user's events with < ``gap`` silence
+    between neighbors; the window end extends ``gap`` past the last
+    event (Spark's closed-session semantics). State for closed
+    sessions is evicted once the watermark passes — the
+    bounded-state form of sessionization (``sessionize_stream`` keeps
+    one permanent state row per user and emits running totals; this
+    emits one row PER SESSION and forgets it).
+
+    Append mode emits a session only after the watermark proves it
+    closed; complete mode (used by the duality test) emits all.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input
     (Trigger.AvailableNow) into an in-memory sink and return the result
     as a batch DataFrame — the standard pattern for asserting streaming
     semantics in tests."""
+    if output_mode is None:
+        output_mode = "update" if query_name.startswith("session") else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("update" if query_name.startswith("session") else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -47,6 +47,60 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, events_stream):
     assert g == b
 
 
+def test_session_windows_stream_matches_batch_gaps_islands(spark, sf_dir, events_stream):
+    """Native session_window streaming vs an INDEPENDENT batch
+    formulation (gaps-and-islands over lag): same sessions, bounds,
+    counts and sums. Session semantics: same session iff the gap to
+    the previous event is < 30 min (Spark merges while the new event
+    falls inside the open [start, last+gap) window); session_end =
+    last event + gap."""
+    from pyspark.sql import Window
+
+    from cascading_hive_spark.streaming.jobs import run_available_now, session_windows_stream
+    from cascading_hive_spark.tables import load_table
+
+    got = run_available_now(
+        session_windows_stream(events_stream), "swin_test", output_mode="complete"
+    )
+    g = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in got.collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(us - F.lag(us).over(w) >= gap_us, 1)
+        .otherwise(0)
+        .alias("ns"),
+        F.col("event_id"),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.select(
+        "user_id", "ts", "value", F.sum("ns").over(cum).alias("sid")
+    )
+    truth = (
+        numbered.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    b = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in truth.collect()
+    }
+    assert g == b
+
+
 def test_dedup_stream_drops_replayed_ids(spark, sf_dir, events_stream):
     from cascading_hive_spark.streaming.jobs import dedup_stream, run_available_now
 
