@@ -46,6 +46,39 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def partition_by_content_prefix(
+    df: DataFrame,
+    n_buckets: int = 256,
+    payload_col: str = "payload",
+    prefix_bytes: int = 64,
+) -> DataFrame:
+    """Spread blob rows across ``n_buckets`` by a content-derived
+    bucket key — the docstring's scale rule made executable: media
+    tables arrive clustered (a crawl writes one site's giant videos
+    adjacently), so scan-order partitions hand single tasks skewed
+    runs of huge payloads. Bucketing on xxhash64(payload prefix,
+    length) redistributes them deterministically (same content → same
+    bucket on every run, unlike round-robin) while hashing only
+    ``prefix_bytes`` — never the full blob.
+
+    The hash mixes the byte LENGTH with the prefix because media
+    formats share magic-byte headers; length separates same-container
+    files cheaply. The blob shuffle this causes is the point: one
+    deliberate redistribution instead of per-task OOM downstream —
+    call it once at ingest, before derived columns multiply row width.
+
+    Output adds a ``bucket`` int column and is hash-partitioned on it
+    (layout asserted in tests/test_multimodal.py).
+    """
+    bucket = F.pmod(
+        F.xxhash64(
+            F.substring(F.col(payload_col), 1, prefix_bytes), F.length(payload_col)
+        ),
+        F.lit(n_buckets),
+    ).cast("int")
+    return df.withColumn("bucket", bucket).repartition(n_buckets, F.col("bucket"))
+
+
 def extract_meta(df: DataFrame) -> DataFrame:
     """Deterministic byte-level feature extraction over the binary
     column via mapInPandas (Arrow-batched; one Python worker pass per

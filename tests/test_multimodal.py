@@ -64,3 +64,31 @@ def test_resize_payload_binary_roundtrip(spark, media, sf_dir):
     assert row.orig_bytes == len(text0)
     # schema carries a true binary column
     assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)["payload"] == "binary"
+
+
+def test_partition_by_content_prefix_spreads_skewed_blobs(spark, media):
+    """A deliberately single-partition clustered input must spread
+    across buckets: many non-empty output partitions, no partition
+    holding a skewed share, deterministic bucket per content."""
+    clustered = media.coalesce(1)
+    out = M.partition_by_content_prefix(clustered, n_buckets=16)
+    sizes = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    n_rows = sum(r["count"] for r in sizes)
+    assert len(sizes) >= 8  # spread well beyond the 1 input partition
+    assert max(r["count"] for r in sizes) <= 0.3 * n_rows  # no skewed task
+    # hash partitioning reached the plan (not round-robin)
+    assert "hashpartitioning" in out._jdf.queryExecution().executedPlan().toString()
+    # deterministic: same content -> same bucket across two runs
+    a = {(r.id, r.bucket) for r in out.select("id", "bucket").collect()}
+    b = {
+        (r.id, r.bucket)
+        for r in M.partition_by_content_prefix(clustered, n_buckets=16)
+        .select("id", "bucket")
+        .collect()
+    }
+    assert a == b
