@@ -109,6 +109,57 @@ def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub the common PII shapes a corpus-curation pass removes
+    before training: emails, dashed/spaced phone numbers, IPv4
+    addresses — each replaced by a typed sentinel token so downstream
+    stats can still count redactions. Patterns stay inside the
+    RE2/Java-regex common subset so the DuckDB oracle runs the SAME
+    expressions; all three passes are JVM regexp_replace in one
+    projection (no Python in the row path)."""
+    out = F.regexp_replace(text, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, _PII_IPV4, "<IP>")
+
+
+def repetition_metrics(text: Column) -> tuple[Column, Column]:
+    """(dup_token_ratio, top_token_ratio) — the boilerplate/spam
+    signals: share of tokens that are repeats of an earlier token, and
+    the most frequent token's share. Pure array built-ins (split,
+    array_distinct, aggregate) — one narrow scan."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    dup_ratio = (n - F.size(F.array_distinct(toks))).cast("double") / n.cast("double")
+    # top-token count = longest equal-run of the SORTED tokens, via a
+    # linear fold — O(n log n) per doc vs the naive per-distinct-token
+    # recount's O(n^2) (which melts on long documents). The oracle
+    # computes the same number by unnest + group + max — a deliberately
+    # different formulation of the same statistic.
+    sorted_toks = F.array_sort(toks)
+    top = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    top_ratio = top.cast("double") / n.cast("double")
+    return dup_ratio, top_ratio
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

@@ -1038,6 +1038,115 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence packing: grouped next-fit into 128-token context windows.
+# The grouping is doc_id % 8 (engine-portable) so the recursive-CTE
+# oracle walks the SAME deterministic order the Arrow-batched
+# per-group pass does — the differential check covers the full packing
+# decision, not just row counts.
+@register(
+    "pack_sequences",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS pack_group,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+      FROM documents),
+    d AS (
+      SELECT doc_id, pack_group, n_tokens,
+             CAST(row_number() OVER (PARTITION BY pack_group ORDER BY doc_id) AS INT) AS rn
+      FROM toks),
+    walk AS (
+      SELECT pack_group, doc_id, n_tokens, rn,
+             n_tokens AS fill, CAST(0 AS BIGINT) AS seq
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.pack_group, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN w.fill + d.n_tokens > 128 THEN d.n_tokens
+                  ELSE w.fill + d.n_tokens END AS fill,
+             CASE WHEN w.fill + d.n_tokens > 128 THEN w.seq + 1
+                  ELSE w.seq END AS seq
+      FROM walk w JOIN d ON d.pack_group = w.pack_group AND d.rn = w.rn + 1)
+    SELECT doc_id, pack_group, n_tokens, seq FROM walk
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d,
+        "doc_id",
+        text_col="text",
+        capacity=128,
+        group_expr=F.col("doc_id") % 8,
+    )
+
+
+# PII redaction: the documents corpus is synthetic word salad with no
+# real PII, so both sides INJECT identical deterministic PII first —
+# the differential then checks the redaction itself (regexes stay in
+# the Java-regex/RE2 common subset so both engines run the same
+# patterns).
+@register(
+    "text_pii_redact",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text || ' mail user' || doc_id || '@example.com tel 555-01' ||
+               CAST(doc_id % 100 AS VARCHAR) || '-4567 ip 10.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.1 done',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" mail user"), F.col("doc_id").cast("string"), F.lit("@example.com tel 555-01"),
+        (F.col("doc_id") % 100).cast("string"), F.lit("-4567 ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".1 done"),
+    )
+    return d.select("doc_id", redact_pii(seeded).alias("clean_text"))
+
+
+# Repetition metrics: Spark computes top-token share as the longest
+# equal-run of the sorted token array (linear fold, no shuffle); the
+# oracle recomputes it by unnest + group + max — two formulations of
+# one statistic.
+@register(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks),
+    top AS (
+      SELECT doc_id, max(c) AS top_cnt
+      FROM (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok)
+      GROUP BY doc_id)
+    SELECT toks.doc_id,
+           round((len(t) - len(list_distinct(t)))::DOUBLE / len(t), 6) AS dup_token_ratio,
+           round(top.top_cnt::DOUBLE / len(t), 6) AS top_token_ratio
+    FROM toks JOIN top ON toks.doc_id = top.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    dup_ratio, top_ratio = repetition_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(dup_ratio, 6).alias("dup_token_ratio"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Sequence-packing invariants: total coverage, capacity bound,
+oversized-doc handling, and partition-independent determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_hive_spark.operators.packing import pack_sequences, packing_stats
+from cascading_hive_spark.tables import load_table
+
+CAP = 128
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_every_doc_packed_exactly_once(spark, docs):
+    packed = pack_sequences(docs, "doc_id", text_col="text", capacity=CAP)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_capacity_respected_except_oversized_singletons(spark, docs):
+    packed = pack_sequences(docs, "doc_id", text_col="text", capacity=CAP)
+    stats = packing_stats(packed, CAP)
+    over = stats.filter(F.col("fill_tokens") > CAP)
+    # a sequence may exceed capacity ONLY as a single oversized doc
+    assert over.filter(F.col("n_docs") > 1).count() == 0
+    # packing is not degenerate: most sequences hold multiple docs
+    multi = stats.filter(F.col("n_docs") >= 2).count()
+    assert multi > 0.5 * stats.count()
+
+
+def test_packing_partition_independent(spark, docs):
+    a = pack_sequences(docs, "doc_id", text_col="text", capacity=CAP)
+    b = pack_sequences(
+        docs.repartition(13), "doc_id", text_col="text", capacity=CAP
+    )
+    ra = {(r.doc_id, r.pack_group, r.seq) for r in a.collect()}
+    rb = {(r.doc_id, r.pack_group, r.seq) for r in b.collect()}
+    assert ra == rb
+
+
+def test_oversized_doc_gets_own_sequence(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 500), (3, 50), (4, 60)], "id long, ntok int"
+    )
+    packed = pack_sequences(
+        df, "id", token_col="ntok", capacity=CAP, group_expr=F.lit(0)
+    ).collect()
+    by_id = {r.doc_id: r.seq for r in packed}
+    # next-fit in id order: [1]=50 fits, adding [2]=500 overflows -> its
+    # own seq; [3] then starts seq 2, [4] joins it (50+60 <= 128)
+    assert by_id[1] == 0 and by_id[2] == 1 and by_id[3] == 2 and by_id[4] == 2
+
+
+def test_token_col_and_text_col_are_exclusive(spark, docs):
+    with pytest.raises(ValueError, match="exactly one"):
+        pack_sequences(docs, "doc_id", text_col="text", token_col="n_chars")
+    with pytest.raises(ValueError, match="exactly one"):
+        pack_sequences(docs, "doc_id")
