@@ -1038,6 +1038,50 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic sampling (operators/sampling.py): membership is a pure
+# function of row id via a Knuth multiplicative hash — engine-portable
+# arithmetic, so both queries have EXACT oracles.
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 20
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", ["lang"], k=20).select("doc_id", "lang")
+
+
+@register(
+    "sample_corpus_mix",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE (doc_id * 2654435761) % 1000 <
+          CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                      WHEN 'src2' THEN 100 ELSE 50 END
+    """,
+)
+def q_sample_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_mix(
+        d,
+        "doc_id",
+        "source",
+        {"src0": 1000, "src1": 500, "src2": 100},
+        default_permille=50,
+    )
+    return out.select("doc_id", "source")
+
+
 # Sequence packing: grouped next-fit into 128-token context windows.
 # The grouping is doc_id % 8 (engine-portable) so the recursive-CTE
 # oracle walks the SAME deterministic order the Arrow-batched
