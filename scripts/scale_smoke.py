@@ -153,6 +153,30 @@ def smoke_elsh_auto(n: int = 1_000_000) -> None:
                           "planted": int(size * 0.02)}))
 
 
+def smoke_packing(n: int = 1_000_000) -> None:
+    """pack_sequences at corpus scale: wall time and utilization as n
+    grows 10x — per-group walks must stay embarrassingly parallel."""
+    from pyspark.sql import functions as FF
+
+    from cascading_hive_spark.operators.packing import pack_sequences, packing_stats
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(spark, n=size, n_vocab=5000).localCheckpoint()
+        t0 = time.monotonic()
+        packed = pack_sequences(docs, "doc_id", text_col="text", capacity=2048, n_groups=512)
+        stats = packing_stats(packed, 2048)
+        row = stats.agg(
+            FF.count(FF.lit(1)).alias("n_seqs"),
+            FF.round(FF.avg("utilization"), 4).alias("avg_util"),
+        ).first()
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "packing", "n_docs": size, "wall_sec": wall,
+                          "n_sequences": row["n_seqs"],
+                          "avg_utilization": row["avg_util"]}))
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -161,4 +185,5 @@ if __name__ == "__main__":
         "simhash": smoke_simhash,
         "cc": smoke_cc,
         "elsh_auto": smoke_elsh_auto,
+        "packing": smoke_packing,
     }[name](*args)

@@ -142,6 +142,40 @@ def test_embedding_lsh_auto_bits_uses_hint_and_plan_stats(spark):
     assert a == b and len(a) > 5
 
 
+def test_embedding_lsh_dense_mode_recall(spark):
+    """mode='dense' (random ±1 hyperplanes) must also recover planted
+    near-dups — the path for corpora whose coordinates are not
+    centered (where axis-aligned sign bits degenerate)."""
+    from cascading_hive_spark.sources import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=2_000, dim=64, n_clusters=2_000, seed=7, dup_rate=0.05)
+    out = D.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, dim=64, mode="dense"
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    planted = {
+        tuple(sorted((r.vec_id, r.src)))
+        for r in emb.select(
+            "vec_id",
+            (
+                F.col("vec_id") - 1
+                - (F.abs(F.xxhash64("vec_id", F.lit(7), F.lit("esrc"))) % 16)
+            ).alias("src"),
+            (
+                ((F.abs(F.xxhash64("vec_id", F.lit(7), F.lit("edup"))) % 1_000_000_007)
+                 / 1_000_000_007.0 < 0.05)
+                & (F.col("vec_id") > 16)
+            ).alias("is_dup"),
+        )
+        .filter("is_dup")
+        .collect()
+    }
+    assert len(planted) > 30
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, (recall, len(planted))
+    assert all(r.cos_sim >= 0.9 for r in out)
+
+
 def test_embedding_lsh_max_bucket_guard(spark):
     """A non-discriminative blocking (1-cluster corpus: every vector
     nearly identical signature) floods the buckets; the guard must

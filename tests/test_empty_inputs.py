@@ -67,6 +67,45 @@ def test_wordcount_empty(spark):
     assert R.wordcount(_empty_docs(spark), "text").count() == 0
 
 
+def test_embedding_lsh_empty(spark):
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = D.embedding_lsh_pairs(vecs, "vec_id", "embedding", dim=8)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+
+
+def test_pack_sequences_empty(spark):
+    from cascading_hive_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(_empty_docs(spark), "doc_id", text_col="text")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "pack_group", "n_tokens", "seq"]
+
+
+def test_sampling_empty(spark):
+    from cascading_hive_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+        weighted_mix,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, source string")
+    assert hash_sample(empty, "doc_id", 500).count() == 0
+    assert stratified_sample(empty, "doc_id", ["lang"], 5).count() == 0
+    assert weighted_mix(empty, "doc_id", "source", {"a": 100}).count() == 0
+
+
+def test_ivf_knn_join_empty_queries(spark):
+    from cascading_hive_spark.operators.similarity import ivf_build, ivf_knn_join
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    assignments, centroids = ivf_build(vecs, n_cells=2)
+    queries = spark.createDataFrame([], "query_id long, embedding array<double>")
+    assert ivf_knn_join(assignments, centroids, queries, k=3, nprobe=2).count() == 0
+
+
 def test_upsert_empty_updates(spark):
     from cascading_hive_spark.io import upsert
 
