@@ -57,6 +57,45 @@ def test_oversized_doc_gets_own_sequence(spark):
     assert by_id[1] == 0 and by_id[2] == 1 and by_id[3] == 2 and by_id[4] == 2
 
 
+def test_packing_matches_pure_python_reference(spark):
+    """Property test: the distributed per-group walk equals a straight
+    single-threaded next-fit over the same (id-ordered) token lists,
+    for random token counts around the capacity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=60),
+        st.integers(min_value=2, max_value=5),
+    )
+    def check(tokens, n_groups):
+        rows = [(i, t) for i, t in enumerate(tokens)]
+        df = spark.createDataFrame(rows, "id long, ntok int")
+        got = {
+            (r.doc_id, r.pack_group, r.seq)
+            for r in pack_sequences(
+                df, "id", token_col="ntok", capacity=CAP,
+                group_expr=F.col("id") % n_groups,
+            ).collect()
+        }
+        want = set()
+        for g in range(n_groups):
+            fill, seq = 0, 0
+            for i, t in rows:
+                if i % n_groups != g:
+                    continue
+                if fill > 0 and fill + t > CAP:
+                    seq += 1
+                    fill = t
+                else:
+                    fill += t
+                want.add((i, g, seq))
+        assert got == want
+
+    check()
+
+
 def test_token_col_and_text_col_are_exclusive(spark, docs):
     with pytest.raises(ValueError, match="exactly one"):
         pack_sequences(docs, "doc_id", text_col="text", token_col="n_chars")
