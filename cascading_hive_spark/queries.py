@@ -2490,6 +2490,41 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stream-STREAM watermarked join run end-to-end: view->purchase
+# attribution within 1 hour. Inner stream-stream joins emit matches
+# immediately (the watermark only bounds buffered state), so a single
+# availableNow replay emits exactly the batch join — the oracle is the
+# same join in plain SQL.
+@register(
+    "streaming_attribution",
+    """
+    SELECT o.event_id AS outcome_id, t.event_id AS trigger_id,
+           o.user_id, o.ts AS o_ts, t.ts AS t_ts, o.value
+    FROM events t JOIN events o
+      ON t.user_id = o.user_id
+     AND t.event_type = 'view' AND o.event_type = 'purchase'
+     AND t.ts <= o.ts AND t.ts >= o.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import attribute_stream, stream_events
+
+    tune_for_queries(spark)
+    name = f"q_stream_attr_{uuid.uuid4().hex[:8]}"
+    stream = attribute_stream(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @register(
     "streaming_session_windows",
     """

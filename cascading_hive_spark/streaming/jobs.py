@@ -157,6 +157,94 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def attribute_stream(
+    events: DataFrame,
+    trigger_type: str = "view",
+    outcome_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM join with watermark-bounded state: attribute each
+    ``outcome_type`` event to the same user's ``trigger_type`` events
+    in the preceding ``horizon`` (the canonical view->purchase
+    attribution topology). Both sides carry watermarks and the join
+    condition bounds the event-time range, so Spark can evict buffered
+    rows once the watermark passes — state stays O(horizon), the
+    requirement for an unbounded run.
+
+    Batch twin: the same inner join on a static frame (asserted in
+    tests/test_streaming.py — stream/batch duality).
+    """
+    trig = (
+        events.filter(F.col("event_type") == trigger_type)
+        .select(
+            F.col("event_id").alias("trigger_id"),
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    out = (
+        events.filter(F.col("event_type") == outcome_type)
+        .select(
+            F.col("event_id").alias("outcome_id"),
+            F.col("user_id").alias("o_user"),
+            F.col("ts").alias("o_ts"),
+            F.col("value"),
+        )
+        .withWatermark("o_ts", watermark)
+    )
+    cond = (
+        (F.col("t_user") == F.col("o_user"))
+        & (F.col("t_ts") <= F.col("o_ts"))
+        & (F.col("t_ts") >= F.col("o_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return trig.join(out, cond).select(
+        "outcome_id", "trigger_id", F.col("o_user").alias("user_id"), "o_ts", "t_ts", "value"
+    )
+
+
+def upsert_sink_available_now(
+    stream_df: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """foreachBatch upsert sink: each micro-batch MERGEs into an
+    in-memory target table by key (latest batch wins) — the canonical
+    production pattern for streaming into a mutable table when the
+    sink has no native merge. Runs with Trigger.AvailableNow and
+    returns the final target as a batch DataFrame.
+
+    The per-batch merge is the same dataflow as ``io.upsert``: union
+    new rows over non-matching old rows — deterministic because
+    micro-batches arrive in source order. (foreachBatch runs in an
+    isolated session clone, so the target is returned as a DataFrame
+    rather than registered as a view — register it in YOUR session if
+    needed.)
+    """
+    from cascading_hive_spark.io import upsert
+
+    spark = stream_df.sparkSession
+    state = {"df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(key_cols).localCheckpoint()
+        if state["df"] is None:
+            state["df"] = batch
+        else:
+            state["df"] = upsert(state["df"], batch, key_cols).localCheckpoint()
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["df"]
+    if out is None:
+        out = spark.createDataFrame([], stream_df.schema)
+    return out
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exactly-once-per-id dedup: dropDuplicates keyed on
     event_id with a watermark bounding the dedup state (ids older than
