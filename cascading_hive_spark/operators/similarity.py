@@ -300,6 +300,54 @@ def ivf_knn_join(
     )
 
 
+def ivf_knn_join_from_disk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched IVF join against a PERSISTED index (``ivf_write``
+    layout): the probed-cell union is collected (metadata-sized — at
+    most n_cells ints) and applied as an IN-list on the partition
+    column, so the scan reads only the probed cells' directories
+    (PartitionFilters, asserted in tests). For a query workload
+    touching a fraction of cells this is a fractional SCAN on top of
+    ivf_knn_join's fractional compute; a workload probing every cell
+    degenerates to a full scan — exactly the right cost either way.
+    Scoring then reuses ivf_knn_join on the pruned vectors."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    from pyspark.sql import Window
+
+    cscored = q.crossJoin(F.broadcast(centroids)).select(
+        "_qid", "cell", cosine(F.col("_qv"), F.col("centroid")).alias("_csim")
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.col("_csim").desc(), F.col("cell"))
+    cells = [
+        r.cell
+        for r in cscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(cells))
+    return ivf_knn_join(
+        vectors,
+        centroids,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
 def _dim_of(vectors: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row (index build time
     only — not in any per-row path)."""

@@ -120,6 +120,27 @@ def test_ivf_knn_join_recall_at_partial_probe(spark, emb):
     assert hits / total >= 0.6, f"batched IVF recall {hits/total} too low"
 
 
+def test_ivf_knn_join_from_disk_prunes_and_agrees(spark, emb, tmp_path):
+    """Disk-backed batched probe: partition pruning reaches the scan
+    and the result equals the in-memory ivf_knn_join on the same
+    index."""
+    path = str(tmp_path / "ivf_idx_batch")
+    assignments, centroids = S.ivf_build(emb, n_cells=16)
+    S.ivf_write(assignments, centroids, path)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivf_knn_join_from_disk(spark, path, queries, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = {(r.query_id, r.vec_id, r.rnk) for r in out.collect()}
+    mem = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in S.ivf_knn_join(assignments, centroids, queries, k=5, nprobe=2).collect()
+    }
+    assert got == mem and len(got) == 10
+
+
 def test_ivf_disk_index_prunes_partitions(spark, emb, tmp_path):
     path = str(tmp_path / "ivf_index")
     assignments, centroids = S.ivf_build(emb, n_cells=16)
