@@ -641,6 +641,61 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RANGE frame (value-based window bounds, not row counts): trailing
+# 7-day revenue per customer over order event time — the frame Spark
+# plans as RangeFrame, distinct from every rowsBetween query above.
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 2)
+           AS trailing_7d_value
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d_value"),
+    )
+
+
+# Distribution window functions: percent_rank / cume_dist / nth_value
+# over the account-balance ordering.
+@register(
+    "window_distribution",
+    """
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS third_in_segment
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 3).over(wf).alias("third_in_segment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (§2.C — reference has union-of-partitions only, A13)
 # ---------------------------------------------------------------------------
@@ -1511,6 +1566,28 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         """
     )
+
+
+# TPC-H Q16 (adapted — no partsupp; lineitem is the part-supplier
+# bridge): distinct suppliers per (brand, type) for selected sizes,
+# excluding negative-balance suppliers via NOT IN — the null-aware
+# anti-join Catalyst path no other query exercises.
+_Q16_SQL = """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """
+
+
+@register("q16_supplier_variety", _Q16_SQL)
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.tables import register_views
+
+    tune_for_queries(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
 
 
 # TPC-H Q7 (volume shipping, adapted to the driver schema): revenue
