@@ -1568,6 +1568,33 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL buckets
+# must MATCH each other — the join comparator plain = can't express.
+@register(
+    "join_null_safe",
+    """
+    WITH b AS (
+      SELECT CASE WHEN value IS NULL THEN NULL
+                  ELSE CAST(floor(value / 100) AS BIGINT) END AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1)
+    SELECT a.bucket, a.n AS n_a, c.n AS n_c
+    FROM b a JOIN b c ON a.bucket IS NOT DISTINCT FROM c.bucket
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.when(F.col("value").isNotNull(), F.floor(F.col("value") / 100)).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    a = b.select(F.col("bucket"), F.col("n").alias("n_a"))
+    c = b.select(F.col("bucket").alias("bucket_c"), F.col("n").alias("n_c"))
+    return (
+        a.join(c, F.col("bucket").eqNullSafe(F.col("bucket_c")))
+        .select("bucket", "n_a", "n_c")
+    )
+
+
 # TPC-H Q16 (adapted — no partsupp; lineitem is the part-supplier
 # bridge): distinct suppliers per (brand, type) for selected sizes,
 # excluding negative-balance suppliers via NOT IN — the null-aware

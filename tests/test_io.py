@@ -137,3 +137,20 @@ def test_text_format_round_trip(spark, tmp_path):
     IO.write_table(df, path, fmt="text", compression=None)
     back = IO.read_table(spark, path, fmt="text")
     assert _rows(back) == _rows(df)
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on read: two parquet batches with different
+    column sets union under mergeSchema, missing values null-filled —
+    the append-only table evolution a long-lived pipeline needs."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.parquet(p + "/b1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v1 string, v2 double").write.parquet(
+        p + "/b2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(p + "/b1", p + "/b2")
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r.id: (r.v1, r.v2) for r in merged.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
