@@ -160,6 +160,43 @@ def repetition_metrics(text: Column) -> tuple[Column, Column]:
     return dup_ratio, top_ratio
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping character windows — the
+    chunking step before embedding / context assembly. One JVM-side
+    explode of a start-offset sequence + substring slices: no Python,
+    no shuffle (narrow), chunk boundaries a pure function of the text
+    length so the output is deterministic and SQL-expressible.
+
+    Output: (doc_id, chunk_idx, start, chunk_text) with 1-based
+    ``start``; the final chunk may be shorter than ``chunk_chars``;
+    empty/short docs yield exactly one chunk.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(step))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("_t"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / step).cast("bigint").alias("chunk_idx"),
+            "start",
+            F.substring(F.col("_t"), F.col("start"), F.lit(chunk_chars)).alias("chunk_text"),
+        )
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

@@ -1212,6 +1212,26 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", redact_pii(seeded).alias("clean_text"))
 
 
+# Overlapping character chunking (the pre-embedding window split):
+# 200-char chunks with 40-char overlap (step 160).
+@register(
+    "text_chunking",
+    """
+    SELECT doc_id,
+           CAST((s - 1) // 160 AS BIGINT) AS chunk_idx,
+           CAST(s AS INTEGER) AS start,
+           substr(text, CAST(s AS INTEGER), 200) AS chunk_text
+    FROM documents,
+         unnest(generate_series(1, greatest(len(text), 1), 160)) AS u(s)
+    """,
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_chars=200, overlap=40)
+
+
 # Repetition metrics: Spark computes top-token share as the longest
 # equal-run of the sorted token array (linear fold, no shuffle); the
 # oracle recomputes it by unnest + group + max — two formulations of

@@ -94,3 +94,32 @@ def test_sql_cosine_matches_dataframe_cosine(spark, sf_dir):
     a = {r.vec_id: r.c for r in via_sql}
     b = {r.vec_id: r.c for r in via_df}
     assert a == b  # bitwise identical — same expression both surfaces
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    """Chunks with the overlap trimmed concatenate back to the original
+    text; boundaries honor chunk/overlap arithmetic."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.text import chunk_documents
+
+    txt = "".join(chr(97 + i % 26) for i in range(1000))
+    df = spark.createDataFrame([(1, txt), (2, ""), (3, "short")], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_chars=300, overlap=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts at 1, 251, 501, 751 (step 250)
+    starts = sorted(r.start for r in by_doc[1])
+    assert starts == [1, 251, 501, 751]
+    chunks = {r.start: r.chunk_text for r in by_doc[1]}
+    assert all(len(chunks[s]) == 300 for s in starts[:-1])
+    # reconstruct: first chunk + non-overlap tail of each later chunk
+    rebuilt = chunks[1] + "".join(chunks[s][50:] for s in starts[1:])
+    assert rebuilt == txt
+    # empty and short docs: exactly one chunk each
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == ""
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "short"
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_chars=100, overlap=100)
