@@ -324,6 +324,7 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs with hamming <= max_hamming (<=3).
 
@@ -333,6 +334,13 @@ def simhash_pairs(
     bigrams restore discrimination.) Blocking: the 4x16-bit quarters —
     pigeonhole makes it exact for hamming <= 3. Verification:
     bit_count(xor) on the candidate pairs.
+
+    ``max_bucket`` is the same skew guard minhash/embedding LSH carry:
+    a quarter value shared by more than ``max_bucket`` docs (a run of
+    near-identical boilerplate) would join quadratically; such buckets
+    are dropped, trading recall on flooded values for bounded work —
+    exact-dedup first if the corpus is duplicate-heavy. Within the
+    guard the blocking remains EXACT for hamming <= 3.
     """
     toks = tokenized(df, id_col, text_col).select(
         "_id",
@@ -373,6 +381,14 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("_id", "sig", "b.q", "b.qv")
+    # guard BEFORE the self-join: quarter buckets over max_bucket are
+    # non-discriminative floods (see docstring) — one thin window pass
+    # tags bucket sizes; no doc payload in the shuffle
+    from pyspark.sql import Window as _W
+
+    quarters = quarters.withColumn(
+        "_bsz", F.count(F.lit(1)).over(_W.partitionBy("q", "qv"))
+    ).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
     a = quarters.select("q", "qv", F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = quarters.select("q", "qv", F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
     cand = (

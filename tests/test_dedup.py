@@ -66,6 +66,21 @@ def test_simhash_pairs_verified_hamming(spark, docs):
         assert ids[(12, 360)] == 0
 
 
+def test_simhash_max_bucket_guard(spark):
+    """A corpus of identical docs floods every quarter bucket; the
+    guard must bound candidate pairs instead of going quadratic."""
+    n = 300
+    docs = spark.createDataFrame(
+        [(i, "same words everywhere in this doc") for i in range(n)],
+        "doc_id long, text string",
+    )
+    # guard off (bucket cap above n): all C(n,2) identical pairs
+    full = D.simhash_pairs(docs, "doc_id", "text", max_bucket=n + 1).count()
+    assert full == n * (n - 1) // 2
+    # guard on: flooded buckets dropped entirely
+    assert D.simhash_pairs(docs, "doc_id", "text", max_bucket=50).count() == 0
+
+
 def test_char_ngrams_short_text(spark):
     df = spark.createDataFrame([(1, "ab")], "id long, t string")
     row = df.select(D.char_ngrams(F.col("t"), 3).alias("g")).collect()[0]
