@@ -294,18 +294,30 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     n: int = 3,
     threshold: float = 0.8,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Exact char-n-gram Jaccard over pairs within a blocking key.
 
     The blocking key bounds the quadratic pair space (equi-join =
     shuffle on the block key); with a selective key this is the
-    SQL-expressible exact twin of minhash_lsh_pairs.
+    SQL-expressible exact twin of minhash_lsh_pairs. ``max_block``
+    (optional) drops blocks larger than the cap — the skew guard for
+    corpora where the key floods (e.g. exact-duplicate runs sharing a
+    fingerprint). Left off by default because dropping blocks changes
+    the exact-pair contract; a mirroring oracle must apply the same
+    COUNT(*) OVER (PARTITION BY key) <= cap predicate.
     """
     base = spread(df).select(
         _id_long(df, id_col).alias("_id"),
         char_ngrams(F.col(text_col), n).alias("_g"),
         *[F.col(c) for c in block_cols],
     )
+    if max_block is not None:
+        from pyspark.sql import Window as _W
+
+        base = base.withColumn(
+            "_bsz", F.count(F.lit(1)).over(_W.partitionBy(*block_cols))
+        ).filter(F.col("_bsz") <= max_block).drop("_bsz")
     a = base.select(*block_cols, F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
     b = base.select(*block_cols, F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
     pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))

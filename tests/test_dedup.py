@@ -66,6 +66,22 @@ def test_simhash_pairs_verified_hamming(spark, docs):
         assert ids[(12, 360)] == 0
 
 
+def test_ngram_jaccard_max_block_guard(spark):
+    """Optional block cap bounds a flooded fingerprint key; default
+    (None) preserves the exact-pair contract."""
+    docs = spark.createDataFrame(
+        [(i, "identical text here", "fp0") for i in range(100)]
+        + [(200, "another doc body", "fp1"), (201, "another doc body", "fp1")],
+        "doc_id long, text string, fp string",
+    )
+    full = D.ngram_jaccard_pairs(docs, "doc_id", "text", ["fp"], threshold=0.9)
+    assert full.count() == 100 * 99 // 2 + 1
+    capped = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["fp"], threshold=0.9, max_block=50
+    )
+    assert capped.count() == 1  # flooded fp0 dropped, fp1 pair kept
+
+
 def test_simhash_max_bucket_guard(spark):
     """A corpus of identical docs floods every quarter bucket; the
     guard must bound candidate pairs instead of going quadratic."""
