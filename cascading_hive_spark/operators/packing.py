@@ -62,11 +62,15 @@ def pack_sequences(
         if group_expr is not None
         else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
     ).cast("int")
+    # NULL text / token counts would reach the pandas walk as NaN and
+    # die with an opaque executor error on int(t); a document with no
+    # measurable length cannot be packed, so drop it explicitly here
+    # (scan-side, before the thin-row shuffle).
     thin = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         group.alias("pack_group"),
         n_tok.alias("n_tokens"),
-    )
+    ).filter(F.col("n_tokens").isNotNull())
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", ignore_index=True)

@@ -15,23 +15,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Knuth's multiplicative constant; modulus = large prime. Both fit in
-# a 64-bit product for any realistic id, and every SQL engine computes
-# them identically.
+# Knuth's multiplicative constant; modulus = large prime. The naive
+# ``(id * MULT) % m`` overflows int64 for id > ~3.47e9 — exactly the
+# full-range longs xxhash64 surrogate keys produce — and Spark's ``%``
+# keeps the dividend's sign, so wrapped-negative values silently pass
+# any ``< rate`` filter. All sites therefore reduce the id mod m FIRST
+# (``(a*b) % m == ((a%m) * (b%m)) % m``) and use ``pmod`` so negative
+# ids land in [0, m) too. Largest intermediate product:
+# (1e9+6) * 2654435761 ≈ 2.65e18 < 2^63-1. DuckDB mirrors the same
+# algebra (it raises OutOfRange instead of wrapping, so the naive form
+# is also an engine divergence).
 _MULT = 2654435761
 _MOD = 1_000_000_007
 
 
 def hash_order(id_col: Column) -> Column:
-    """Deterministic pseudo-random sort key in [0, 1e9+7)."""
-    return (id_col * _MULT) % _MOD
+    """Deterministic pseudo-random sort key in [0, 1e9+7); wrap-free
+    for the full int64 id range, negatives included."""
+    return F.pmod(F.pmod(id_col, F.lit(_MOD)) * F.lit(_MULT), F.lit(_MOD))
+
+
+def bucket_permille(id_col: Column) -> Column:
+    """Deterministic bucket in [0, 1000); wrap-free for any int64 id.
+    ``(id * MULT) % 1000 == ((id % 1000) * (MULT % 1000)) % 1000``."""
+    return F.pmod(F.pmod(id_col, F.lit(1000)) * F.lit(_MULT % 1000), F.lit(1000))
 
 
 def hash_sample(df: DataFrame, id_col: str, rate_permille: int) -> DataFrame:
     """Bernoulli-style sample keeping ``rate_permille``/1000 of rows,
     chosen by id hash — one narrow filter, no shuffle, stable under
     appends (old rows keep their verdict when new data arrives)."""
-    return df.filter((F.col(id_col) * _MULT) % 1000 < rate_permille)
+    return df.filter(bucket_permille(F.col(id_col)) < rate_permille)
 
 
 def stratified_sample(
@@ -70,7 +84,7 @@ def weighted_mix(
     Membership is the same id hash for every source, so raising one
     source's weight later only ADDS rows — previous picks stay picked
     (monotone reweighting, the property curation reruns need)."""
-    bucket = (F.col(id_col) * _MULT) % 1000
+    bucket = bucket_permille(F.col(id_col))
     rate = None
     for src, permille in sorted(weights_permille.items()):
         cond = F.col(source_col) == src

