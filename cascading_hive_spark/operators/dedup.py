@@ -206,11 +206,24 @@ def minhash_lsh_pairs(
     # 16x band explode of thin (id, band, bhash) rows — ~24 bytes/row.
     # Nothing wider ever shuffles; shingle arrays stay out of every
     # wide op and are joined back by id for candidate pairs only.
-    sig_wide = base.select(
+    #
+    # Each shingle STRING is hashed once (the length-proportional
+    # cost), and the num_perm permutation values re-hash the resulting
+    # fixed-width long — constant-time per permutation, ~num_perm x
+    # less string-hash CPU at equal recall (xxhash64(h, seed=i) over
+    # pre-hashed longs is the standard one-hash MinHash family).
+    # ``_hp`` is a separate projection consumed num_perm times:
+    # CollapseProject only inlines producer expressions referenced
+    # once (or trivially cheap), so the string-hash transform is not
+    # duplicated into the 64 consumers.
+    hashed = base.select(
+        "_id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hp")
+    )
+    sig_wide = hashed.select(
         "_id",
         *[
             F.array_min(
-                F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                F.transform(F.col("_hp"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
             ).alias(f"_h{i}")
             for i in range(num_perm)
         ],
@@ -278,6 +291,108 @@ def minhash_lsh_pairs(
         .join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    ngram_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with ENGINE-PORTABLE hashing: every
+    step is expressible in plain SQL (md5 / substr / min / string_agg),
+    so an external engine (DuckDB oracle in queries.py:
+    dedup_minhash_portable) reproduces the FULL pipeline — shingling,
+    signatures, banding, bucket cap, verification — bit-for-bit. The
+    xxhash64 variant (``minhash_lsh_pairs``) is the fast path; this
+    one trades hash throughput for cross-engine reproducibility.
+
+    Permutation i = min over distinct char ``ngram_n``-grams of
+    ``md5('<i>|' || gram)`` — lexicographic min over 32-char lowercase
+    hex, identical in any engine with a standard md5. Band hash =
+    ``md5(h_i || '|' || h_j ...)`` over the band's permutation minima.
+    Same scale shape as minhash_lsh_pairs: signatures scan-side, one
+    thin (id, band, bhash) shuffle, ``max_bucket`` skew guard, exact
+    Jaccard verification joined back for candidates only.
+
+    Defaults b=8, r=2 over 16 perms: P(candidate) = 1-(1-j^2)^8,
+    ~0.9997 at j=0.8 — near-total recall; the verify step discards the
+    extra false candidates.
+    """
+    rows = num_perm // bands
+    base = spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            _id_long(df, id_col).alias("_id"),
+            char_ngrams(F.col(text_col), ngram_n).alias("_g"),
+        )
+    )
+    # _g is a separate projection consumed num_perm times — not
+    # collapsed into the consumers (see minhash_lsh_pairs note).
+    sig = base.select(
+        "_id",
+        *[
+            F.array_min(
+                F.transform(F.col("_g"), lambda g, i=i: F.md5(F.concat(F.lit(f"{i}|"), g)))
+            ).alias(f"_h{i}")
+            for i in range(num_perm)
+        ],
+    )
+    band_rows = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bhash")
+
+    buckets = (
+        band_rows.groupBy("band", "bhash")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+        .select(F.array_sort("_ids").alias("_ids"))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    cand = pairs.dropDuplicates(["id_a", "id_b"])
+
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
+    g_cand = base.join(cand_ids, "_id", "left_semi")
+    g_a = g_cand.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    g_b = g_cand.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    verified = (
+        cand.hint("shuffle_hash")
+        .join(g_a, "id_a")
+        .join(g_b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

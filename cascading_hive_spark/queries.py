@@ -992,6 +992,55 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable MinHash-LSH (VERDICT r3/r4 stretch): md5-based permutation
+# hashing instead of xxhash64, so the DuckDB oracle reproduces the
+# ENTIRE pipeline — shingling, 16 permutation minima, 8 band hashes,
+# bucket cap, exact-Jaccard verify — bit-for-bit. This upgrades the
+# flagship dedup family from rows-only to a full hash-matched
+# CORRECTNESS row; the xxhash64 variant above remains the fast path.
+@register(
+    "dedup_minhash_portable",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(text)-2, 1)),
+                 i -> substr(text, i, 3))) AS g
+      FROM documents WHERE text IS NOT NULL),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM g),
+    mins AS (
+      SELECT doc_id, k, min(md5(k::VARCHAR || '|' || gram)) AS h
+      FROM ex CROSS JOIN (SELECT unnest(range(16)) AS k) ks
+      GROUP BY doc_id, k),
+    bandh AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             md5(string_agg(h, '|' ORDER BY k)) AS bhash
+      FROM mins GROUP BY doc_id, CAST(k // 2 AS INT)),
+    bsz AS (SELECT band, bhash, count(*) AS n FROM bandh GROUP BY band, bhash),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandh a
+      JOIN bandh b ON a.band = b.band AND a.bhash = b.bhash
+                   AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.band = a.band AND s.bhash = a.bhash
+      WHERE s.n BETWEEN 2 AND 200)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(ga.g, gb.g))::DOUBLE
+                 / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.id_a
+    JOIN g gb ON gb.doc_id = c.id_b
+    WHERE len(list_intersect(ga.g, gb.g))::DOUBLE
+          / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.8
+    """,
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import minhash_portable_pairs
+
+    return minhash_portable_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
 # Exact n-gram Jaccard twin with fingerprint blocking — the SQL-
 # checkable near-dup operator: pairs whose sorted-distinct-token normal
 # form collides, verified by char-3-gram Jaccard.

@@ -66,6 +66,34 @@ def test_simhash_pairs_verified_hamming(spark, docs):
         assert ids[(12, 360)] == 0
 
 
+def test_minhash_portable_no_fp_and_recall(spark, docs):
+    """The md5-family portable variant: verified pairs must be a
+    subset of brute-force char-3-gram Jaccard >= 0.8 (no false
+    positives), with b=8/r=2 banding recall near-total, and jaccard
+    values exact."""
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_portable_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    base = docs.select(
+        F.col("doc_id").alias("_id"), D.char_ngrams(F.col("text"), 3).alias("g")
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("g").alias("g_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("g").alias("g_b"))
+    truth = {
+        (r.id_a, r.id_b): r.j
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", D.jaccard(F.col("g_a"), F.col("g_b")).alias("j"))
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert set(got) <= set(truth)
+    assert len(got) >= 0.9 * len(truth), (len(got), len(truth))
+    for k, j in got.items():
+        assert abs(j - truth[k]) < 1e-6
+
+
 def test_ngram_jaccard_max_block_guard(spark):
     """Optional block cap bounds a flooded fingerprint key; default
     (None) preserves the exact-pair contract."""
