@@ -62,12 +62,13 @@ def main() -> int:
 
     qs = Q.queries()
     timings: dict[str, float] = {}
-    n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     for name in HEADLINE:
         fn = qs[name]
-        # n=3, report the median: a single draw in a shared container
-        # has +-30% variance, which round 1 showed can masquerade as a
-        # 5x regression (or hide one)
+        # n=5, report the median: a single draw in a shared container
+        # has +-30% variance (round 1 showed it can masquerade as a 5x
+        # regression, round 5 saw an isolated 36s outlier on a 4s
+        # query); median-of-5 survives two co-tenant spikes per query
         runs = []
         for _ in range(n_iters):
             t0 = time.monotonic()
