@@ -197,6 +197,60 @@ def chunk_documents(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, count the
+    distinct word ``n``-grams it shares with an evaluation corpus (the
+    standard pre-training hygiene step — a doc sharing a long n-gram
+    with a benchmark leaks that benchmark into training).
+
+    Scale shape: the eval side collapses to a DISTINCT n-gram set —
+    benchmarks are tiny relative to a training corpus, so Spark
+    broadcasts it — and the training side computes grams scan-side and
+    probes the broadcast; the 100 TB train side never shuffles for the
+    join, only for the tiny per-doc hit aggregation (rows ∝ hits, not
+    corpus). Every step is SQL-expressible (oracle: decontaminate_docs
+    in queries.py).
+
+    Output: (doc_id, n_contaminated, contaminated) for EVERY training
+    doc with a non-null text (zero-hit docs kept — the common consumer
+    is ``filter(NOT contaminated)``, which must see clean docs too).
+    """
+    from cascading_hive_spark.operators.dedup import shingles_from_tokens
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), r"\s+").alias("_t"),
+        )
+        return toks.select(
+            "doc_id", shingles_from_tokens(F.col("_t"), n).alias("_g")
+        )
+
+    train_g = grams(train)
+    tg = train_g.select("doc_id", F.explode("_g").alias("gram"))
+    eg = grams(eval_df).select(F.explode("_g").alias("gram")).distinct()
+    hits = (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_contaminated"))
+    )
+    return (
+        train_g.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

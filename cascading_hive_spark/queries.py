@@ -829,44 +829,75 @@ def q_events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The orders table lives on a 1995-2001 epoch while events live on
+# Jan 2024. Joined raw, every event trivially follows the user's LAST
+# order and every order trivially precedes the user's FIRST event —
+# the as-of pick never varies with the probe timestamp, so the rows
+# would be green while exercising none of the per-probe selection
+# logic (the r3/r4 nearest-event finding, which applies equally here).
+# All three as-of queries therefore fold each order deterministically
+# onto the events epoch: day-of-epoch mod 30 plus an hour from the
+# order key — identical arithmetic on both engines.
+_FOLD_SPARK = (
+    "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0,"
+    " datediff(cast(o_orderdate as date), date'1995-01-01') % 30,"
+    " o_orderkey % 24, 0, 0)"
+)
+_FOLD_SQL = """TIMESTAMP '2024-01-01'
+             + INTERVAL (datediff('day', DATE '1995-01-01',
+                                  CAST(o_orderdate AS DATE)) % 30) DAY
+             + INTERVAL (o_orderkey % 24) HOUR"""
+
+
 @register(
     "asof_join_last_order",
-    """
-    SELECT event_id, user_id, o_orderdate AS last_order_ts
-    FROM events ASOF JOIN orders
-      ON user_id = o_custkey AND CAST(ts AS TIMESTAMP) >= o_orderdate
+    f"""
+    WITH o AS (
+      SELECT o_custkey, {_FOLD_SQL} AS od
+      FROM orders
+    )
+    SELECT event_id, user_id, o.od AS last_order_ts
+    FROM events ASOF JOIN o
+      ON user_id = o.o_custkey AND CAST(ts AS TIMESTAMP) >= o.od
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(_FOLD_SPARK).alias("od")
+    )
     out = asof_join(
         ev, o,
-        left_on="ts", right_on="o_orderdate",
+        left_on="ts", right_on="od",
         left_by="user_id", right_by="o_custkey",
-        value_cols=["o_orderdate"],
+        value_cols=["od"],
         how="inner",
     )
-    return out.select("event_id", "user_id", F.col("o_orderdate").alias("last_order_ts"))
+    return out.select("event_id", "user_id", F.col("od").alias("last_order_ts"))
 
 
 @register(
     "asof_join_next_event",
-    """
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, {_FOLD_SQL} AS od
+      FROM orders
+    )
     SELECT o_orderkey, o_custkey, ts AS next_event_ts
-    FROM orders ASOF JOIN events
-      ON o_custkey = user_id AND CAST(o_orderdate AS TIMESTAMP) <= CAST(ts AS TIMESTAMP)
+    FROM o ASOF JOIN events
+      ON o.o_custkey = user_id AND o.od <= CAST(ts AS TIMESTAMP)
     """,
 )
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of: earliest event at-or-after each order's date
-    (merge_asof direction='forward' / DuckDB ASOF with <=)."""
+    """Forward as-of: earliest event at-or-after each order's folded
+    probe timestamp (merge_asof direction='forward' / DuckDB ASOF
+    with <=)."""
     from cascading_hive_spark.operators.asof import asof_join
 
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("od_ts")
+        "o_orderkey", "o_custkey", F.expr(_FOLD_SPARK).alias("od_ts")
     )
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     out = asof_join(
@@ -887,22 +918,14 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pick and an exact-distance tie resolves backward — both exactly
 # asof_join's semantics (operators/asof.py).
 #
-# The orders table lives on a 1995-2001 epoch while events live on
-# Jan 2024, so joining the raw dates matched on ZERO rows at every SF
-# (VERDICT r3/r4: green-but-vacuous). The probe timestamp therefore
-# folds each order deterministically onto the events epoch —
-# day-of-epoch mod 30 plus an hour from the order key — identical
-# arithmetic on both engines, and the 1-day tolerance then genuinely
-# nulls far-away candidates instead of everything.
+# With the shared epoch fold (above), the 1-day tolerance genuinely
+# nulls far-away candidates instead of everything (the raw epochs
+# matched ZERO rows at every SF — VERDICT r3/r4: green-but-vacuous).
 @register(
     "asof_join_nearest_event",
-    """
+    f"""
     WITH o AS (
-      SELECT o_orderkey, o_custkey,
-             TIMESTAMP '2024-01-01'
-             + INTERVAL (datediff('day', DATE '1995-01-01',
-                                  CAST(o_orderdate AS DATE)) % 30) DAY
-             + INTERVAL (o_orderkey % 24) HOUR AS od
+      SELECT o_orderkey, o_custkey, {_FOLD_SQL} AS od
       FROM orders
     ),
     bw AS (
@@ -939,13 +962,7 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.asof import asof_join
 
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.expr(
-            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0,"
-            " datediff(cast(o_orderdate as date), date'1995-01-01') % 30,"
-            " o_orderkey % 24, 0, 0)"
-        ).alias("od_ts"),
+        "o_orderkey", "o_custkey", F.expr(_FOLD_SPARK).alias("od_ts")
     )
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     out = asof_join(
@@ -1304,6 +1321,49 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return chunk_documents(d, "doc_id", "text", chunk_chars=200, overlap=40)
+
+
+# Benchmark decontamination: training docs sharing any word 8-gram
+# with the (deterministic doc_id % 7) evaluation subset. The eval
+# n-gram set collapses to a DISTINCT broadcastable relation; the train
+# side never shuffles for the join (operators/text.py:decontaminate).
+@register(
+    "decontaminate_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t
+      FROM documents WHERE text IS NOT NULL),
+    grams AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+               THEN list_transform(generate_series(1, len(t)-7),
+                                   i -> array_to_string(t[i:i+7], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    eval_g AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 7 = 0),
+    hits AS (
+      SELECT ex.doc_id, count(DISTINCT ex.gram) AS n_contaminated
+      FROM ex JOIN eval_g USING (gram)
+      WHERE ex.doc_id % 7 <> 0
+      GROUP BY ex.doc_id)
+    SELECT g.doc_id,
+           coalesce(n_contaminated, 0) AS n_contaminated,
+           coalesce(n_contaminated, 0) > 0 AS contaminated
+    FROM grams g LEFT JOIN hits USING (doc_id)
+    WHERE g.doc_id % 7 <> 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        n=8,
+    )
 
 
 # Repetition metrics: Spark computes top-token share as the longest

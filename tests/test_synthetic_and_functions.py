@@ -123,3 +123,35 @@ def test_chunk_documents_reconstructs_text(spark):
     assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "short"
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", chunk_chars=100, overlap=100)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc embedding a full 8-gram from the eval set is
+    flagged with the right distinct-gram count; disjoint docs come out
+    clean but present; short docs fall back to the whole-text gram."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.text import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the eval doc's full text -> shares its 8-gram
+            (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+            # disjoint vocabulary -> clean
+            (2, "one two three four five six seven eight nine ten"),
+            # shorter than n tokens -> whole-text gram, no overlap
+            (3, "alpha beta"),
+            # NULL text is dropped entirely
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(train, eval_df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].contaminated and rows[1].n_contaminated == 1
+    assert not rows[2].contaminated and rows[2].n_contaminated == 0
+    assert not rows[3].contaminated

@@ -70,3 +70,21 @@ def test_driver_data_loads(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     assert df.limit(5).count() > 0
+
+
+def test_every_table_loads_at_every_sf(spark):
+    """Round-4 lesson generalized: every driver table must at least
+    analyze and yield a row at every scale factor the driver ships, so
+    an upstream data-shape change surfaces here instead of as 40
+    downstream query crashes."""
+    import os
+
+    from cascading_hive_spark.tables import TABLES
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        for name in TABLES:
+            df = load_table(spark, d, name)
+            assert df.limit(1).count() == 1, (sf, name)
