@@ -257,12 +257,15 @@ def deterministic_split(
     test_permille: int = 100,
     seed: int = 42,
 ) -> DataFrame:
-    """Deterministic train/test assignment: xxhash64(id, seed) mod
-    1000 < test_permille -> 'test'. Content-addressed and stable across
-    runs/cluster sizes — the reproducible alternative to randomSplit
-    for corpus curation (no sampling nondeterminism, no reshuffling
-    when data is appended)."""
-    bucket = F.abs(F.xxhash64(F.col(id_col), F.lit(seed))) % 1000
+    """Deterministic train/test assignment: pmod(xxhash64(id, seed),
+    1000) < test_permille -> 'test'. Content-addressed and stable
+    across runs/cluster sizes — the reproducible alternative to
+    randomSplit for corpus curation (no sampling nondeterminism, no
+    reshuffling when data is appended). pmod, not abs-then-mod:
+    abs(Long.MIN_VALUE) is still negative in Java, so the abs form has
+    a 2^-64 hole where the bucket goes negative and the row lands in
+    'test' regardless of rate."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000))
     return df.withColumn(
         "split", F.when(bucket < test_permille, "test").otherwise("train")
     )
