@@ -351,12 +351,17 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -364,19 +369,32 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All price-derived aggregates sum the decimal(18,6) image, not the
+    # raw double: TPC-H prices are 2-decimal, so a double sum's ulp
+    # wobble lands on .xx5 rounding boundaries often enough to flake
+    # cross-engine (the q10 trick, applied repo-wide in round 5).
+    # sum_qty/avg_qty stay double: quantities are integer-valued, so
+    # their double sums are exact. Averages divide the exact decimal
+    # sum as double by count (DuckDB's avg(DECIMAL) returns DOUBLE,
+    # Spark's returns DECIMAL — dividing explicitly sidesteps the
+    # type divergence).
     li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dec(disc_price * (1 + F.col("l_tax")))), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(dec(F.col("l_discount"))).cast("double") / n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -385,7 +403,9 @@ def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     """
-    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT o_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -405,7 +425,12 @@ def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = R.join(R.join(c, o, c.c_custkey == o.o_custkey), li, F.col("o_orderkey") == li.l_orderkey)
     agg = joined.groupBy("o_orderkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
     # order by the ROUNDED value on both sides so the top-10 frontier
     # is identical cross-engine; o_orderkey breaks ties.
@@ -415,7 +440,9 @@ def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS revenue
     FROM region JOIN nation ON n_regionkey = r_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
                 JOIN orders ON o_custkey = c_custkey
@@ -440,14 +467,20 @@ def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 
 @register(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -464,7 +497,13 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
@@ -474,7 +513,8 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(min(l_extendedprice), 2) AS min_price,
            round(max(l_extendedprice), 2) AS max_price,
-           round(avg(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
            round(stddev_samp(l_extendedprice), 4) AS sd_price,
            count(DISTINCT l_partkey) AS n_parts,
            CAST(sum(l_linenumber) AS BIGINT) AS sum_lines
@@ -486,7 +526,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.sum("l_linenumber").cast("bigint").alias("sum_lines"),
@@ -766,17 +810,20 @@ def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly",
     """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-           count(*) AS cnt, round(sum(value), 2) AS sum_value
+           count(*) AS cnt,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value is 2-decimal -> decimal-image sum (same .xx5 flake class
+    # as the TPC-H price sums; see q1)
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
     )
 
 
@@ -1628,23 +1675,28 @@ def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice * (1 - l_discount)
+                                            AS DECIMAL(18,6))
+                                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE), 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
 def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ratio of decimal-image sums divided as doubles (q8 pattern)
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -1678,7 +1730,8 @@ def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
@@ -1695,7 +1748,12 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((p.p_brand == "Brand#3") & p.p_size.between(20, 50) & li.l_quantity.between(20, 40))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -2003,28 +2061,39 @@ def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
 )
 def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The argmax compares revenues for EQUALITY — on raw double sums an
+    # ulp difference between engines could crown a different supplier;
+    # the decimal-image sum makes both the max and the equality exact.
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("total_revenue")
     )
     top = F.broadcast(rev.agg(F.max("total_revenue").alias("_max")))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(top, rev.total_revenue == F.col("_max"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -2034,7 +2103,8 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3' AND p_size < 10
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -2055,7 +2125,11 @@ def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_q, li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -2617,7 +2691,7 @@ def q_events_sessions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_histogram",
     """
     SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS cnt,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
     """,
 )
@@ -2627,7 +2701,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
     )
 
 
@@ -2817,7 +2891,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(ts) AS TIMESTAMP) AS session_start,
            CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM numbered GROUP BY user_id, sid
     """,
 )

@@ -52,7 +52,15 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # decimal-image sum: value is 2-decimal, and a raw double
+            # sum's rounding can land on .xx5 differently per engine /
+            # accumulation order (see queries.q1)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(F.col("win.start").alias("hour"), "event_type", "cnt", "sum_value")
     )
 
@@ -131,7 +139,9 @@ def session_windows_stream(
         .groupBy("user_id", F.session_window("ts", gap).alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             "user_id",
