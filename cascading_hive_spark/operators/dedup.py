@@ -162,16 +162,13 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """num_perm-wide MinHash signature: permutation i is
-    min(xxhash64(shingle, seed=i)) over the shingle set. Entirely
-    scan-side (array_min over transform) — no explode, no shuffle."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
-    )
+# NOTE: there is deliberately NO single-Column "minhash_signature"
+# helper: N same-shape transform(...) lambdas differing only in an
+# embedded literal collapse to ONE shared result on this Spark build
+# (all permutations return permutation 0 — pinned by
+# tests/test_dedup.py::test_minhash_signatures_correct_and_distinct).
+# Signatures must go through the explode + groupBy-min formulation
+# below, whose top-level aggregate expressions evaluate correctly.
 
 
 def minhash_lsh_pairs(
@@ -200,33 +197,46 @@ def minhash_lsh_pairs(
     base = tokenized(df, id_col, text_col).select(
         "_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
     )
-    # Signatures + band hashes entirely SCAN-SIDE (narrow): 64 named
-    # min-hash columns (each consumed exactly once, so CollapseProject
-    # folds them without duplication), then 16 band hashes, then the
-    # 16x band explode of thin (id, band, bhash) rows — ~24 bytes/row.
-    # Nothing wider ever shuffles; shingle arrays stay out of every
-    # wide op and are joined back by id for candidate pairs only.
+    # Each shingle STRING is hashed once scan-side (the length-
+    # proportional cost), then ONE transform lambda expands each long
+    # to its num_perm permutation hashes and ONE aggregate folds the
+    # per-shingle arrays with zip_with(least) — entirely scan-side,
+    # no explode, no extra shuffle.
     #
-    # Each shingle STRING is hashed once (the length-proportional
-    # cost), and the num_perm permutation values re-hash the resulting
-    # fixed-width long — constant-time per permutation, ~num_perm x
-    # less string-hash CPU at equal recall (xxhash64(h, seed=i) over
-    # pre-hashed longs is the standard one-hash MinHash family).
-    # ``_hp`` is a separate projection consumed num_perm times:
-    # CollapseProject only inlines producer expressions referenced
-    # once (or trivially cheap), so the string-hash transform is not
-    # duplicated into the 64 consumers.
+    # Deliberately NOT num_perm separate array_min(transform(...))
+    # columns: same-shape lambdas differing only in the embedded
+    # permutation literal collapse to ONE shared result on this Spark
+    # build (every "permutation" returned permutation 0, degenerating
+    # LSH banding to single-hash matching — found via the sf0.1 oracle
+    # divergence of the md5 twin). Distinct subexpressions INSIDE one
+    # lambda body evaluate correctly (same shape as
+    # shingles_from_tokens); this formulation is pinned bit-for-bit
+    # against the explode+groupBy-min ground truth (itself verified
+    # against Python hashlib for the md5 family) in
+    # tests/test_dedup.py::test_minhash_signatures_correct_and_distinct.
+    _MAXL = F.lit(9223372036854775807)
     hashed = base.select(
         "_id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hp")
     )
-    sig_wide = hashed.select(
+    persh = hashed.select(
         "_id",
-        *[
-            F.array_min(
-                F.transform(F.col("_hp"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            ).alias(f"_h{i}")
-            for i in range(num_perm)
-        ],
+        F.transform(
+            F.col("_hp"),
+            lambda h: F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_perm)]),
+        ).alias("_hs"),
+    )
+    mins = persh.select(
+        "_id",
+        F.aggregate(
+            F.col("_hs"),
+            F.array_repeat(_MAXL, num_perm),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        ).alias("_mins"),
+    )
+    # element extraction: top-level F.get with literal indices (the
+    # shape the embedding-LSH band keys use, oracle-proven correct)
+    sig_wide = mins.select(
+        "_id", *[F.get(F.col("_mins"), i).alias(f"_h{i}") for i in range(num_perm)]
     )
     band_rows = sig_wide.select(
         "_id",
@@ -333,16 +343,22 @@ def minhash_portable_pairs(
             char_ngrams(F.col(text_col), ngram_n).alias("_g"),
         )
     )
-    # _g is a separate projection consumed num_perm times — not
-    # collapsed into the consumers (see minhash_lsh_pairs note).
-    sig = base.select(
-        "_id",
+    # Signatures via explode + groupBy-min rather than
+    # array_min(transform(...)): md5 evaluated INSIDE a higher-order-
+    # function lambda miscomputes on this Spark build when several such
+    # transforms share a projection (layout-dependent digest-input
+    # corruption, reproduced at sf0.1 and pinned by
+    # tests/test_dedup.py::test_minhash_signature_formulations_agree).
+    # Top-level md5 inside an Aggregate is unaffected — and partial
+    # (map-side) aggregation means the shuffle carries one 16-column
+    # minima row per (doc, partition), not the exploded grams, so the
+    # scale shape survives: shuffle bytes ∝ docs, not grams.
+    ex = base.select("_id", F.explode("_g").alias("_gram"))
+    sig = ex.groupBy("_id").agg(
         *[
-            F.array_min(
-                F.transform(F.col("_g"), lambda g, i=i: F.md5(F.concat(F.lit(f"{i}|"), g)))
-            ).alias(f"_h{i}")
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_gram")))).alias(f"_h{i}")
             for i in range(num_perm)
-        ],
+        ]
     )
     band_rows = sig.select(
         "_id",

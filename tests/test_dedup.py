@@ -94,6 +94,87 @@ def test_minhash_portable_no_fp_and_recall(spark, docs):
         assert abs(j - truth[k]) < 1e-6
 
 
+def test_minhash_signatures_correct_and_distinct(spark, docs):
+    """Regression for a Spark HOF miscomputation: N same-shape
+    ``array_min(transform(...))`` lambdas differing only in an embedded
+    permutation literal collapse to ONE shared result (every
+    "permutation" returned permutation 0), silently degenerating LSH
+    banding to single-hash matching — found via the sf0.1 oracle
+    divergence of dedup_minhash_portable. Signatures therefore go
+    through explode + groupBy-min. Pin (a) the md5 family against
+    arbitrary-precision Python hashlib ground truth, and (b) that the
+    xxhash64 family's permutations are genuinely distinct per doc."""
+    import hashlib
+
+    from cascading_hive_spark.operators.dedup import char_ngrams, tokenized, shingles_from_tokens
+
+    n_perm = 8
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("_id"), char_ngrams(F.col("text"), 3).alias("_g")
+    )
+    agg = (
+        base.select("_id", F.explode("_g").alias("_gram"))
+        .groupBy("_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_gram")))).alias(f"h{i}")
+                for i in range(n_perm)
+            ]
+        )
+    )
+    grams = {r._id: r._g for r in base.collect()}
+    for r in agg.collect():
+        for i in range(n_perm):
+            py = min(
+                hashlib.md5((f"{i}|" + g).encode()).hexdigest() for g in grams[r._id]
+            )
+            assert r[f"h{i}"] == py, (r._id, i)
+
+    tok = tokenized(docs, "doc_id", "text").select(
+        "_id", shingles_from_tokens(F.col("_toks"), 2).alias("_sh")
+    )
+    hashed = tok.select(
+        "_id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hp")
+    )
+    # ground truth: explode + groupBy-min (top-level aggregates; the
+    # formulation python-verified above for the md5 family)
+    truth = {
+        r._id: tuple(r[f"h{i}"] for i in range(n_perm))
+        for r in hashed.select("_id", F.explode("_hp").alias("_h"))
+        .groupBy("_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
+                for i in range(n_perm)
+            ]
+        )
+        .collect()
+    }
+    # the operator's scan-side formulation: one transform expanding to
+    # per-shingle hash arrays + one zip_with(least) fold
+    maxl = F.lit(9223372036854775807)
+    zipf = hashed.select(
+        "_id",
+        F.aggregate(
+            F.transform(
+                F.col("_hp"),
+                lambda h: F.array(*[F.xxhash64(h, F.lit(i)) for i in range(n_perm)]),
+            ),
+            F.array_repeat(maxl, n_perm),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        ).alias("_mins"),
+    )
+    degenerate = 0
+    for r in zipf.collect():
+        got = tuple(r._mins)
+        assert got == truth[r._id], r._id
+        if len(set(got)) == 1:
+            degenerate += 1
+    # distinct permutations agree only with probability ~2^-63 per pair;
+    # a degenerate doc means the collapse bug is back
+    assert degenerate == 0, f"{degenerate} docs have identical minima across perms"
+
+
 def test_ngram_jaccard_max_block_guard(spark):
     """Optional block cap bounds a flooded fingerprint key; default
     (None) preserves the exact-pair contract."""
