@@ -46,7 +46,34 @@ def events_ts_stored_as_nanos(path: str) -> bool:
     return str(t) == "int64" or getattr(t, "unit", None) == "ns"
 
 
-def normalize_events_ts(df: DataFrame) -> DataFrame:
+def int64_ts_micros_divisor(path: str) -> int:
+    """Divisor that converts a raw-int64 ``ts`` column to epoch-MICROS,
+    inferred from the column's parquet row-group min statistic rather
+    than assumed. Epoch magnitudes are unambiguous across units for any
+    plausible event time (1973..2500): nanos ~1e18, micros ~1e15,
+    millis ~1e12, seconds ~1e9 — so a silent generator switch from
+    nanos to micros can never again shift timestamps 1000x unnoticed
+    (ADVICE r5). Raises if the magnitude matches no unit."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index("ts")
+    stats = pf.metadata.row_group(0).column(idx).statistics
+    v = abs(int(stats.min)) if stats is not None and stats.has_min_max else None
+    if v is None:  # no stats written: fall back to reading one value
+        v = abs(int(pf.read_row_group(0, columns=["ts"]).column(0)[0].as_py()))
+    for divisor, lo, hi in ((1_000, 1e17, 2e19), (1, 1e14, 2e16)):
+        if lo <= v < hi:
+            return divisor
+    if 1e11 <= v < 2e13:  # epoch-millis
+        raise ValueError(
+            f"events.ts int64 magnitude {v} looks like epoch-MILLIS; "
+            "loader only handles nanos/micros — extend the divisor table"
+        )
+    raise ValueError(f"events.ts int64 magnitude {v} matches no known epoch unit")
+
+
+def normalize_events_ts(df: DataFrame, int64_divisor: int = 1_000) -> DataFrame:
     """Normalize the ``ts`` column to session-zoned TIMESTAMP micros
     regardless of how the driver materialized it. The data generator has
     shipped both shapes across rounds — TIMESTAMP(NANOS) (read as long
@@ -54,7 +81,9 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     the loader branches on the *loaded* dtype instead of assuming one:
 
     - integral (legacy nanos-as-long): integer-divide to micros (DIV,
-      not ``/``, to avoid double-precision loss on ~1e18 values);
+      not ``/``, to avoid double-precision loss on ~1e18 values) by
+      ``int64_divisor``, which the loader infers from the stored
+      magnitude (int64_ts_micros_divisor) instead of assuming nanos;
     - TIMESTAMP_NTZ: cast to TIMESTAMP — the session tz is pinned UTC
       (session.py), so values are identical and the schema matches what
       DuckDB reports for the same file;
@@ -65,7 +94,9 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
     dt = df.schema["ts"].dataType
     if isinstance(dt, (T.LongType, T.IntegerType)):
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn(
+            "ts", F.expr(f"timestamp_micros(ts div {int(int64_divisor)})")
+        )
     if isinstance(dt, T.TimestampNTZType):
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -76,9 +107,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        divisor = 1_000
         if events_ts_stored_as_nanos(path):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(path))
+            import pyarrow.parquet as pq
+
+            if str(pq.read_schema(path).field("ts").type) == "int64":
+                divisor = int64_ts_micros_divisor(path)
+        return normalize_events_ts(spark.read.parquet(path), divisor)
     return spark.read.parquet(path)
 
 
