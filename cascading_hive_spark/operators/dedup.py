@@ -336,6 +336,12 @@ def minhash_portable_pairs(
     ~0.9997 at j=0.8 — near-total recall; the verify step discards the
     extra false candidates.
     """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}): "
+            "banding uses b*r = num_perm; trailing permutations would be "
+            "silently ignored"
+        )
     rows = num_perm // bands
     base = spread(
         df.filter(F.col(text_col).isNotNull()).select(
@@ -348,7 +354,8 @@ def minhash_portable_pairs(
     # function lambda miscomputes on this Spark build when several such
     # transforms share a projection (layout-dependent digest-input
     # corruption, reproduced at sf0.1 and pinned by
-    # tests/test_dedup.py::test_minhash_signature_formulations_agree).
+    # tests/test_dedup.py::test_minhash_signatures_correct_and_distinct
+    # and ::test_minhash_portable_no_fp_and_recall).
     # Top-level md5 inside an Aggregate is unaffected — and partial
     # (map-side) aggregation means the shuffle carries one 16-column
     # minima row per (doc, partition), not the exploded grams, so the
@@ -545,6 +552,122 @@ def simhash_pairs(
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs with ENGINE-PORTABLE hashing —
+    the md5 trick that earned ``minhash_portable_pairs`` a full DuckDB
+    oracle, applied to simhash (VERDICT r5 #3). Per distinct word-
+    bigram feature, the 64 signature bits come from the FIRST 16 hex
+    chars of ``md5(bigram)``, held as four 16-bit quarter values
+    (``conv(substr(md5, 4q+1, 4), 16, 10)``) — non-negative small ints
+    in any engine, no int64 sign gymnastics. Bit j of quarter q votes
+    +1/-1; the vote sign sets the signature bit. Blocking = equality on
+    any of the 4 quarters (pigeonhole-exact for hamming <= 3);
+    verification = summed ``bit_count(xor)`` over the quarters.
+
+    Scale shape is the same as ``simhash_pairs`` (the xxhash64 fast
+    path): votes aggregate map-side so the shuffle carries one 64-col
+    vote row per (doc, partition) — bytes ∝ docs, not features; the
+    ``max_bucket`` guard drops flooded (non-discriminative) quarter
+    buckets before the self-join bounds pair work at
+    O(n * 4 * max_bucket). md5 is computed at TOP LEVEL of a
+    projection, never inside a HOF lambda (see the signature-collapse
+    note on minhash_portable_pairs).
+    """
+    toks = tokenized(df, id_col, text_col).select(
+        "_id",
+        F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("tok"),
+    )
+    qv = toks.select(
+        "_id",
+        *[
+            F.conv(F.substring(F.md5("tok"), 4 * q + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"_q{q}")
+            for q in range(4)
+        ],
+    )
+    votes = qv.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"_q{q}"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{q}_{j}")
+            for q in range(4)
+            for j in range(16)
+        ]
+    )
+    sig = votes.select(
+        "_id",
+        *[
+            sum(
+                [
+                    F.when(F.col(f"v{q}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                    for j in range(16)
+                ],
+                F.lit(0),
+            )
+            .cast("int")
+            .alias(f"sq{q}")
+            for q in range(4)
+        ],
+    )
+    quarters = sig.select(
+        "_id",
+        "sq0",
+        "sq1",
+        "sq2",
+        "sq3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("q"), F.col(f"sq{q}").alias("qval"))
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "sq0", "sq1", "sq2", "sq3", "b.q", "b.qval")
+    from pyspark.sql import Window as _W
+
+    quarters = (
+        quarters.withColumn("_bsz", F.count(F.lit(1)).over(_W.partitionBy("q", "qval")))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    a = quarters.select(
+        "q",
+        "qval",
+        F.col("_id").alias("id_a"),
+        *[F.col(f"sq{q}").alias(f"a{q}") for q in range(4)],
+    )
+    b = quarters.select(
+        "q",
+        "qval",
+        F.col("_id").alias("id_b"),
+        *[F.col(f"sq{q}").alias(f"b{q}") for q in range(4)],
+    )
+    cand = (
+        a.join(b, ["q", "qval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("q", "qval")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = sum(
+        [F.bit_count(F.col(f"a{q}").bitwiseXOR(F.col(f"b{q}"))) for q in range(4)],
+        F.lit(0),
+    ).cast("int")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -578,13 +578,36 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.dedupe_rows(_t(spark, sf_dir, "customer").select("c_mktsegment"))
 
 
-# approx_count_distinct is estimator-specific (HLL++ in Spark) — no
-# cross-engine oracle; driver records a rows-only check, pytest bounds
-# the estimate against the exact count.
-@register("approx_distinct_parts", None)
+# approx_count_distinct is estimator-specific (HLL++ in Spark), so
+# its raw value has no cross-engine oracle. Instead of settling for a
+# rows-only row (VERDICT r5 #4), the query returns the EXACT distinct
+# count alongside a boolean asserting the HLL estimate landed within
+# 3x its configured rel_sd — the oracle hash-matches the exact side
+# and pins within_bound=TRUE, so the driver row now verifies both the
+# exact aggregation AND that the estimator behaves. (HLL++ is
+# deterministic for a given input, so the boolean is stable; 3x the
+# 5% rel_sd is far beyond any realistic estimator excursion.)
+@register(
+    "approx_distinct_parts",
+    """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    rsd = 0.05
+    return li.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd).alias("_approx"),
+    ).select(
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= F.col("exact_parts") * (3 * rsd)
+        ).alias("within_bound"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1144,6 +1167,74 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
 
 
+def _simhash_portable_oracle(max_hamming: int = 3, max_bucket: int = 1000) -> str:
+    # Generated mirror of operators/dedup.simhash_portable_pairs —
+    # same distinct word-bigram features, same md5-quarter bit votes,
+    # same quarter blocking + bucket cap, same bit_count(xor) verify.
+    # 64 vote columns are machine-written; every arithmetic step is
+    # small non-negative ints so no engine can diverge.
+    qcols = ", ".join(
+        f"('0x' || substr(h, {4 * q + 1}, 4))::INT AS q{q}" for q in range(4)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (q{q} // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{q}_{j}"
+        for q in range(4)
+        for j in range(16)
+    )
+    sig = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN v{q}_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+        )
+        + f") AS sq{q}"
+        for q in range(4)
+    )
+    qval = "CASE qx WHEN 0 THEN sq0 WHEN 1 THEN sq1 WHEN 2 THEN sq2 ELSE sq3 END"
+    ham = " + ".join(f"bit_count(xor(a.sq{q}, b.sq{q}))" for q in range(4))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2
+                  THEN list_distinct(list_transform(generate_series(1, len(t)-1),
+                       i -> t[i] || ' ' || t[i+1]))
+                  ELSE [array_to_string(t, ' ')] END AS g
+      FROM toks),
+    ex AS (SELECT doc_id, md5(unnest(g)) AS h FROM g),
+    qv AS (SELECT doc_id, {qcols} FROM ex),
+    votes AS (SELECT doc_id, {votes} FROM qv GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} FROM votes),
+    quarters AS (
+      SELECT doc_id, sq0, sq1, sq2, sq3, qx, {qval} AS qval
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS qx) qs),
+    bsz AS (SELECT qx, qval, count(*) AS n FROM quarters GROUP BY qx, qval),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             {ham} AS hamming
+      FROM quarters a
+      JOIN quarters b ON a.qx = b.qx AND a.qval = b.qval AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.qx = a.qx AND s.qval = a.qval
+      WHERE s.n <= {max_bucket})
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+# Portable SimHash (VERDICT r5 #3): the md5 trick that upgraded
+# minhash to a full hash-matched row, applied to the simhash pipeline
+# — votes, 64-bit signature (as four 16-bit quarters), pigeonhole
+# quarter blocking, hamming verify — all reproduced by the oracle.
+@register("dedup_simhash_portable", _simhash_portable_oracle())
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import simhash_portable_pairs
+
+    return simhash_portable_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
 # Embedding-cosine near-dup with bounded hyperplane-LSH blocking (the
 # round-1 label-block all-pairs join was the one scale-killer: a hot
 # label with 1M vectors is 5e11 pairs). Candidates now come from
@@ -1239,7 +1330,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang FROM (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-                 ORDER BY (doc_id % 1000000007 * 2654435761) % 1000000007,
+                 ORDER BY ((doc_id % 1000000007 + 1000000007) % 1000000007
+                           * 2654435761) % 1000000007,
                           doc_id) AS rk
       FROM documents)
     WHERE rk <= 20
@@ -1256,7 +1348,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_corpus_mix",
     """
     SELECT doc_id, source FROM documents
-    WHERE (doc_id % 1000 * 761) % 1000 <
+    WHERE ((doc_id % 1000 + 1000) % 1000 * 761) % 1000 <
           CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
                       WHEN 'src2' THEN 100 ELSE 50 END
     """,
@@ -1620,6 +1712,41 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return frame_sample(media, every_n_bytes=64)
+
+
+# Real image decode (VERDICT r5 #2): PNG/JPEG/GIF payloads are BUILT
+# JVM-side (hex/unhex header bytes, dims a pure function of doc_id),
+# then decoded by the pure-Python container-header parser inside the
+# Arrow mapInPandas pipeline. The oracle recomputes the dims
+# arithmetically — a full hash-match verifies binary construction,
+# Arrow transfer, and all three parser branches end-to-end. pmod
+# algebra on both sides so negative ids can't diverge (ADVICE r5).
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS id,
+           CASE (doc_id % 3 + 3) % 3 WHEN 0 THEN 'png'
+                                     WHEN 1 THEN 'jpeg'
+                                     ELSE 'gif' END AS format,
+           CAST((doc_id % 640 + 640) % 640 + 1 AS INT) AS width,
+           CAST((doc_id % 480 + 480) % 480 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.multimodal import (
+        decode_image,
+        synth_image_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.pmod(F.col("doc_id"), F.lit(640)) + 1).cast("int")
+    h = (F.pmod(F.col("doc_id"), F.lit(480)) + 1).cast("int")
+    sel = F.pmod(F.col("doc_id"), F.lit(3))
+    payloads = d.select(
+        F.col("doc_id").alias("id"), synth_image_payload(w, h, sel).alias("payload")
+    )
+    return decode_image(payloads)
 
 
 # ---------------------------------------------------------------------------
@@ -3046,7 +3173,7 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_test_split",
     """
     SELECT split, lang, count(*) AS n FROM (
-      SELECT lang, CASE WHEN (doc_id % 1000 * 761) % 1000 < 100
+      SELECT lang, CASE WHEN ((doc_id % 1000 + 1000) % 1000 * 761) % 1000 < 100
                         THEN 'test' ELSE 'train' END AS split
       FROM documents)
     GROUP BY split, lang
@@ -3098,3 +3225,291 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q2/q9/q11/q20 shapes (r6 stretch). The driver tables ship no
+# partsupp, so the part<->supplier relation derives from lineitem
+# (l_partkey, l_suppkey) — the queries keep the ORIGINAL plan shapes
+# (correlated min subquery, multi-way profit join, global-threshold
+# HAVING, aggregated-IN semi-join) on the available schema.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                   / sum(l_quantity), 4) AS DOUBLE) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, c.unit_cost
+    FROM cost c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_size <= 15
+      AND c.unit_cost = (
+        SELECT min(c2.unit_cost) FROM cost c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE c2.l_partkey = c.l_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q2 shape: min-cost supplier per part within a region, the
+    # correlated-min subquery expressed as a window min over the
+    # region-filtered cost table (one shuffle on l_partkey instead of
+    # a re-aggregating self-join; region/nation broadcast). unit_cost
+    # aggregates the decimal price image (repo rounding discipline).
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            / F.sum("l_quantity"),
+            4,
+        )
+        .cast("double")
+        .alias("unit_cost")
+    )
+    asia = (
+        cost.join(sup, cost.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = asia.withColumn("_min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("_min_cost")
+    )
+    return (
+        best.join(part.filter(F.col("p_size") <= 15), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    - l_quantity * p_retailprice * 0.1 AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q9 shape: per-nation per-year profit over the 5-way join tree;
+    # p_retailprice*0.1 stands in for ps_supplycost (no partsupp in
+    # the driver tables) — the amount keeps q9's subtraction form so
+    # the decimal image covers a signed sum.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.1
+    ).cast("decimal(18,6)")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH value_by_part AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'CHINA'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, CAST(round(v, 2) AS DOUBLE) AS value
+    FROM value_by_part
+    WHERE v > (SELECT sum(v) * 0.001 FROM value_by_part)
+    """,
+)
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q11 shape: per-part inventory value for one nation's suppliers,
+    # kept only above a fraction of the GLOBAL total — the scalar
+    # subquery becomes a 1-row cross-join (broadcast by AQE).
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "CHINA")
+    v = (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,6)")
+    by_part = (
+        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(v).alias("v"))
+    )
+    total = by_part.agg((F.sum("v") * 0.001).alias("_threshold"))
+    return (
+        by_part.crossJoin(total)
+        .filter(F.col("v") > F.col("_threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("v", 2).cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'CHINA'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'p%' AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 30)
+    """,
+)
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q20 shape: suppliers who moved excess quantity of targeted parts
+    # — aggregated-HAVING subquery feeding an IN, planned as
+    # aggregate -> distinct -> left-semi join.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("p%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "CHINA")
+    excess = (
+        li.filter(F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver CORRECTNESS window ordering
+# ---------------------------------------------------------------------------
+# The external driver oracle-checks only the FIRST 50 entries of
+# ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
+# above is thematic, so without intervention the same 50 queries get
+# re-checked every round while the rest never earn a driver-verified
+# row (the r5 verdict: 59/109 never checked, and a mid-list insertion
+# even evicted the oracle-green pack_sequences). ``_DRIVER_WINDOW``
+# pins the first 50 slots explicitly — rotate it each round toward
+# queries that have not yet had a driver row. Every name in it must be
+# registered AND oracle-able; _apply_driver_window raises at import
+# time otherwise, and tests/test_registry_hygiene.py pins the same
+# invariants in pytest.
+
+_DRIVER_WINDOW: list[str] = [
+    "wordcount",  # slot 1: driver entry smoke, keep first
+    "pack_sequences",  # evicted from the r5 window by a mid-list insertion
+    # never driver-checked as of r5 (CORRECTNESS_r01..r05):
+    "text_pii_redact",
+    "text_chunking",
+    "decontaminate_docs",
+    "text_repetition",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_by_flag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q21_sole_returned_supplier",
+    "q22_scalar_subquery",
+    "join_null_safe",
+    "grouping_sets",
+    "array_higher_order",
+    "percentiles",
+    "skew_salted_group_count",
+    "skew_salted_join",
+    "all_types_surface",
+    "dedup_keep_first",
+    "pipeline_quality_dedup_rollup",
+    "a25_null_detection",
+    "pandas_udf_scalar",
+    "grouped_map_udaf",
+    "range_join_error_window",
+    "dedup_cluster_components",
+    "text_clean_normalize",
+    "events_funnel",
+    "events_sessions_detail",
+    "value_histogram",
+    "posexplode_tokens",
+    "upsert_orders",
+    "map_type_ops",
+    "streaming_sessionize",
+    "streaming_attribution",
+    "streaming_session_windows",
+    "string_agg_names",
+    "unpivot_measures",
+    "train_test_split",
+    "events_daily_gapfill",
+    "dedup_simhash_portable",  # new in r6 — full-pipeline oracle
+    "approx_distinct_parts",  # r6: exact twin + bound check, first real row
+    "multimodal_decode",  # new in r6 — real header decode, full oracle
+]
+
+
+def _apply_driver_window() -> None:
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    assert len(set(_DRIVER_WINDOW)) == 50, "duplicate names in _DRIVER_WINDOW"
+    missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"_DRIVER_WINDOW names not registered: {missing}")
+    no_oracle = [n for n in _DRIVER_WINDOW if _REGISTRY[n][1] is None]
+    if no_oracle:
+        raise RuntimeError(
+            f"_DRIVER_WINDOW must be fully oracle-able, these are not: {no_oracle}"
+        )
+    window = set(_DRIVER_WINDOW)
+    ordered = {n: _REGISTRY[n] for n in _DRIVER_WINDOW}
+    ordered.update((n, v) for n, v in _REGISTRY.items() if n not in window)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_apply_driver_window()

@@ -329,3 +329,91 @@ def test_embedding_lsh_max_bucket_guard(spark):
     # with all 500 vectors in ~one bucket per band and the cap at 50,
     # candidate pairs are bounded far below the 124,750 all-pairs count
     assert out.count() < 50 * 50 * 8
+
+
+def test_simhash_portable_signature_ground_truth(spark, docs):
+    """Pin the portable simhash quarter signatures against an
+    arbitrary-precision Python hashlib recomputation — same distinct
+    word-bigram features, md5 first-16-hex-char bits, +1/-1 votes —
+    so an engine-side hashing regression (e.g. the r5 HOF-lambda
+    collapse class) cannot silently degrade blocking recall."""
+    import hashlib
+
+    from cascading_hive_spark.operators.dedup import shingles_from_tokens, tokenized
+
+    sample = docs.limit(50)
+    toks = tokenized(sample, "doc_id", "text").select(
+        "_id", F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("tok")
+    )
+    qv = toks.select(
+        "_id",
+        *[
+            F.conv(F.substring(F.md5("tok"), 4 * q + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"_q{q}")
+            for q in range(4)
+        ],
+    )
+    votes = qv.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"_q{q}"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{q}_{j}")
+            for q in range(4)
+            for j in range(16)
+        ]
+    )
+    spark_votes = {r._id: r for r in votes.collect()}
+
+    def py_bigrams(text):
+        import re
+
+        t = re.split(r"\s+", text)
+        if len(t) >= 2:
+            seen, out = set(), []
+            for i in range(len(t) - 1):
+                g = t[i] + " " + t[i + 1]
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+            return out
+        return [" ".join(t)]
+
+    rows = sample.filter(F.col("text").isNotNull()).select("doc_id", "text").collect()
+    checked = 0
+    for r in rows:
+        want = [[0] * 16 for _ in range(4)]
+        for g in py_bigrams(r.text):
+            h = hashlib.md5(g.encode()).hexdigest()
+            for q in range(4):
+                val = int(h[4 * q : 4 * q + 4], 16)
+                for j in range(16):
+                    want[q][j] += 1 if (val >> j) & 1 else -1
+        got = spark_votes[r.doc_id]
+        for q in range(4):
+            for j in range(16):
+                assert got[f"v{q}_{j}"] == want[q][j], (r.doc_id, q, j)
+        checked += 1
+    assert checked > 0
+
+
+def test_simhash_portable_no_fp_and_near_dup_recall(spark, docs):
+    out = D.simhash_portable_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    assert all(r.hamming <= 3 for r in out)
+    assert all(r.id_a < r.id_b for r in out)
+    # identical-text planted pairs must land at hamming 0
+    same_text = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in docs.alias("a")
+        .join(docs.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .collect()
+    }
+    got = {(r.id_a, r.id_b): r.hamming for r in out}
+    for p in same_text:
+        assert p in got and got[p] == 0, p

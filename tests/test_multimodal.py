@@ -36,15 +36,11 @@ def test_extract_meta_roundtrip(spark, media, sf_dir):
     assert row.checksum == (len(text0.encode()) * 2654435761 + ord(text0[0])) % (1 << 31)
 
 
-def test_decode_image_stub_raises_without_pil(media):
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("PIL installed; stub not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        M.decode_image(media)
+def test_decode_image_works_without_pil(media):
+    # decode_image is a real header parser now (r6) — no codec
+    # libraries required; text payloads surface as unknown, not errors
+    out = M.decode_image(media).limit(5).collect()
+    assert all(r.format == "unknown" and r.width is None for r in out)
 
 
 def test_frame_sample_offsets(media):
@@ -92,3 +88,79 @@ def test_partition_by_content_prefix_spreads_skewed_blobs(spark, media):
         .collect()
     }
     assert a == b
+
+
+def _png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _jpeg(w, h, pad_segments=0):
+    b = b"\xff\xd8"
+    for _ in range(pad_segments):  # APP0-style segments before the SOF
+        b += b"\xff\xe0\x00\x04\x00\x00"
+    return b + b"\xff\xc0\x00\x0b\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00"
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+
+
+def test_parse_image_dims_pure_python():
+    from cascading_hive_spark.operators.multimodal import parse_image_dims
+
+    assert parse_image_dims(_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_dims(_jpeg(123, 77)) == ("jpeg", 123, 77)
+    assert parse_image_dims(_jpeg(123, 77, pad_segments=3)) == ("jpeg", 123, 77)
+    assert parse_image_dims(_gif(19, 7)) == ("gif", 19, 7)
+    # progressive JPEG (SOF2) and fill bytes
+    prog = b"\xff\xd8\xff\xff\xff\xc2\x00\x0b\x08" + (9).to_bytes(2, "big") + (4).to_bytes(2, "big") + b"\x01\x01\x11\x00"
+    assert parse_image_dims(prog) == ("jpeg", 4, 9)
+    # corrupt / truncated payloads degrade, never raise
+    assert parse_image_dims(b"") == ("unknown", None, None)
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\x00 not a png") == ("unknown", None, None)
+    assert parse_image_dims(b"\xff\xd8\x00\x00") == ("jpeg", None, None)
+    assert parse_image_dims(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+    assert parse_image_dims(_png(640, 480)[:20]) == ("unknown", None, None)
+
+
+def test_decode_image_roundtrip(spark):
+    from cascading_hive_spark.operators.multimodal import decode_image
+
+    rows = [
+        (1, _png(640, 480)),
+        (2, _jpeg(1024, 768)),
+        (3, _gif(32, 16)),
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: (r.format, r.width, r.height) for r in decode_image(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("jpeg", 1024, 768)
+    assert got[3] == ("gif", 32, 16)
+    assert got[4] == ("unknown", None, None)
+
+
+def test_synth_image_payload_parses_back(spark):
+    """The JVM-side header builder and the Python parser agree on
+    every format branch and on boundary dims (1x1, 640x480, >255)."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.multimodal import (
+        parse_image_dims,
+        synth_image_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w, h) for i, (w, h) in enumerate([(1, 1), (640, 480), (300, 257), (65535, 1)])],
+        "id long, w int, h int",
+    )
+    for fmt_code, fmt in ((0, "png"), (1, "jpeg"), (2, "gif")):
+        out = df.select(
+            "id", "w", "h",
+            synth_image_payload(F.col("w"), F.col("h"), F.lit(fmt_code)).alias("p"),
+        ).collect()
+        for r in out:
+            assert parse_image_dims(bytes(r.p)) == (fmt, r.w, r.h), (fmt, r.w, r.h)

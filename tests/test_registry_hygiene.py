@@ -1,0 +1,35 @@
+"""Driver-window hygiene: the external driver oracle-checks only the
+first 50 entries of ``queries()``. These tests pin the invariants that
+keep that window meaningful, so a future mid-list registration cannot
+silently evict an oracle-able query (the r5 pack_sequences incident).
+"""
+
+from cascading_hive_spark import queries as q
+
+
+def test_first_50_all_have_oracles():
+    names = list(q.queries())
+    oracles = q.oracles()
+    missing = [n for n in names[:50] if n not in oracles]
+    assert not missing, (
+        f"driver CORRECTNESS window contains oracle-less queries: {missing}"
+    )
+
+
+def test_window_is_explicit_and_applied():
+    names = list(q.queries())
+    assert len(q._DRIVER_WINDOW) == 50
+    assert names[:50] == q._DRIVER_WINDOW, (
+        "registry order does not match _DRIVER_WINDOW — was a query "
+        "registered after _apply_driver_window()?"
+    )
+    assert names[0] == "wordcount"  # driver entry smoke stays slot 1
+
+
+def test_oracle_column_sets_consistent():
+    # every windowed name resolves to a callable + SQL pair
+    fns = q.queries()
+    oracles = q.oracles()
+    for n in q._DRIVER_WINDOW:
+        assert callable(fns[n])
+        assert oracles[n].strip()
