@@ -85,6 +85,23 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Host-contention context (VERDICT r5 #6): three rounds of verdicts
+    # had to hand-wave co-tenant noise; record it in the artifact
+    # instead. load_avg is the 1/5/15-min system load; n_java is how
+    # many other JVMs were alive at the end of the run.
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg = None
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["pgrep", "-c", "java"], capture_output=True, text=True
+        ).stdout.strip()
+        n_java = int(out) if out else 0
+    except Exception:
+        n_java = None
     print(
         json.dumps(
             {
@@ -93,6 +110,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "load_avg": load_avg,
+                "n_java_procs": n_java,
             }
         )
     )

@@ -177,6 +177,139 @@ def smoke_packing(n: int = 1_000_000) -> None:
                           "avg_utilization": row["avg_util"]}))
 
 
+def smoke_asof(n_left: int = 10_000_000, n_right: int = 1_000_000) -> None:
+    """asof_join at 10M left x 1M right over 100k keys with a hot key
+    holding ~20% of BOTH sides (VERDICT r5 #5). The union+window plan
+    shuffles |L|+|R| once on the by-key; the hot key serializes one
+    partition's sort, so wall time should degrade gracefully (the sort
+    is O(n_hot log n_hot)), never quadratically."""
+    from cascading_hive_spark.operators.asof import asof_join
+
+    spark = _spark()
+    left = spark.range(n_left).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(100_000)))
+        .alias("key"),
+        F.pmod(F.col("id") * 7, F.lit(1_000_000_000)).alias("ts"),
+        F.col("id").alias("lid"),
+    ).localCheckpoint()
+    right = spark.range(n_right).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64(F.col("id") + 17), F.lit(100_000)))
+        .alias("key"),
+        F.pmod(F.col("id") * 13, F.lit(1_000_000_000)).alias("ts"),
+        (F.col("id") % 1000).alias("val"),
+    ).localCheckpoint()
+    for direction in ("backward", "nearest"):
+        t0 = time.monotonic()
+        out = asof_join(
+            left, right, "ts", "ts", "key", "key", ["val"], direction=direction
+        )
+        n = out.count()
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "asof", "direction": direction,
+                          "n_left": n_left, "n_right": n_right,
+                          "hot_key_share": 0.2, "matched": n,
+                          "wall_sec": wall}))
+
+
+def smoke_packing_skewed(n: int = 1_000_000) -> None:
+    """pack_sequences under a SKEWED group distribution (group =
+    floor(512*u^2), so group 0 carries ~20x the uniform share): the
+    per-group Arrow walk is sequential within a group, so wall time
+    should track the largest group linearly — no blow-up, utilization
+    unchanged vs the uniform smoke."""
+    from pyspark.sql import functions as FF
+
+    from cascading_hive_spark.operators.packing import pack_sequences, packing_stats
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(spark, n=size, n_vocab=5000).localCheckpoint()
+        u = F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000)) / 1_000_000.0
+        skewed_group = F.floor(F.lit(512) * u * u)
+        t0 = time.monotonic()
+        packed = pack_sequences(
+            docs, "doc_id", text_col="text", capacity=2048, group_expr=skewed_group
+        )
+        stats = packing_stats(packed, 2048)
+        row = stats.agg(
+            FF.count(FF.lit(1)).alias("n_seqs"),
+            FF.round(FF.avg("utilization"), 4).alias("avg_util"),
+        ).first()
+        top = (
+            packed.groupBy("pack_group").count().orderBy(FF.desc("count")).first()
+        )
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "packing_skewed", "n_docs": size,
+                          "wall_sec": wall, "n_sequences": row["n_seqs"],
+                          "avg_utilization": row["avg_util"],
+                          "largest_group_docs": top["count"],
+                          "uniform_share_docs": size // 512}))
+
+
+def smoke_q1_decimal(tile: int = 10) -> None:
+    """q1's decimal(18,6)-image accumulation cost at ~sf1 (VERDICT r5
+    #7): tile the sf0.1 lineitem ``tile``x into /tmp parquet (~6M rows
+    at tile=10) and time the production q1 against a raw-double-sum
+    variant. The decimal images exist to kill cross-engine .xx5
+    rounding flakes; this measures what that correctness costs at 10x
+    the bench SF so the knob (decimal width vs approach) is decided on
+    data, not anecdote."""
+    import os
+    import tempfile
+
+    from cascading_hive_spark import queries as Q
+    from cascading_hive_spark.tables import load_table
+
+    spark = _spark()
+    tmp = tempfile.mkdtemp(prefix="sf1_q1_")
+    src = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    (
+        src.crossJoin(spark.range(tile).select(F.col("id").alias("_t")))
+        .drop("_t")
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "lineitem.parquet"))
+    )
+    n_rows = spark.read.parquet(os.path.join(tmp, "lineitem.parquet")).count()
+
+    def q1_double(s, sf_dir):
+        li = load_table(s, sf_dir, "lineitem")
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        cnt = F.count(F.lit(1))
+        return (
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                cnt.alias("count_order"),
+            )
+        )
+
+    variants = [
+        ("decimal_18_6", Q.queries()["q1_pricing_summary"]),
+        ("double", q1_double),
+    ]
+    for label, fn in variants:
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn(spark, tmp).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - t0, 2))
+        print(json.dumps({"smoke": "q1_decimal", "variant": label,
+                          "n_rows": n_rows, "runs": runs,
+                          "median_sec": sorted(runs)[1]}))
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -186,4 +319,7 @@ if __name__ == "__main__":
         "cc": smoke_cc,
         "elsh_auto": smoke_elsh_auto,
         "packing": smoke_packing,
+        "asof": smoke_asof,
+        "packing_skewed": smoke_packing_skewed,
+        "q1_decimal": smoke_q1_decimal,
     }[name](*args)
