@@ -405,3 +405,38 @@ def ivf_probe_from_disk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|v|/127``,
+    ``q_i = floor(v_i/scale + 0.5)`` — the storage/transfer shrink for
+    embedding corpora (float32 -> int8 is the standard 4x before ANN).
+
+    Every step is IEEE double arithmetic (cast-up from float32 is
+    exact; ``floor(x + 0.5)`` sidesteps the engines' differing
+    round-half conventions) so the quantized codes are bit-identical on
+    any engine — the DuckDB oracle reproduces them exactly. Codes are
+    emitted as a CSV string (portable across the driver's value
+    hasher); ``max_err`` is the reconstruction check, bounded by
+    scale/2 by construction.
+
+    Scale shape: narrow map-only scan — no shuffle, no UDF.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.greatest(max_abs, F.lit(1e-12)) / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    recon_err = F.array_max(
+        F.zip_with(q, v, lambda qi, xi: F.abs(qi.cast("double") * scale - xi))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).cast("long").alias("n_dims"),
+        F.round(scale, 9).alias("scale"),
+        F.array_join(q, ",").alias("q_csv"),
+        F.round(recon_err, 9).alias("max_err"),
+    )

@@ -3427,6 +3427,175 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Corpus-curation operators (operators/corpus.py + quantize_int8) —
+# TF-IDF salience, Gopher rule battery, bigram-LM quality signal,
+# deterministic source interleave, int8 embedding quantization. New in
+# round 6; outside the r6 driver window, rotate in next round.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+            FROM documents)
+      WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfc.df ASC, tf.term ASC) AS rk
+      FROM tf JOIN dfc USING (term)
+    )
+    SELECT doc_id, term, tf, df,
+           round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf, rk
+    FROM ranked, n WHERE rk <= 5
+    """,
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import tfidf_topk_terms
+
+    return tfidf_topk_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+@register(
+    "text_gopher_rules",
+    r"""
+    SELECT doc_id, n_words,
+           n_words BETWEEN 50 AND 100000 AS word_count_ok,
+           3*n_words <= n_chars AND n_chars <= 10*n_words AS word_len_ok,
+           10*(n_hash + n_ellipsis) <= n_words AS symbol_ok,
+           10*n_bullet <= 9*n_lines AS bullet_ok,
+           10*n_ell_lines <= 3*n_lines AS ellipsis_ok,
+           n_stop >= 2 AS stopword_ok,
+           (n_words BETWEEN 50 AND 100000)
+             AND (3*n_words <= n_chars AND n_chars <= 10*n_words)
+             AND (10*(n_hash + n_ellipsis) <= n_words)
+             AND (10*n_bullet <= 9*n_lines)
+             AND (10*n_ell_lines <= 3*n_lines)
+             AND (n_stop >= 2) AS keep
+    FROM (
+      SELECT doc_id,
+        len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                        x -> x <> '')) AS n_words,
+        length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+        len(regexp_split_to_array(text, '\n')) AS n_lines,
+        len(list_filter(regexp_split_to_array(text, '\n'),
+                        l -> regexp_matches(l, '^\s*[-*]'))) AS n_bullet,
+        len(list_filter(regexp_split_to_array(text, '\n'),
+                        l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell_lines,
+        (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+        ) AS n_stop
+      FROM documents
+    )
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import gopher_quality_rules
+
+    return gopher_quality_rules(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_bigram_lm",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM t, (SELECT unnest(generate_series(1, len(w)-1)) AS i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(*) AS v FROM c1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c2 + 1.0) / (c1 + v))), 4) AS lm_score
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY doc_id
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "interleave_sources",
+    """
+    WITH src AS (
+      SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx,
+             count(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    rk AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ((((doc_id % 1000000007) + 1000000007) % 1000000007)
+                         * 2654435761) % 1000000007,
+                        doc_id) AS src_rank
+      FROM documents
+    )
+    SELECT doc_id, source, src_rank,
+           (src_rank - 1) * n_sources + src_idx AS global_pos
+    FROM rk JOIN src USING (source)
+    """,
+)
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import interleave_sources
+
+    return interleave_sources(_t(spark, sf_dir, "documents"), "doc_id", "source")
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vv,
+             greatest(list_max(list_transform(vv, x -> abs(x))), 1e-12) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, vv, scale,
+             list_transform(vv, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qq
+      FROM s
+    )
+    SELECT vec_id, len(vv) AS n_dims, round(scale, 9) AS scale,
+           array_to_string(qq, ',') AS q_csv,
+           round(list_max(list_transform(generate_series(1, len(vv)),
+                 i -> abs(CAST(qq[i] AS DOUBLE) * scale - vv[i]))), 9) AS max_err
+    FROM q
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

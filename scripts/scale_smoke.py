@@ -269,6 +269,10 @@ def smoke_q1_decimal(tile: int = 10) -> None:
     (
         src.crossJoin(spark.range(tile).select(F.col("id").alias("_t")))
         .drop("_t")
+        # Without this the tiled write emits ~6 files and the smoke
+        # measures file-count parallelism (decimal looked 7.8x worse
+        # than double at 6-way; at 32-way the honest CPU ratio is ~3x).
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(os.path.join(tmp, "lineitem.parquet"))
     )

@@ -1,0 +1,140 @@
+"""Unit tests for the corpus-curation operators (operators/corpus.py,
+similarity.quantize_int8). Oracle parity for the registered query
+shapes is covered by test_oracle_parity; these pin the operator-level
+semantics on crafted inputs (including the HOF-lambda shapes that the
+round-5 MinHash collapse bug taught us to distrust)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_hive_spark.operators.corpus import (
+    bigram_lm_score,
+    gopher_quality_rules,
+    interleave_sources,
+    tfidf_topk_terms,
+)
+from cascading_hive_spark.operators.similarity import quantize_int8
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_rule_counts_and_no_hof_collapse(spark):
+    # One doc exercising every counter; bullet and ellipsis line
+    # filters are two same-shape filter(rlike) lambdas in ONE select —
+    # the exact pattern family that collapsed MinHash signatures on
+    # this Spark build — so their differing counts are load-bearing.
+    text = "- bullet one\n* bullet two...\nplain line...\nno mark # here"
+    out = gopher_quality_rules(_docs(spark, [(1, text)]), "doc_id", "text").first()
+    assert out.n_words == 9
+    # bullet lines: 2 of 4; ellipsis-ending lines: 2 of 4 (distinct
+    # counts would both be wrong under a lambda collapse)
+    assert out.bullet_ok  # 10*2 <= 9*4
+    assert not out.ellipsis_ok  # 10*2 > 3*4
+    assert not out.word_count_ok  # 9 < 50
+    assert not out.keep
+
+
+def test_gopher_stopword_and_symbol_rules(spark):
+    good = " ".join(["the quick brown fox jumps over the lazy dog and that"] * 10)
+    hashy = " ".join(["word"] * 50) + " " + "#" * 20
+    rows = gopher_quality_rules(
+        _docs(spark, [(1, good), (2, hashy)]), "doc_id", "text"
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].stopword_ok and by_id[1].word_count_ok and by_id[1].keep
+    assert not by_id[2].symbol_ok  # 10*20 > 50 words
+    assert not by_id[2].stopword_ok
+
+
+def test_gopher_empty_text_degrades(spark):
+    out = gopher_quality_rules(_docs(spark, [(1, "")]), "doc_id", "text").first()
+    assert out.n_words == 0
+    assert not out.keep
+
+
+def test_tfidf_topk_manual(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "durian durian durian"),
+        ],
+    )
+    rows = tfidf_topk_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 ranks above banana tf=1
+    d1 = sorted(by_doc[1], key=lambda r: r.rk)
+    assert [r.term for r in d1] == ["apple", "banana"]
+    assert d1[0].tf == 2 and d1[0].df == 2
+    # doc 2: tie on tf=1 → rarer term (cherry df=1) outranks apple df=2
+    d2 = sorted(by_doc[2], key=lambda r: r.rk)
+    assert [r.term for r in d2] == ["cherry", "apple"]
+    # tfidf value: tf * ln((N+1)/(df+1)), N=3
+    assert d1[0].tfidf == pytest.approx(round(2 * math.log(4 / 3), 4), abs=1e-9)
+    assert by_doc[3][0].term == "durian" and by_doc[3][0].tf == 3
+
+
+def test_bigram_lm_manual(spark):
+    # corpus: "a b" x2 and "a c" → c(a,b)=2, c(a,c)=1, c(a·)=3, V=1
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    rows = {r.doc_id: r for r in bigram_lm_score(docs, "doc_id", "text").collect()}
+    assert rows[1].n_bigrams == 1
+    assert rows[1].lm_score == pytest.approx(round(math.log(3 / 4), 4), abs=1e-9)
+    assert rows[3].lm_score == pytest.approx(round(math.log(2 / 4), 4), abs=1e-9)
+
+
+def test_bigram_lm_short_docs_drop(spark):
+    # docs with <2 tokens contribute no bigrams and produce no row
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "x y")])
+    rows = bigram_lm_score(docs, "doc_id", "text").collect()
+    assert {r.doc_id for r in rows} == {3}
+
+
+def test_interleave_sources_strided_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, ["crawl", "books", "code"][i % 3]) for i in range(90)],
+        "doc_id long, source string",
+    )
+    out = interleave_sources(df, "doc_id", "source").collect()
+    pos = {r.doc_id: r.global_pos for r in out}
+    assert len(set(pos.values())) == 90  # positions are unique
+    # strided: every window of n_sources consecutive positions holds
+    # one doc per source (balanced input)
+    by_pos = sorted(out, key=lambda r: r.global_pos)
+    for i in range(0, 90, 3):
+        assert {r.source for r in by_pos[i : i + 3]} == {"crawl", "books", "code"}
+    # content-addressed: same positions under a different partitioning
+    out2 = interleave_sources(df.repartition(7), "doc_id", "source").collect()
+    assert {r.doc_id: r.global_pos for r in out2} == pos
+
+
+def test_quantize_int8_codes_and_error_bound(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(emb, "vec_id").collect()}
+    r1 = rows[1]
+    codes = [int(c) for c in r1.q_csv.split(",")]
+    assert codes[0] == 127  # max|v| maps to exactly 127
+    assert all(-127 <= c <= 127 for c in codes)
+    assert r1.max_err <= r1.scale / 2 + 1e-12  # nearest-code guarantee
+    # all-zero vector degrades to zero codes, not a divide-by-zero
+    assert rows[2].q_csv == "0,0,0,0"
+
+
+def test_quantize_int8_is_map_only(spark, sf_dir):
+    from cascading_hive_spark.tables import load_table
+
+    df = quantize_int8(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow scan: no shuffle at any scale
