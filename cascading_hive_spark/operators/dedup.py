@@ -421,6 +421,172 @@ def minhash_portable_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    ngram_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Append-only near-dup detection: match a NEW increment (today's
+    crawl) against an existing base corpus AND against itself, without
+    re-deduping the base — the shape every production ingestion
+    pipeline runs daily. Emits (new_id, match_id, match_side, jaccard)
+    where match_side says whether the collision is with 'base' or
+    another 'new' document; base-base pairs are never generated (the
+    base is assumed already deduped), so the candidate set — and the
+    verify cost — scales with the INCREMENT, not the corpus.
+
+    Hashing is the engine-portable md5 family of
+    ``minhash_portable_pairs`` (same signatures, banding, bucket cap,
+    exact-Jaccard verify), so the DuckDB oracle in queries.py
+    (dedup_minhash_incremental) reproduces the full pipeline
+    bit-for-bit.
+
+    Scale shape: in steady state the base side's signatures/band rows
+    are computed once and persisted (recompute here for self-
+    containment); the bucket join still shuffles only thin
+    (id, band, bhash, side) rows, buckets with no new-side member are
+    dropped BEFORE pair expansion, and ``max_bucket`` caps flooded
+    buckets exactly as in the full-corpus pass.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
+    rows = num_perm // bands
+    tagged = (
+        base_df.filter(F.col(text_col).isNotNull())
+        .select(
+            _id_long(base_df, id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            F.lit(0).alias("_side"),
+        )
+        .unionByName(
+            new_df.filter(F.col(text_col).isNotNull()).select(
+                _id_long(new_df, id_col).alias("_id"),
+                F.col(text_col).alias("_text"),
+                F.lit(1).alias("_side"),
+            )
+        )
+    )
+    base = spread(
+        tagged.select("_id", "_side", char_ngrams(F.col("_text"), ngram_n).alias("_g"))
+    )
+    # explode + groupBy-min signatures (NOT HOF lambdas — see the
+    # md5-in-lambda miscomputation note on minhash_portable_pairs)
+    ex = base.select("_id", "_side", F.explode("_g").alias("_gram"))
+    sig = ex.groupBy("_id", "_side").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_gram")))).alias(f"_h{i}")
+            for i in range(num_perm)
+        ]
+    )
+    band_rows = sig.select(
+        "_id",
+        "_side",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_side", "bk.band", "bk.bhash")
+
+    # collect_list skips the NULLs the when() produces, giving the two
+    # side-partitioned id lists in one aggregation pass
+    buckets = (
+        band_rows.groupBy("band", "bhash")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("_side") == 1, F.col("_id")))
+            ).alias("_new"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_side") == 0, F.col("_id")))
+            ).alias("_base"),
+        )
+        .filter(
+            (F.size("_new") >= 1)
+            & (F.size("_new") + F.size("_base") >= 2)
+            & (F.size("_new") + F.size("_base") <= max_bucket)
+        )
+    )
+    new_new = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_new"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_new"), i + 2, F.size(F.col("_new"))),
+                        lambda y: F.struct(
+                            x.alias("new_id"),
+                            y.alias("match_id"),
+                            F.lit("new").alias("match_side"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    new_base = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_new"),
+                    lambda x: F.transform(
+                        F.col("_base"),
+                        lambda y: F.struct(
+                            x.alias("new_id"),
+                            y.alias("match_id"),
+                            F.lit("base").alias("match_side"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    cand = (
+        new_new.unionByName(new_base)
+        .select("p.new_id", "p.match_id", "p.match_side")
+        .dropDuplicates(["new_id", "match_id"])
+    )
+
+    cand_ids = cand.select(
+        F.explode(F.array("new_id", "match_id")).alias("_id")
+    ).dropDuplicates()
+    g_cand = base.drop("_side").join(cand_ids, "_id", "left_semi")
+    g_a = g_cand.select(F.col("_id").alias("new_id"), F.col("_g").alias("g_a"))
+    g_b = g_cand.select(F.col("_id").alias("match_id"), F.col("_g").alias("g_b"))
+    verified = (
+        cand.hint("shuffle_hash")
+        .join(g_a, "new_id")
+        .join(g_b, "match_id")
+        .select(
+            "new_id",
+            "match_id",
+            "match_side",
+            jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "new_id", "match_id", "match_side", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard with deterministic blocking (oracle-checkable twin)
 # ---------------------------------------------------------------------------

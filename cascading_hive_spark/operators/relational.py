@@ -158,3 +158,32 @@ def salted_join_small_skewed(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return salted.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a join/group key: the top-N keys by
+    frequency with their permille share of all rows — the diagnostic
+    you run BEFORE choosing a skew strategy (salting, AQE skew-join,
+    broadcast). Share is floor(cnt*1000/total), pure-integer-valued so
+    the output is hash-stable across engines.
+
+    Scale shape: one map-side-combined count agg, then orderBy+limit
+    (TakeOrderedAndProject — per-partition partial top-N, no global
+    sort); the rank window runs over the N surviving rows only, and
+    the total travels as a broadcast 1-row cross join."""
+    from pyspark.sql import Window
+
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    top = top_k(counts, [F.col("cnt").desc(), F.col(key_col)], top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            key_col,
+            "cnt",
+            "rank",
+            F.floor(F.col("cnt") * 1000 / F.col("_total")).alias("share_permille"),
+        )
+    )

@@ -3596,6 +3596,83 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 
 
+# Append-only dedup: the daily-ingest shape — match a deterministic
+# 20% "new increment" (portable permille split) against the other 80%
+# "base corpus" and against itself, never base-vs-base. Same md5
+# family as dedup_minhash_portable, so the oracle replays the full
+# pipeline including the side tagging.
+@register(
+    "dedup_minhash_incremental",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN ((doc_id % 1000 + 1000) % 1000 * 761) % 1000 < 800
+                  THEN 0 ELSE 1 END AS side
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, side,
+             list_distinct(list_transform(generate_series(1, greatest(len(text)-2, 1)),
+                 i -> substr(text, i, 3))) AS g
+      FROM d),
+    ex AS (SELECT doc_id, side, unnest(g) AS gram FROM g),
+    mins AS (
+      SELECT doc_id, side, k, min(md5(k::VARCHAR || '|' || gram)) AS h
+      FROM ex CROSS JOIN (SELECT unnest(range(16)) AS k) ks
+      GROUP BY doc_id, side, k),
+    bandh AS (
+      SELECT doc_id, side, CAST(k // 2 AS INT) AS band,
+             md5(string_agg(h, '|' ORDER BY k)) AS bhash
+      FROM mins GROUP BY doc_id, side, CAST(k // 2 AS INT)),
+    bsz AS (SELECT band, bhash, count(*) AS n FROM bandh GROUP BY band, bhash),
+    cand AS (
+      SELECT DISTINCT
+        CASE WHEN a.side = 1 THEN a.doc_id ELSE b.doc_id END AS new_id,
+        CASE WHEN a.side = 1 THEN b.doc_id ELSE a.doc_id END AS match_id,
+        CASE WHEN a.side = 1 AND b.side = 1 THEN 'new' ELSE 'base' END AS match_side
+      FROM bandh a
+      JOIN bandh b ON a.band = b.band AND a.bhash = b.bhash
+                   AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.band = a.band AND s.bhash = a.bhash
+      WHERE s.n BETWEEN 2 AND 200 AND (a.side = 1 OR b.side = 1))
+    SELECT c.new_id, c.match_id, c.match_side,
+           round(len(list_intersect(ga.g, gb.g))::DOUBLE
+                 / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.new_id
+    JOIN g gb ON gb.doc_id = c.match_id
+    WHERE len(list_intersect(ga.g, gb.g))::DOUBLE
+          / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.8
+    """,
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import minhash_incremental_pairs
+    from cascading_hive_spark.operators.sampling import bucket_permille
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(bucket_permille(F.col("doc_id")) < 800)
+    new = docs.filter(bucket_permille(F.col("doc_id")) >= 800)
+    return minhash_incremental_pairs(new, base, "doc_id", "text")
+
+
+# Skew diagnostic: top-N heavy hitters of a join key with integer
+# permille shares — the profiling step before choosing salting / AQE
+# skew-join / broadcast (pairs with skew_salted_group_count / _join).
+@register(
+    "key_skew_profile",
+    """
+    WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+    t AS (SELECT count(*) AS total FROM orders),
+    top AS (SELECT o_custkey, cnt FROM c ORDER BY cnt DESC, o_custkey LIMIT 20)
+    SELECT o_custkey, cnt,
+           row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rank,
+           CAST(floor(cnt * 1000.0 / total) AS BIGINT) AS share_permille
+    FROM top, t
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.key_skew_stats(_t(spark, sf_dir, "orders"), "o_custkey", top_n=20)
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

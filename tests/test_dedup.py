@@ -417,3 +417,40 @@ def test_simhash_portable_no_fp_and_near_dup_recall(spark, docs):
     got = {(r.id_a, r.id_b): r.hamming for r in out}
     for p in same_text:
         assert p in got and got[p] == 0, p
+
+
+def test_minhash_incremental_planted(spark):
+    """Append-only dedup: base-base dup pairs are never emitted; new
+    docs match base copies and each other exactly once."""
+    from cascading_hive_spark.operators.dedup import minhash_incremental_pairs
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "completely different content about distributed query engines at scale"
+    t3 = "yet another unrelated body of text concerning parquet file readers"
+    base = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(101, t1), (102, t3), (103, t3), (104, "unique snowflake text body")],
+        "doc_id long, text string",
+    )
+    rows = minhash_incremental_pairs(new, base, "doc_id", "text").collect()
+    got = {(r.new_id, r.match_id): (r.match_side, r.jaccard) for r in rows}
+    # n101 duplicates BOTH base copies of t1; the base-base pair (1,2)
+    # must not appear anywhere
+    assert got[(101, 1)][0] == "base" and got[(101, 1)][1] == 1.0
+    assert got[(101, 2)][0] == "base"
+    # new-new pair emitted once, smaller id first
+    assert got[(102, 103)][0] == "new"
+    assert (103, 102) not in got
+    assert len(got) == 3  # nothing else — no base-base, no unique-doc rows
+
+
+def test_minhash_incremental_empty_increment(spark):
+    from cascading_hive_spark.operators.dedup import minhash_incremental_pairs
+
+    base = spark.createDataFrame(
+        [(1, "some corpus text that exists already")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_incremental_pairs(new, base, "doc_id", "text").count() == 0

@@ -1,0 +1,68 @@
+"""PageRank verified against a dense numpy power iteration (same
+damping, same uniform dangling redistribution, same iteration count)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cascading_hive_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, damping=0.85, iterations=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.zeros(n)
+        dangling = r[out == 0].sum()
+        for u, v in edges:
+            nxt[idx[v]] += r[idx[u]] / out[idx[u]]
+        r = (1 - damping) / n + damping * (nxt + dangling / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.rank for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_numpy_random_graph(spark):
+    rng = np.random.default_rng(13)
+    edges = list({(int(rng.integers(0, 30)), int(rng.integers(0, 30))) for _ in range(120)})
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _run(spark, edges)
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_star_graph_sinks_rank_at_center(spark):
+    # spokes -> center: center accumulates, spokes share the rest
+    edges = [(i, 0) for i in range(1, 6)]
+    got = _run(spark, edges)
+    want = _numpy_pagerank(edges)
+    assert got[0] == pytest.approx(want[0], abs=1e-12)
+    assert got[0] > 5 * got[1]
+    spoke_ranks = {round(got[i], 12) for i in range(1, 6)}
+    assert len(spoke_ranks) == 1  # symmetry
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # 1 -> 2, 2 is dangling: without redistribution ranks would leak
+    got = _run(spark, [(1, 2)])
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    want = _numpy_pagerank([(1, 2)])
+    assert got[2] == pytest.approx(want[2], abs=1e-12)
+
+
+def test_pagerank_rejects_bad_iterations(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
