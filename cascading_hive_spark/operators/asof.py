@@ -107,13 +107,23 @@ def asof_join(
             mb = F.when(F.col("__ts") - mb["__mts"] <= tol, mb)
         matches.append(mb)
     if direction in ("forward", "nearest"):
+        # The forward match is a running ``last`` over the REVERSED
+        # sort (ts desc; right rows first at equal __ts so the match
+        # stays inclusive), NOT ``first`` over a
+        # [currentRow, unboundedFollowing) frame: Spark's unbounded-
+        # following frame re-evaluates the aggregate from the current
+        # row to the partition end for EVERY row — O(n^2) per key
+        # partition. A 2M-row hot key turned the 10Mx1M scale smoke
+        # from seconds into hours; the growing-frame formulation is
+        # O(n) and produces the same match (tie choice among right
+        # rows sharing (key, ts) is engine-dependent either way, as
+        # documented above).
         wf = (
             Window.partitionBy("__k")
-            # left rows first at equal __ts -> inclusive (ts <= right_ts)
-            .orderBy(F.col("__ts").asc(), F.col("__is_right").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__ts").desc(), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        mf = F.first("__row", ignorenulls=True).over(wf)
+        mf = F.last("__row", ignorenulls=True).over(wf)
         if tol is not None:
             mf = F.when(mf["__mts"] - F.col("__ts") <= tol, mf)
         matches.append(mf)

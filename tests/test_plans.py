@@ -92,3 +92,17 @@ def test_asof_join_single_shuffle_shape(spark, sf_dir):
     # union+window asof: no join node at all, one window over __k
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_asof_no_unbounded_following_frame(spark, sf_dir):
+    """Forward/nearest as-of must never plan a
+    [currentRow, unboundedFollowing) window frame: Spark re-evaluates
+    that frame's aggregate from the current row to the partition end
+    for EVERY row — O(n^2) per key partition (a 2M-row hot key turned
+    the 10Mx1M scale smoke from seconds into hours). The forward match
+    is a running last() over the reversed sort instead."""
+    from cascading_hive_spark.plans import physical_plan
+
+    for name in ("asof_join_next_event", "asof_join_nearest_event"):
+        plan = physical_plan(_q(spark, sf_dir, name)).lower()
+        assert "unboundedfollowing" not in plan, name
