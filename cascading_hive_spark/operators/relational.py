@@ -187,3 +187,94 @@ def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
             F.floor(F.col("cnt") * 1000 / F.col("_total")).alias("share_permille"),
         )
     )
+
+
+# --- runtime filtering (100 TB hygiene) -----------------------------
+def runtime_prefilter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    how: str = "inner",
+    m_bits: int = 20,
+) -> DataFrame:
+    """Join with an explicit bloom-style runtime filter: hash the
+    build side's keys into a compact bucket set (``2**m_bits``
+    buckets), broadcast-semi-join the PROBE side on its own bucket id
+    to discard most non-matching rows BEFORE the join shuffle, then
+    run the exact join. Semantics-transparent for inner/semi joins:
+    the prefilter only ever passes a superset of the matching rows
+    (hash collisions), and the real join removes the false positives.
+
+    This is the DataFrame-level analog of Spark's own
+    InjectRuntimeFilter / bloom runtime filters; making it explicit
+    (a) works when the optimizer declines (non-equi follow-ups,
+    pre-aggregated build sides) and (b) survives at 100 TB: the bucket
+    set is at most min(|build|, 2**m_bits) ints — broadcastable at a
+    few MB — while the avoided shuffle is the full probe table. False
+    positive rate ≈ |build| / 2**m_bits (single hash; the classic
+    k-hash bloom needs k positions ALL set, which a semi-join can't
+    express without a groupBy — one wider hash is the better trade
+    inside a relational plan).
+    """
+    if how not in ("inner", "semi", "left_semi"):
+        raise ValueError(f"prefilter is only semantics-transparent for inner/semi, got {how}")
+    m = 1 << m_bits
+    buckets = (
+        build.select(F.pmod(F.xxhash64(build_key), F.lit(m)).alias("_bucket"))
+        .distinct()
+    )
+    pre = probe.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64(probe_key), F.lit(m)) == F.col("_bucket"),
+        "left_semi",
+    )
+    return pre.join(build, pre[probe_key] == build[build_key], how)
+
+
+# --- table profiling (ANALYZE-style stats in one scan) --------------
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profile — rows, nulls, exact distinct, min, max —
+    as one row PER COLUMN: the ANALYZE TABLE / data-catalog stats
+    collection every warehouse runs before planning.
+
+    One aggregation over one scan computes every metric (Spark plans
+    the multi-distinct via a single Expand + two-phase agg — still one
+    pass over the data, partial-aggregated map-side); the per-column
+    pivot happens on the 1-row result via ``stack``, so nothing about
+    the pivot touches the data again. min/max surface as strings so
+    one schema fits every column type (dates via ISO ``date_format``,
+    floats should be rounded by the caller's column expression if
+    cross-engine stability matters).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"_nulls_{c}"),
+            F.col(f"_dist_{c}"),
+            F.col(f"_min_{c}"),
+            F.col(f"_max_{c}"),
+        ]
+    return one.select(
+        "_n_rows",
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_nulls", "n_distinct", "min_value", "max_value"),
+    ).select(
+        "column",
+        F.col("_n_rows").alias("n_rows"),
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

@@ -91,3 +91,49 @@ def weighted_mix(
         rate = F.when(cond, permille) if rate is None else rate.when(cond, permille)
     rate = F.lit(default_permille) if rate is None else rate.otherwise(default_permille)
     return df.filter(bucket < rate)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Reproducible global permutation of a corpus — the training-data
+    "epoch shuffle". Adds ``global_pos`` (0..n-1, a contiguous dense
+    permutation index) ordered by ``md5(seed || '|' || id)``; same
+    seed → byte-identical order on any partitioning, any engine (md5
+    hex sorts identically lexicographically and numerically).
+
+    A naive global ``row_number() OVER (ORDER BY hash)`` funnels the
+    whole corpus through ONE reducer. This uses the two-phase global
+    index instead: the first ``bucket_chars`` hex chars of the hash
+    range-bucket the rows (256 buckets at 2 chars — raise to 3-4 at
+    100 TB for 4k-64k buckets), per-bucket ``row_number`` runs in
+    parallel, and each bucket's starting offset is the prefix sum of
+    the tiny per-bucket count table, broadcast back. Cost: one shuffle
+    on the bucket key + a broadcast of <=16**bucket_chars longs.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    bucketed = df.withColumn("_h", h).withColumn(
+        "_bucket", F.substring(F.col("_h"), 1, bucket_chars)
+    )
+    counts = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    # prefix-sum window over <=16**bucket_chars rows — trivially small
+    w_off = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "_bucket",
+        (F.sum("_cnt").over(w_off) - F.col("_cnt")).alias("_offset"),
+    )
+    w_in = Window.partitionBy("_bucket").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn("global_pos", (F.col("_offset") + F.col("_rn") - 1).cast("bigint"))
+        .drop("_h", "_bucket", "_rn", "_offset")
+    )

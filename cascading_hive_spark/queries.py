@@ -3673,6 +3673,186 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.key_skew_stats(_t(spark, sf_dir, "orders"), "o_custkey", top_n=20)
 
 
+# SCD type-2 dimension history: compact the orders feed into validity
+# windows of each customer's order priority (same-instant dedupe by
+# highest orderkey, no-op changes dropped, [valid_from, valid_to)
+# ranges + is_current). One shuffle on the key; see operators/scd.py.
+@register(
+    "scd2_customer_priority",
+    """
+    WITH latest AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority FROM (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+    runs AS (
+      SELECT *,
+             (lag(o_orderdate) OVER w IS NULL OR
+              o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w)
+                 AS new_run
+      FROM latest
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate))
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM runs WHERE new_run
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    """,
+)
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.scd import scd2_compact
+
+    return scd2_compact(
+        _t(spark, sf_dir, "orders"),
+        key_col="o_custkey",
+        eff_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
+
+
+# Explicit bloom-style runtime filter: the build side (urgent
+# high-value orders) broadcasts a 2**18-bucket hash set that
+# prefilters lineitem BEFORE the join shuffle — the DataFrame-level
+# analog of Spark's InjectRuntimeFilter, exact after the real join
+# removes hash collisions. Oracle is the plain join: the prefilter
+# must be invisible in the result.
+@register(
+    "join_runtime_prefilter",
+    """
+    SELECT l.l_returnflag,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    joined = R.runtime_prefilter_join(
+        li, orders, "l_orderkey", "o_orderkey", how="inner", m_bits=18
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.sum(rev.cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ANALYZE-style one-scan column profile (rows/nulls/distinct/min/max
+# per column) — the stats collection behind CBO and data catalogs.
+@register(
+    "table_profile",
+    """
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT o_orderstatus),
+             min(o_orderstatus), max(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_date', count(*),
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')),
+             min(strftime(o_orderdate, '%Y-%m-%d')),
+             max(strftime(o_orderdate, '%Y-%m-%d'))
+      FROM orders)
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    return R.profile_columns(
+        o, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_date"]
+    ).withColumnRenamed("column", "col_name")
+
+
+# approx_percentile bounded by its exact twin (the approx_distinct
+# trick, VERDICT r5 #4 pattern): the oracle hash-matches the EXACT
+# interpolated percentiles and pins the bound booleans TRUE — the
+# sketch (accuracy=10000, rank error ~1e-4) must land between the
+# exact p+/-0.02 quantiles.
+@register(
+    "approx_percentile_bounded",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+           TRUE AS p50_in_bound, TRUE AS p90_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = "l_extendedprice"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(x, 0.5).alias("_p50"),
+            F.percentile(x, 0.9).alias("_p90"),
+            F.percentile(x, 0.48).alias("_lo50"),
+            F.percentile(x, 0.52).alias("_hi50"),
+            F.percentile(x, 0.88).alias("_lo90"),
+            F.percentile(x, 0.92).alias("_hi90"),
+            F.percentile_approx(x, 0.5, 10000).alias("_a50"),
+            F.percentile_approx(x, 0.9, 10000).alias("_a90"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("_p50", 4).alias("p50_exact"),
+            F.round("_p90", 4).alias("p90_exact"),
+            F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_in_bound"),
+            F.col("_a90").between(F.col("_lo90"), F.col("_hi90")).alias("p90_in_bound"),
+        )
+    )
+
+
+# Reproducible epoch shuffle: content-addressed global permutation
+# (md5 order) with a two-phase dense index — no single-reducer global
+# row_number (operators/sampling.py:deterministic_shuffle).
+@register(
+    "deterministic_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS BIGINT) AS global_pos
+    FROM documents
+    """,
+)
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed=7)
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

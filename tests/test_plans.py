@@ -106,3 +106,36 @@ def test_asof_no_unbounded_following_frame(spark, sf_dir):
     for name in ("asof_join_next_event", "asof_join_nearest_event"):
         plan = physical_plan(_q(spark, sf_dir, name)).lower()
         assert "unboundedfollowing" not in plan, name
+
+
+def test_window_rank_filter_plans_group_limit(spark, sf_dir):
+    """rank() <= k must trigger Spark's WindowGroupLimit rewrite:
+    each shuffle partition pre-drops rows past the per-group limit
+    BEFORE the full window sort materializes — the difference between
+    top-3-per-customer and sorting every order at 100 TB."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "window_rank_orders"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_runtime_prefilter_probe_filtered_before_join_shuffle(spark, sf_dir):
+    """The explicit bloom-style runtime filter: the probe side must
+    pass through a broadcast LEFT-SEMI bucket filter, and the final
+    exact join must still be present (collision cleanup)."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "join_runtime_prefilter"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_deterministic_shuffle_no_global_single_partition_sort(spark, sf_dir):
+    """The epoch shuffle must never plan a single-partition global
+    window (Exchange SinglePartition feeding the per-row window over
+    the corpus): the data-bearing window runs partitioned by bucket;
+    only the <=256-row offset table may ever be single-partition."""
+    from cascading_hive_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "deterministic_shuffle")
+    plan = physical_plan(df)
+    assert "hashpartitioning(_bucket" in plan, plan

@@ -1,0 +1,142 @@
+"""Unit tests for the round-6 warehouse/curation additions: SCD2
+compaction, explicit runtime-filter join, one-scan column profiling,
+and the deterministic epoch shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cascading_hive_spark.operators.relational import (
+    profile_columns,
+    runtime_prefilter_join,
+)
+from cascading_hive_spark.operators.sampling import deterministic_shuffle
+from cascading_hive_spark.operators.scd import scd2_compact
+
+
+# --- SCD2 -----------------------------------------------------------
+def _feed(spark, rows):
+    return spark.createDataFrame(rows, "key int, eff int, attr string, tb int")
+
+
+def test_scd2_compacts_runs_and_marks_current(spark):
+    # key 1: A, A (no-op), B, A — three runs; key 2: single row
+    rows = [
+        (1, 10, "A", 1),
+        (1, 20, "A", 2),
+        (1, 30, "B", 3),
+        (1, 40, "A", 4),
+        (2, 15, "X", 5),
+    ]
+    out = scd2_compact(_feed(spark, rows), "key", "eff", ["attr"], "tb")
+    got = {(r.key, r.valid_from): r for r in out.collect()}
+    assert set(got) == {(1, 10), (1, 30), (1, 40), (2, 15)}
+    assert got[(1, 10)].attr == "A" and got[(1, 10)].valid_to == 30
+    assert got[(1, 30)].attr == "B" and got[(1, 30)].valid_to == 40
+    assert got[(1, 40)].is_current and got[(1, 40)].valid_to is None
+    assert got[(2, 15)].is_current
+
+
+def test_scd2_same_instant_last_writer_wins(spark):
+    rows = [(1, 10, "old", 1), (1, 10, "new", 2)]
+    out = scd2_compact(_feed(spark, rows), "key", "eff", ["attr"], "tb").collect()
+    assert len(out) == 1 and out[0].attr == "new"
+
+
+def test_scd2_null_attr_transitions_null_safely(spark):
+    # A -> NULL -> NULL -> A : NULL==NULL must NOT start a new run
+    rows = [(1, 10, "A", 1), (1, 20, None, 2), (1, 30, None, 3), (1, 40, "A", 4)]
+    out = scd2_compact(_feed(spark, rows), "key", "eff", ["attr"], "tb")
+    froms = sorted(r.valid_from for r in out.collect())
+    assert froms == [10, 20, 40]
+
+
+def test_scd2_order_independent_of_input_partitioning(spark):
+    rows = [(1, t, s, t) for t, s in [(40, "A"), (10, "A"), (30, "B"), (20, "A")]]
+    a = scd2_compact(_feed(spark, rows), "key", "eff", ["attr"], "tb")
+    b = scd2_compact(
+        _feed(spark, rows).repartition(7), "key", "eff", ["attr"], "tb"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- runtime prefilter join -----------------------------------------
+def test_prefilter_join_equals_plain_join(spark):
+    probe = spark.range(0, 10_000).select(
+        F.col("id").alias("pk"), (F.col("id") % 97).alias("v")
+    )
+    build = spark.range(0, 10_000, 137).select(
+        F.col("id").alias("bk"), F.lit("b").alias("tag")
+    )
+    got = runtime_prefilter_join(probe, build, "pk", "bk", m_bits=8)
+    want = probe.join(build, probe.pk == build.bk)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_prefilter_join_semi_and_rejects_outer(spark):
+    import pytest
+
+    probe = spark.range(0, 1000).select(F.col("id").alias("pk"))
+    build = spark.range(0, 1000, 10).select(F.col("id").alias("bk"))
+    n = runtime_prefilter_join(probe, build, "pk", "bk", how="left_semi").count()
+    assert n == 100
+    with pytest.raises(ValueError):
+        runtime_prefilter_join(probe, build, "pk", "bk", how="left")
+
+
+def test_prefilter_plan_broadcasts_bucket_set(spark):
+    probe = spark.range(0, 1000).select(F.col("id").alias("pk"))
+    build = spark.range(0, 100).select(F.col("id").alias("bk"))
+    plan = runtime_prefilter_join(probe, build, "pk", "bk")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# --- column profiling -----------------------------------------------
+def test_profile_columns_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "c")], "x int, s string"
+    )
+    got = {r.column: r for r in profile_columns(df, ["x", "s"]).collect()}
+    assert got["x"].n_rows == 4 and got["x"].n_nulls == 1
+    assert got["x"].n_distinct == 3
+    assert got["x"].min_value == "1" and got["x"].max_value == "3"
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert got["s"].min_value == "a" and got["s"].max_value == "c"
+
+
+def test_profile_single_scan(spark):
+    # one aggregation over one source: the optimized plan reads the
+    # relation once (Expand-based multi-distinct, not N self-joins)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    plan = profile_columns(df, ["a", "b"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+
+
+# --- deterministic shuffle ------------------------------------------
+def test_shuffle_is_dense_permutation_matching_global_order(spark):
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(docs, "doc_id", seed=3).collect()
+    assert sorted(r.global_pos for r in out) == list(range(500))
+    # two-phase index must equal the naive global row_number order
+    by_hash = sorted(
+        out, key=lambda r: __import__("hashlib").md5(f"3|{r.doc_id}".encode()).hexdigest()
+    )
+    assert [r.global_pos for r in by_hash] == list(range(500))
+
+
+def test_shuffle_stable_under_partitioning_and_bucket_width(spark):
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    a = deterministic_shuffle(docs, "doc_id", seed=1).collect()
+    b = deterministic_shuffle(docs.repartition(13), "doc_id", seed=1).collect()
+    c = deterministic_shuffle(docs, "doc_id", seed=1, bucket_chars=3).collect()
+    key = lambda rows: sorted((r.doc_id, r.global_pos) for r in rows)  # noqa: E731
+    assert key(a) == key(b) == key(c)
+
+
+def test_shuffle_seed_changes_order(spark):
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.global_pos for r in deterministic_shuffle(docs, "doc_id", 1).collect()}
+    b = {r.doc_id: r.global_pos for r in deterministic_shuffle(docs, "doc_id", 2).collect()}
+    assert a != b
