@@ -3853,6 +3853,64 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, "doc_id", seed=7)
 
 
+# CUBE completes the grouping-analytics trio (rollup_quantity /
+# grouping_sets already covered): all 4 grouping combinations in one
+# pass, with the grouping indicator bits surfaced so subtotal rows are
+# distinguishable from genuine NULL groups.
+@register(
+    "cube_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# Multiset set ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+# cardinalities (the distinct variants are set_except/set_intersect).
+@register(
+    "set_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.exceptAll(high)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.intersectAll(high)
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get
