@@ -9,6 +9,11 @@ Usage: python scripts/scale_smoke.py <name> [args]
     simhash   [n=500000]
     cc        [n_edges=100000]
     elsh_auto [n=1000000]
+    packing / packing_skewed [n=1000000]
+    asof      [n_left=10000000] [n_right=1000000]
+    q1_decimal [tile=10]
+    shuffle   [n=10000000]
+    scd2      [n=10000000] [n_keys=1000000]
 
 Each prints one JSON line per measurement.
 """
@@ -314,6 +319,55 @@ def smoke_q1_decimal(tile: int = 10) -> None:
                           "median_sec": sorted(runs)[1]}))
 
 
+def smoke_shuffle(n: int = 10_000_000) -> None:
+    """deterministic_shuffle two-phase global index at 1M/10M rows:
+    near-linear wall time, positions verified dense (min=0, max=n-1,
+    count(distinct)=n) without collecting the permutation."""
+    from cascading_hive_spark.operators.sampling import deterministic_shuffle
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = spark.range(size).select(F.col("id").alias("doc_id")).localCheckpoint()
+        t0 = time.monotonic()
+        out = deterministic_shuffle(docs, "doc_id", seed=11, bucket_chars=3)
+        row = out.agg(
+            F.min("global_pos").alias("mn"),
+            F.max("global_pos").alias("mx"),
+            F.count_distinct("global_pos").alias("nd"),
+        ).first()
+        wall = round(time.monotonic() - t0, 1)
+        assert row["mn"] == 0 and row["mx"] == size - 1 and row["nd"] == size
+        print(json.dumps({"smoke": "shuffle", "n_rows": size, "wall_sec": wall,
+                          "dense_permutation": True}))
+
+
+def smoke_scd2(n: int = 10_000_000, n_keys: int = 1_000_000) -> None:
+    """scd2_compact on a 10M-change feed over 1M keys with one hot key
+    carrying ~10% of all changes: the windows shuffle once on the key;
+    the hot key serializes one partition sort (O(n_hot log n_hot)) —
+    graceful degradation, never quadratic."""
+    from cascading_hive_spark.operators.scd import scd2_compact
+
+    spark = _spark()
+    for size in (n // 10, n):
+        feed = spark.range(size).select(
+            F.when(F.col("id") % 10 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
+            .alias("key"),
+            F.pmod(F.col("id") * 7, F.lit(1_000_000_000)).alias("eff"),
+            (F.pmod(F.xxhash64(F.col("id") + 3), F.lit(4))).cast("string").alias("attr"),
+            F.col("id").alias("tb"),
+        ).localCheckpoint()
+        t0 = time.monotonic()
+        hist = scd2_compact(feed, "key", "eff", ["attr"], "tb")
+        n_rows = hist.count()
+        n_current = hist.filter("is_current").count()
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "scd2", "n_changes": size,
+                          "hot_key_share": 0.1, "history_rows": n_rows,
+                          "current_rows": n_current, "wall_sec": wall}))
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -326,4 +380,6 @@ if __name__ == "__main__":
         "asof": smoke_asof,
         "packing_skewed": smoke_packing_skewed,
         "q1_decimal": smoke_q1_decimal,
+        "shuffle": smoke_shuffle,
+        "scd2": smoke_scd2,
     }[name](*args)
