@@ -1069,3 +1069,93 @@ def embedding_lsh_pairs(
         .filter(F.col("_c") >= threshold)
     )
     return verified.select("id_a", "id_b", F.round("_c", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span coverage (MassiveText-style substring dedup signal)
+# ---------------------------------------------------------------------------
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Per-document coverage by EXACT duplicated word ``n``-gram spans
+    — the signal behind exact-substring dedup (remove/penalize spans
+    that appear verbatim in more than one document), at span rather
+    than whole-document granularity (the gap exact_dedup and
+    MinHash both leave open: a unique doc wrapping a big copied
+    block).
+
+    Output: (id, n_tokens, dup_tokens, dup_permille) for EVERY doc,
+    where dup_tokens is the size of the UNION of all n-token windows
+    whose text occurs in >=2 distinct documents — overlapping spans
+    merged by the classic gaps-and-islands pass, so a copied 50-word
+    block counts 50, not 41*10.
+
+    Scale shape: the only wide shuffles carry (md5(gram), doc, pos) —
+    16-byte digests + ints, never the text. Duplicate grams are found
+    by a partial-aggregated count over the digest; the interval merge
+    is two window passes over each doc's HIT spans only (copied spans,
+    normally a tiny fraction of the corpus). No quadratic path: a gram
+    shared by k docs costs k rows, not k^2 pairs.
+    """
+    from pyspark.sql import Window
+
+    arr = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        F.col(id_col).alias("_id"), arr.alias("_arr"), F.size(arr).alias("n_tokens")
+    )
+    grams = (
+        toks.filter(F.col("n_tokens") >= n)
+        .select(
+            "_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(1), F.col("n_tokens") - (n - 1))).alias("_p"),
+            "_arr",
+        )
+        .select(
+            "_id",
+            "_p",
+            F.md5(F.array_join(F.slice(F.col("_arr"), F.col("_p"), n), " ")).alias("_g"),
+        )
+    )
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_g")
+    )
+    spans = grams.join(dup, "_g").select(
+        "_id", F.col("_p").alias("_s"), (F.col("_p") + (n - 1)).alias("_e")
+    )
+    w_prev = (
+        Window.partitionBy("_id")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("_id").orderBy("_s")
+    covered = (
+        spans.withColumn(
+            "_new",
+            (F.col("_s") > F.coalesce(F.max("_e").over(w_prev), F.lit(-1)) + 1).cast(
+                "int"
+            ),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy("_id", "_isl")
+        .agg((F.max("_e") - F.min("_s") + 1).alias("_cov"))
+        .groupBy("_id")
+        .agg(F.sum("_cov").alias("_covered"))
+    )
+    return (
+        toks.join(covered, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("_covered"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.floor(
+                F.coalesce(F.col("_covered"), F.lit(0)) * 1000 / F.col("n_tokens")
+            ).alias("dup_permille"),
+        )
+    )

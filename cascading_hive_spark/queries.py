@@ -3911,6 +3911,54 @@ def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.intersectAll(high)
 
 
+# Exact duplicated-span coverage (MassiveText substring-dedup signal):
+# per-doc union of word-10-gram windows whose text occurs verbatim in
+# >=2 docs, overlaps merged gaps-and-islands style. The oracle replays
+# the whole pipeline (unnest positions -> md5 grams -> dup digests ->
+# interval union) in SQL.
+@register(
+    "dedup_span_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    grams AS (
+      SELECT doc_id, p,
+             md5(array_to_string(list_slice(arr, p, p + 9), ' ')) AS g
+      FROM toks, LATERAL unnest(range(1, n_tokens - 8)) AS t(p)
+      WHERE n_tokens >= 10),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    spans AS (SELECT doc_id, p AS s, p + 9 AS e FROM grams JOIN dup USING (g)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM spans),
+    labeled AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+      FROM flagged),
+    per_island AS (
+      SELECT doc_id, isl, max(e) - min(s) + 1 AS cov
+      FROM labeled GROUP BY doc_id, isl),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered
+      FROM per_island GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(p.covered, 0) AS dup_tokens,
+           CAST(floor(coalesce(p.covered, 0) * 1000.0 / t.n_tokens) AS BIGINT)
+               AS dup_permille
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

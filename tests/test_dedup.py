@@ -454,3 +454,57 @@ def test_minhash_incremental_empty_increment(spark):
     )
     new = spark.createDataFrame([], "doc_id long, text string")
     assert minhash_incremental_pairs(new, base, "doc_id", "text").count() == 0
+
+
+def test_duplicate_span_stats_merges_islands(spark):
+    from cascading_hive_spark.operators.dedup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1+2 share a 13-token block -> coverage 13 (merged),
+            # never 4 windows x 10
+            (1, "a b c d e f g h i j k l m unique1 unique2"),
+            (2, "x a b c d e f g h i j k l m y z"),
+            (3, "totally different words here only once seen q w e r t"),
+            (4, "short doc"),  # < n tokens: 0 coverage, still present
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicate_span_stats(docs, "doc_id", "text").collect()}
+    assert got[1].dup_tokens == 13 and got[1].n_tokens == 15
+    assert got[2].dup_tokens == 13 and got[2].dup_permille == 812
+    assert got[3].dup_tokens == 0
+    assert got[4].dup_tokens == 0 and got[4].n_tokens == 2
+
+
+def test_duplicate_span_stats_two_separate_islands(spark):
+    from cascading_hive_spark.operators.dedup import duplicate_span_stats
+
+    shared_a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    shared_b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared_a} gapword1 gapword2 {shared_b}"),
+            (2, f"left {shared_a} mid1 mid2 mid3 {shared_b} right"),
+            (3, "filler " * 11),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicate_span_stats(docs, "doc_id", "text").collect()}
+    # two disjoint 10-token islands each -> exactly 20 covered tokens
+    assert got[1].dup_tokens == 20
+    assert got[2].dup_tokens == 20
+
+
+def test_duplicate_span_stats_within_doc_repeat_not_counted(spark):
+    from cascading_hive_spark.operators.dedup import duplicate_span_stats
+
+    # the same 10-gram twice in ONE doc only: count_distinct(doc)=1 ->
+    # not a cross-doc duplicate
+    block = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    docs = spark.createDataFrame(
+        [(1, f"{block} sep {block}"), (2, "other words entirely distinct here now one two three four")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicate_span_stats(docs, "doc_id", "text").collect()}
+    assert got[1].dup_tokens == 0
