@@ -3959,6 +3959,45 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Audio leg of the multimodal surface: JVM-built WAV containers
+# (RIFF/fmt/data, little-endian byte construction) round-trip through
+# Arrow into the pure-Python header walker; the oracle recomputes
+# every field arithmetically from the doc_id the payload was built of.
+@register(
+    "multimodal_audio_meta",
+    """
+    SELECT doc_id AS id,
+           CAST((doc_id % 2 + 2) % 2 + 1 AS INT) AS n_channels,
+           CAST(CASE (doc_id % 3 + 3) % 3 WHEN 0 THEN 8000
+                                          WHEN 1 THEN 16000
+                                          ELSE 44100 END AS INT) AS sample_rate,
+           CAST(8 * ((doc_id % 2 + 2) % 2 + 1) AS INT) AS bits_per_sample,
+           CAST((doc_id % 100000 + 100000) % 100000 + 1 AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.multimodal import (
+        decode_audio,
+        synth_wav_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ch = (F.pmod(F.col("doc_id"), F.lit(2)) + 1).cast("int")
+    rate = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, 8000)
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, 16000)
+        .otherwise(44100)
+    )
+    bits = (ch * 8).cast("int")
+    n_samples = F.pmod(F.col("doc_id"), F.lit(100000)) + 1
+    payloads = d.select(
+        F.col("doc_id").alias("id"),
+        synth_wav_payload(ch, rate, bits, n_samples).alias("payload"),
+    )
+    return decode_audio(payloads)
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

@@ -164,3 +164,67 @@ def test_synth_image_payload_parses_back(spark):
         ).collect()
         for r in out:
             assert parse_image_dims(bytes(r.p)) == (fmt, r.w, r.h), (fmt, r.w, r.h)
+
+
+# --- WAV header parsing (pure Python, no Spark needed) --------------
+def _wav(channels=2, rate=44100, bits=16, n_samples=1000, extra_chunk=False,
+         data_first=False, with_body=True):
+    import struct
+
+    block = channels * bits // 8
+    data_size = n_samples * block
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    body = b"\x00" * data_size if with_body else b""
+    data = b"data" + struct.pack("<I", data_size) + body
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # odd size + pad
+    chunks = (data + fmt) if data_first else (fmt + (junk if extra_chunk else b"") + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_wav_meta_well_formed():
+    from cascading_hive_spark.operators.multimodal import parse_wav_meta
+
+    assert parse_wav_meta(_wav()) == (2, 44100, 16, 1000)
+    assert parse_wav_meta(_wav(1, 8000, 8, 37)) == (1, 8000, 8, 37)
+
+
+def test_parse_wav_meta_chunk_order_and_padding():
+    from cascading_hive_spark.operators.multimodal import parse_wav_meta
+
+    # unknown odd-sized chunk between fmt and data (word-align skip)
+    assert parse_wav_meta(_wav(extra_chunk=True)) == (2, 44100, 16, 1000)
+    # data before fmt: both must still be found
+    assert parse_wav_meta(_wav(data_first=True)) == (2, 44100, 16, 1000)
+
+
+def test_parse_wav_meta_corrupt_returns_nulls():
+    from cascading_hive_spark.operators.multimodal import parse_wav_meta
+
+    assert parse_wav_meta(b"") == (None, None, None, None)
+    assert parse_wav_meta(b"RIFF\x00\x00\x00\x00AVI ") == (None, None, None, None)
+    assert parse_wav_meta(b"RIFF\x04\x00\x00\x00WAVE") == (None, None, None, None)
+
+
+def test_decode_audio_roundtrip_through_arrow(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.multimodal import (
+        decode_audio,
+        synth_wav_payload,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        synth_wav_payload(
+            (F.pmod("id", F.lit(2)) + 1).cast("int"),
+            F.lit(16000),
+            F.lit(16),
+            F.col("id") + 1,
+        ).alias("payload"),
+    )
+    rows = {r.id: r for r in decode_audio(df).collect()}
+    assert rows[0].n_channels == 1 and rows[1].n_channels == 2
+    assert all(r.sample_rate == 16000 for r in rows.values())
+    assert rows[7].n_samples == 8
