@@ -140,3 +140,46 @@ def test_shuffle_seed_changes_order(spark):
     a = {r.doc_id: r.global_pos for r in deterministic_shuffle(docs, "doc_id", 1).collect()}
     b = {r.doc_id: r.global_pos for r in deterministic_shuffle(docs, "doc_id", 2).collect()}
     assert a != b
+
+
+# --- linear interpolation gap fill ----------------------------------
+def test_interpolate_daily_linear_fill_and_flags(spark):
+    import datetime as dt
+
+    from cascading_hive_spark.operators.timeseries import interpolate_daily
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 10.0),
+        ("a", d(2024, 1, 4), 40.0),  # gap: jan 2 -> 20, jan 3 -> 30
+        ("a", d(2024, 1, 5), 5.0),
+        ("b", d(2024, 1, 2), 7.0),  # singleton key: no gaps, no spine growth
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {(r.k, str(r.day)): r for r in interpolate_daily(df, ["k"], "day", "v").collect()}
+    assert len(out) == 6
+    assert out[("a", "2024-01-02")].v == 20.0 and out[("a", "2024-01-02")].interpolated
+    assert out[("a", "2024-01-03")].v == 30.0 and out[("a", "2024-01-03")].interpolated
+    assert out[("a", "2024-01-01")].v == 10.0 and not out[("a", "2024-01-01")].interpolated
+    assert out[("a", "2024-01-05")].v == 5.0
+    assert out[("b", "2024-01-02")].v == 7.0 and not out[("b", "2024-01-02")].interpolated
+
+
+def test_interpolate_daily_no_shrinking_window_frame(spark):
+    import datetime as dt
+
+    from cascading_hive_spark.operators.timeseries import interpolate_daily
+
+    df = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), 1.0), ("a", dt.date(2024, 1, 9), 9.0)],
+        "k string, day date, v double",
+    )
+    plan = (
+        interpolate_daily(df, ["k"], "day", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    # the O(n^2) frame the asof fix banned must not reappear here
+    assert "unboundedfollowing" not in plan
