@@ -214,3 +214,121 @@ def interleave_sources(df: DataFrame, id_col: str, source_col: str) -> DataFrame
             ),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> "list[tuple[int, str, str, int]]":
+    """Learn a BPE merge table from the corpus — the tokenizer-training
+    leg of an LLM data pipeline, distributed: (rank, left, right,
+    pair_count) per merge, ties broken (count DESC, left, right) so
+    the table is deterministic for a given corpus.
+
+    Formulation is the classic subword-nmt one re-expressed on
+    DataFrames: work on DISTINCT words with their corpus counts (the
+    corpus compresses to its vocabulary before any iteration — at
+    100 TB that is the difference between touching documents K times
+    and touching a words table K times); each word is a space-joined
+    symbol string seeded as chars + '</w>'. Per merge round:
+
+      1. adjacent-pair counts: one explode of zipped array slices +
+         one partial-aggregated sum, shuffling only (pair, count);
+      2. argmax via orderBy+limit(1) (TakeOrderedAndProject — the
+         single driver-side row per round IS the algorithm's output);
+      3. apply the merge with one narrow ``regexp_replace``
+         ('(?<= )\\Qa\\E \\Qb\\E(?= )' on space-padded segments —
+         Java regex resumes after each match, giving exactly BPE's
+         greedy non-overlapping left-to-right application).
+
+    localCheckpoint truncates the per-round lineage (graph.py's
+    pagerank pattern). Returns the merge list (driver-sized: K rows);
+    ``bpe_merges_df``/``bpe_segment`` wrap it back into DataFrames.
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # " h e l l o </w> " — padded so the merge regex can anchor on
+    # spaces with fixed-width lookarounds
+    seg = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.col("w"), "(.)", "$1 "),
+        F.lit("</w> "),
+    )
+    words = words.select("cnt", seg.alias("seg")).localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        arr = F.split(F.trim(F.col("seg")), " ")
+        n = F.size(arr)
+        pairs = words.select(
+            "cnt",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, n - 1).alias("a"),
+                    F.slice(arr, 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < min_count:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((rank, a, b, c))
+        pattern = f"(?<= )\\Q{a}\\E \\Q{b}\\E(?= )"
+        words = words.select(
+            "cnt", F.regexp_replace("seg", pattern, a + b).alias("seg")
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_merges_df(spark, merges) -> DataFrame:
+    """Merge list -> DataFrame(rank, left, right, pair_count)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", LongType()),
+            StructField("left", StringType()),
+            StructField("right", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(r), a, b, int(c)) for r, a, b, c in merges], schema
+    )
+
+
+def bpe_segment(df: DataFrame, text_col: str, merges, out_col: str = "tokens") -> DataFrame:
+    """Apply a learned merge table to a text column: per-word char
+    segmentation, then every merge replayed IN RANK ORDER as the same
+    anchored regexp_replace used in training — a narrow map-only
+    column expression chain, no shuffle, no Python."""
+    word = F.regexp_replace(F.col("_w"), "(.)", "$1 ")
+    seg = F.concat(F.lit(" "), word, F.lit("</w> "))
+    for _, a, b, _c in merges:
+        seg = F.regexp_replace(seg, f"(?<= )\\Q{a}\\E \\Q{b}\\E(?= )", a + b)
+    return (
+        df.select(
+            "*", F.explode(F.split(F.col(text_col), r"\s+")).alias("_w")
+        )
+        .filter(F.length("_w") > 0)
+        .select("*", F.split(F.trim(seg), " ").alias(out_col))
+        .drop("_w")
+    )

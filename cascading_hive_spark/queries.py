@@ -4077,6 +4077,19 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE vocabulary training — iterative (argmax per round feeds the
+# next round's segmentation), so no single-SQL oracle exists by
+# design; correctness is pinned in pytest against a pure-Python BPE
+# reference (exact merge-table equality incl. the greedy-overlap
+# trap, tests/test_corpus.py) and the canonical subword-nmt example.
+@register("bpe_merges", None)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import bpe_merges_df, bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=8)
+    return bpe_merges_df(spark, merges)
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

@@ -138,3 +138,78 @@ def test_quantize_int8_is_map_only(spark, sf_dir):
     df = quantize_int8(load_table(spark, sf_dir, "embeddings"), "vec_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow scan: no shuffle at any scale
+
+
+# --- BPE vocabulary training ----------------------------------------
+def _py_bpe(word_counts, n_merges, min_count=2):
+    """Pure-Python reference BPE (greedy left-to-right merge apply,
+    ties count DESC then (left, right) ASC) — ground truth."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pairs[k] = pairs.get(k, 0) + c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_count:
+            break
+        merges.append((rank, a, b, c))
+        new = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from cascading_hive_spark.operators.corpus import bpe_train
+
+    corpus = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 2, "aa": 4,
+    }
+    text = " ".join(w for w, c in corpus.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "id long, text string")
+    got = bpe_train(docs, "text", n_merges=12)
+    want = _py_bpe(corpus, 12)
+    assert got == want
+
+
+def test_bpe_train_canonical_sennrich_shape(spark):
+    from cascading_hive_spark.operators.corpus import bpe_segment, bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "id long, text string")
+    merges = bpe_train(docs, "text", n_merges=10)
+    assert merges[0][1:3] == ("e", "s") and merges[1][1:3] == ("es", "t")
+    seg = bpe_segment(
+        spark.createDataFrame([(1, "lowest newest")], "id long, text string"),
+        "text",
+        merges,
+    )
+    toks = [r.tokens for r in seg.collect()]
+    assert ["low", "est</w>"] in toks and ["newest</w>"] in toks
+
+
+def test_bpe_overlapping_merge_is_greedy_left_to_right(spark):
+    from cascading_hive_spark.operators.corpus import bpe_train
+
+    # "aaaa"x2 + "aa"x4: pair (a,a) counts 2*3 + 4*1 = 10; after the
+    # first merge "aaaa"->(aa)(aa), "aa"->(aa) — greedy non-overlap
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aa aa aa aa")], "id long, text string"
+    )
+    merges = bpe_train(docs, "text", n_merges=2)
+    assert merges[0] == (0, "a", "a", 10)
+    assert merges[1][1:3] == ("aa", "aa") or merges[1][1:3] == ("aa", "</w>")
