@@ -25,6 +25,7 @@ for (A14).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cascading_hive_spark.schema import parse_ddl
@@ -129,3 +130,29 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     this becomes MERGE INTO; the dataflow is the same.)"""
     kept = target.join(updates.select(*keys), keys, "left_anti")
     return updates.unionByName(kept)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-blob ingestion via Spark's built-in ``binaryFile`` source —
+    the entry point of the multimodal pipeline (images/audio on a
+    filesystem -> (path, modificationTime, length, content) rows that
+    feed operators/multimodal.py's Arrow decode stages).
+
+    ``glob`` filters filenames (``*.png``); ``max_bytes`` drops
+    oversized blobs AT THE SOURCE via the pushed ``length`` filter —
+    at 100 TB the filter must prune before content is read, and
+    binaryFile is one of the few sources that pushes a length
+    predicate down (Spark reads the file only if the status row
+    survives)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

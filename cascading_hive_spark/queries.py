@@ -4090,6 +4090,34 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(spark, merges)
 
 
+# Bivariate statistics (corr / covariance / least-squares fit) —
+# the regression-aggregate family, one partial-aggregated pass.
+@register(
+    "stats_bivariate",
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_s,
+           round(covar_pop(l_extendedprice, l_quantity), 2) AS covar_p,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_bivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(x, y), 4).alias("corr_price_qty"),
+        F.round(F.covar_samp(x, y), 2).alias("covar_s"),
+        F.round(F.covar_pop(x, y), 2).alias("covar_p"),
+        F.round(F.regr_slope(x, y), 4).alias("slope"),
+        F.round(F.regr_intercept(x, y), 4).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

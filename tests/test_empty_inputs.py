@@ -113,3 +113,51 @@ def test_upsert_empty_updates(spark):
     updates = spark.createDataFrame([], "k int, v string")
     rows = upsert(target, updates, ["k"]).collect()
     assert [(r.k, r.v) for r in rows] == [(1, "a")]
+
+
+def test_scd2_empty_feed(spark):
+    from cascading_hive_spark.operators.scd import scd2_compact
+
+    empty = spark.createDataFrame([], "key int, eff int, attr string, tb int")
+    out = scd2_compact(empty, "key", "eff", ["attr"], "tb")
+    assert out.count() == 0
+    assert out.columns == ["key", "attr", "valid_from", "valid_to", "is_current"]
+
+
+def test_interpolate_empty_series(spark):
+    from cascading_hive_spark.operators.timeseries import interpolate_daily
+
+    empty = spark.createDataFrame([], "k string, day date, v double")
+    out = interpolate_daily(empty, ["k"], "day", "v")
+    assert out.count() == 0
+    assert out.columns == ["k", "day", "v", "interpolated"]
+
+
+def test_duplicate_span_stats_empty(spark):
+    assert D.duplicate_span_stats(_empty_docs(spark), "doc_id", "text").count() == 0
+
+
+def test_deterministic_shuffle_empty(spark):
+    from cascading_hive_spark.operators.sampling import deterministic_shuffle
+
+    out = deterministic_shuffle(_empty_docs(spark), "doc_id")
+    assert out.count() == 0
+
+
+def test_bpe_train_empty_corpus(spark):
+    from cascading_hive_spark.operators.corpus import bpe_train
+
+    assert bpe_train(_empty_docs(spark), "text", n_merges=3) == []
+
+
+def test_runtime_prefilter_empty_build(spark):
+    probe = spark.range(0, 100).select(F.col("id").alias("pk"))
+    build = spark.createDataFrame([], "bk long")
+    assert R.runtime_prefilter_join(probe, build, "pk", "bk").count() == 0
+
+
+def test_profile_columns_empty(spark):
+    out = R.profile_columns(_empty_docs(spark), ["doc_id", "text"]).collect()
+    # one row per column even on an empty table — the ANALYZE contract
+    assert {r.column for r in out} == {"doc_id", "text"}
+    assert all(r.n_rows == 0 and r.n_distinct == 0 for r in out)

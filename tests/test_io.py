@@ -154,3 +154,32 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "v1", "v2"}
     rows = {r.id: (r.v1, r.v2) for r in merged.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    from cascading_hive_spark.io import read_binary_files
+    from cascading_hive_spark.operators.multimodal import decode_image
+
+    # two real PNG headers + one oversized decoy + one non-matching ext
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06\x00\x00\x00"
+        )
+
+    (tmp_path / "a.png").write_bytes(png(640, 480))
+    (tmp_path / "b.png").write_bytes(png(32, 16))
+    (tmp_path / "big.png").write_bytes(png(1, 1) + b"\x00" * 4096)
+    (tmp_path / "notes.txt").write_bytes(b"not an image")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.png", max_bytes=1024)
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2  # glob drops .txt, max_bytes drops big.png
+
+    from pyspark.sql import functions as F
+
+    payloads = df.select(
+        F.abs(F.xxhash64("path")).alias("id"), F.col("content").alias("payload")
+    )
+    decoded = {(r.width, r.height) for r in decode_image(payloads).collect()}
+    assert decoded == {(640, 480), (32, 16)}
