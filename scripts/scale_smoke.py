@@ -13,6 +13,8 @@ Usage: python scripts/scale_smoke.py <name> [args]
     asof      [n_left=10000000] [n_right=1000000]
     q1_decimal [tile=10]
     shuffle   [n=10000000]
+    span      [n=1000000]
+    bpe       [n=1000000] [n_merges=10]
     scd2      [n=10000000] [n_keys=1000000]
 
 Each prints one JSON line per measurement.
@@ -368,6 +370,49 @@ def smoke_scd2(n: int = 10_000_000, n_keys: int = 1_000_000) -> None:
                           "current_rows": n_current, "wall_sec": wall}))
 
 
+def smoke_span(n: int = 1_000_000) -> None:
+    """duplicate_span_stats at corpus scale: the dup-gram join and
+    island merge must stay near-linear (thin digest shuffles; spans
+    are a small fraction of positions at a realistic vocab)."""
+    from cascading_hive_spark.operators.dedup import duplicate_span_stats
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.02, n_vocab=5000
+        ).localCheckpoint()
+        t0 = time.monotonic()
+        out = duplicate_span_stats(docs, "doc_id", "text")
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("dup_tokens") > 0).cast("long")).alias("docs_hit"),
+        ).first()
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "span", "n_docs": size, "wall_sec": wall,
+                          "docs_with_dup_spans": row["docs_hit"],
+                          "planted_dups": int(size * 0.02)}))
+
+
+def smoke_bpe(n: int = 1_000_000, n_merges: int = 10) -> None:
+    """bpe_train cost model: after the initial wordcount collapses the
+    corpus to its vocabulary, per-merge cost must track VOCAB size,
+    not corpus size — 10x the docs over the same vocab should pay
+    ~the wordcount delta only."""
+    from cascading_hive_spark.operators.corpus import bpe_train
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(spark, n=size, n_vocab=5000).localCheckpoint()
+        t0 = time.monotonic()
+        merges = bpe_train(docs, "text", n_merges=n_merges)
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "bpe", "n_docs": size, "n_merges": len(merges),
+                          "wall_sec": wall,
+                          "top_merge": list(merges[0][1:3]) if merges else None}))
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -382,4 +427,6 @@ if __name__ == "__main__":
         "q1_decimal": smoke_q1_decimal,
         "shuffle": smoke_shuffle,
         "scd2": smoke_scd2,
+        "span": smoke_span,
+        "bpe": smoke_bpe,
     }[name](*args)
