@@ -1159,3 +1159,54 @@ def duplicate_span_stats(
             ).alias("dup_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy matching
+# ---------------------------------------------------------------------------
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: records sharing a blocking
+    key, kept when ``levenshtein(text_a, text_b) <= max_dist`` — the
+    classic block-then-compare shape (the quadratic compare runs
+    INSIDE blocks only; pick block keys so blocks stay small).
+
+    Same scale guards as ngram_jaccard_pairs: an equi-join on the
+    block key (never a cross join), ``id_a < id_b`` halves the pairs,
+    and ``max_block`` drops degenerate blocks (a block of k rows
+    costs k^2/2 comparisons — a 1M-row block is a plan error, not a
+    workload). JVM levenshtein, engine-portable (DuckDB agrees on the
+    metric)."""
+    cols = [F.col(c) for c in block_cols]
+    base = df.select(
+        F.col(id_col).alias("_bid"), F.col(text_col).alias("_btxt"), *cols
+    )
+    if max_block is not None:
+        sizes = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
+        base = base.join(
+            sizes.filter(F.col("_bn") <= max_block).select(*block_cols),
+            block_cols,
+        )
+    a = base.select(
+        *block_cols,
+        F.col("_bid").alias("id_a"),
+        F.col("_btxt").alias("_ta"),
+    )
+    b = base.select(
+        *block_cols,
+        F.col("_bid").alias("id_b"),
+        F.col("_btxt").alias("_tb"),
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("distance") <= max_dist)
+        .select("id_a", "id_b", F.col("distance").cast("bigint").alias("distance"))
+    )

@@ -4118,6 +4118,34 @@ def q_stats_bivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Entity resolution: block-then-compare fuzzy matching (shared
+# blocking key -> in-block levenshtein <= 2). Both engines implement
+# the same edit-distance metric, so the oracle replays the pipeline.
+@register(
+    "fuzzy_match_customers",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import blocked_levenshtein_pairs
+
+    return blocked_levenshtein_pairs(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        max_dist=2,
+    )
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

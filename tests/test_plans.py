@@ -139,3 +139,16 @@ def test_deterministic_shuffle_no_global_single_partition_sort(spark, sf_dir):
     df = _q(spark, sf_dir, "deterministic_shuffle")
     plan = physical_plan(df)
     assert "hashpartitioning(_bucket" in plan, plan
+
+
+def test_span_coverage_shuffles_digests_not_token_arrays(spark, sf_dir):
+    """duplicate_span_stats: the gram aggregation/join exchanges must
+    carry md5 digests + ints only — the split token arrays stay
+    scan-side (the 100 TB property: shuffle ∝ positions, not text)."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "dedup_span_coverage"))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(_g" in line and "_arr" in line:
+            raise AssertionError(f"token array in a gram shuffle: {line}")
+    assert "Exchange" in plan

@@ -183,3 +183,73 @@ def test_interpolate_daily_no_shrinking_window_frame(spark):
     )
     # the O(n^2) frame the asof fix banned must not reappear here
     assert "unboundedfollowing" not in plan
+
+
+# --- property test: SCD2 vs a pure-Python reference ------------------
+def test_scd2_property_random_feeds(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(1, 3),  # key
+            st.integers(0, 8),  # eff
+            st.sampled_from(["A", "B", None]),  # attr
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    def reference(rows):
+        out = []
+        for key in {r[0] for r in rows}:
+            feed = [r for r in rows if r[0] == key]
+            # same-instant: last writer (highest tiebreak = list index)
+            by_eff = {}
+            for i, (_, eff, attr) in enumerate(feed):
+                if eff not in by_eff or i > by_eff[eff][0]:
+                    by_eff[eff] = (i, attr)
+            seq = [(eff, a) for eff, (_, a) in sorted(by_eff.items())]
+            runs = [
+                (eff, a)
+                for j, (eff, a) in enumerate(seq)
+                if j == 0 or a != seq[j - 1][1]
+            ]
+            for j, (eff, a) in enumerate(runs):
+                nxt = runs[j + 1][0] if j + 1 < len(runs) else None
+                out.append((key, a, eff, nxt, nxt is None))
+        return sorted(out, key=lambda t: (t[0], t[2]))
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows_strategy)
+    def run(rows):
+        from cascading_hive_spark.operators.scd import scd2_compact
+
+        feed = spark.createDataFrame(
+            [(k, e, a, i) for i, (k, e, a) in enumerate(rows)],
+            "key int, eff int, attr string, tb int",
+        )
+        got = sorted(
+            (
+                (r.key, r.attr, r.valid_from, r.valid_to, r.is_current)
+                for r in scd2_compact(feed, "key", "eff", ["attr"], "tb").collect()
+            ),
+            key=lambda t: (t[0], t[2]),
+        )
+        assert got == reference(rows)
+
+    run()
+
+
+def test_blocked_levenshtein_max_block_guard(spark):
+    from cascading_hive_spark.operators.dedup import blocked_levenshtein_pairs
+
+    df = spark.createDataFrame(
+        [(i, "same", "hot") for i in range(100)]
+        + [(200, "abc", "cold"), (201, "abd", "cold")],
+        "id long, name string, blk string",
+    )
+    out = blocked_levenshtein_pairs(df, "id", "name", ["blk"], max_dist=1, max_block=50)
+    rows = out.collect()
+    # the 100-row hot block is dropped by the guard; the cold pair survives
+    assert [(r.id_a, r.id_b, r.distance) for r in rows] == [(200, 201, 1)]
