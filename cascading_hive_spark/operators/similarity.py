@@ -440,3 +440,229 @@ def quantize_int8(
         F.array_join(q, ",").alias("q_csv"),
         F.round(recon_err, 9).alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN, the third leg of
+# the similarity surface after brute-force kNN and IVF (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+# ---------------------------------------------------------------------------
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """Train a PQ codebook: the embedding splits into ``m`` equal
+    subvectors; each subspace gets ``k`` centroids via the SAME
+    deterministic hash-seed + Lloyd recipe as ivf_build, but ALL
+    subspaces train in one pass each round — the subvectors explode to
+    (id, sub, subvec) rows and every aggregation groups on (sub,
+    cell), so m never multiplies the number of jobs.
+
+    Returns centroids: (sub, cell, centroid) — m*k rows, metadata-
+    sized (the whole codebook for m=8, k=256, dim=64 is 128 KB).
+    """
+    dim = _dim_of(vectors, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    sub = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subvec"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
+
+    # Seed with ACTUAL data points (hash-ranked sample per subspace),
+    # not hash-group means: k-means on a mixture seeds best from
+    # spread points — means of arbitrary hash groups all collapse to
+    # the global subspace mean and Lloyd then empties most cells.
+    n = vectors.count()  # index build time only, like _dim_of
+    sample_mod = max(1, n // (k * 20))
+    from pyspark.sql import Window
+
+    cand = sub.filter(
+        F.pmod(F.abs(F.xxhash64("_id")), F.lit(sample_mod)) == 0
+    )
+    w_seed = Window.partitionBy("sub").orderBy(
+        F.abs(F.xxhash64(F.col("_id"), F.lit(1))), F.col("_id")
+    )
+    centroids = (
+        cand.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "sub",
+            (F.col("_rn") - 1).alias("cell"),
+            F.transform("subvec", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(refine_iterations):
+        assigned = _pq_assign(sub, centroids)
+        centroids = _pq_mean_centroids(assigned, d_sub).localCheckpoint()
+    return centroids
+
+
+def _pq_mean_centroids(assigned: DataFrame, d_sub: int) -> DataFrame:
+    return assigned.groupBy("sub", "cell").agg(
+        F.array(
+            *[
+                F.avg(F.get(F.col("subvec"), i).cast("double")).alias(f"c{i}")
+                for i in range(d_sub)
+            ]
+        ).alias("centroid")
+    )
+
+
+def _pq_assign(sub: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per (id, sub) by L2 — broadcast the m*k
+    codebook, join on the subspace, argmin via one window."""
+    from pyspark.sql import Window
+
+    d2 = F.aggregate(
+        F.zip_with("subvec", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(centroids), "sub").select(
+        "_id", "sub", "subvec", "cell", d2.alias("_d2")
+    )
+    w = Window.partitionBy("_id", "sub").orderBy(F.col("_d2").asc(), F.col("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_d2")
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress every vector to its m-byte code array (sub -> nearest
+    cell), ordered by subspace: (id, codes array<int>). One shuffle on
+    the id to reassemble codes; at 100 TB the codes table is dim/m *
+    8x smaller than the raw embeddings (64-dim float -> 8 bytes)."""
+    dim = _dim_of(vectors, vec_col)
+    d_sub = dim // m
+    sub = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subvec"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
+    assigned = _pq_assign(sub, centroids)
+    return (
+        assigned.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("cell")))
+                ),
+                lambda s: s["cell"],
+            ).alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    centroids_rows: list,
+    query_vec: list,
+    m: int,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k: the query builds an m*k
+    lookup table of exact subspace distances DRIVER-SIDE from the
+    collected codebook (metadata-sized by construction — the same
+    budget as IVF's nprobe cell-id collect), embedded as a map
+    literal; scoring each code row is then ONE narrow scan —
+    element_at per subspace, no join, no shuffle — feeding
+    TakeOrderedAndProject."""
+    lut: dict[tuple[int, int], float] = {}
+    d_sub = len(query_vec) // m
+    for r in centroids_rows:
+        q = query_vec[r["sub"] * d_sub : (r["sub"] + 1) * d_sub]
+        lut[(r["sub"], r["cell"])] = float(
+            sum((a - b) * (a - b) for a, b in zip(q, r["centroid"]))
+        )
+    # map literal keyed sub*K_MAX+cell; K_MAX from the codebook
+    k_max = max(c for (_, c) in lut) + 1
+    entries = []
+    for (s, c), d in sorted(lut.items()):
+        entries += [F.lit(s * k_max + c), F.lit(d)]
+    lut_col = F.create_map(*entries)
+    dist = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("codes"),
+            lambda j, c: F.element_at(lut_col, j * k_max + c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def pq_search_rerank(
+    codes: DataFrame,
+    vectors: DataFrame,
+    centroids_rows: list,
+    query_vec: list,
+    m: int,
+    topk: int = 10,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ the way it is deployed: ADC shortlist -> EXACT re-rank.
+    ADC distances cannot resolve differences below the quantization
+    noise (cluster-mates all score ~equal), so the compressed scan
+    only SHORTLISTS ``shortlist`` candidates; the exact L2 re-rank
+    touches raw embeddings for those ids alone (broadcast semi-join —
+    re-rank cost ∝ shortlist, not corpus). Returns (id, dist) top-k
+    by exact distance."""
+    short = pq_search(
+        codes, centroids_rows, query_vec, m, topk=shortlist, id_col=id_col
+    ).select(id_col)
+    qlit = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    exact = (
+        vectors.join(F.broadcast(short), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(F.col(vec_col), qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    return exact.orderBy(F.col("dist").asc(), F.col(id_col)).limit(topk)

@@ -4213,6 +4213,28 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Product-quantization ANN (Jégou et al. 2011): train codebook ->
+# 8-byte codes -> ADC shortlist -> exact re-rank. xxhash64-seeded
+# codebook is engine-specific, so rows-only by design; recall,
+# determinism and codebook health are pinned in tests/test_similarity.py.
+@register("ann_pq_topk", None)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = pq_train(emb, m=8, k=16)
+    rows = centroids.collect()  # m*k codebook rows — metadata-sized
+    codes = pq_encode(emb, centroids, m=8)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return pq_search_rerank(
+        codes, emb, rows, [float(x) for x in q], m=8, topk=10, shortlist=100
+    )
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

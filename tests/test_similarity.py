@@ -155,3 +155,85 @@ def test_ivf_disk_index_prunes_partitions(spark, emb, tmp_path):
     # must agree with the in-memory probe on the same index
     mem = {r.vec_id for r in S.ivf_search(assignments, centroids, query, k=10, nprobe=4).collect()}
     assert {r.vec_id for r in rows} == mem
+
+
+# --- product quantization -------------------------------------------
+def test_pq_codes_shape_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.similarity import pq_encode, pq_train
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=2000, dim=64, n_clusters=16).localCheckpoint()
+    cent = pq_train(emb, m=8, k=16)
+    assert cent.count() == 8 * 16  # full codebook, no collapsed cells
+    codes = pq_encode(emb, cent, m=8)
+    row = codes.agg(
+        F.min(F.size("codes")).alias("mn"),
+        F.max(F.size("codes")).alias("mx"),
+        F.max(F.array_max("codes")).alias("cmax"),
+        F.min(F.array_min("codes")).alias("cmin"),
+    ).first()
+    assert row["mn"] == row["mx"] == 8
+    assert 0 <= row["cmin"] and row["cmax"] <= 15
+    again = pq_encode(emb.repartition(7), pq_train(emb.repartition(5), m=8, k=16), m=8)
+    a = {r.vec_id: list(r.codes) for r in codes.collect()}
+    b = {r.vec_id: list(r.codes) for r in again.collect()}
+    assert a == b  # content-addressed: partitioning never changes codes
+
+
+def test_pq_rerank_recall_on_clustered_data(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        pq_search_rerank,
+        pq_train,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=5000, dim=64, n_clusters=32).localCheckpoint()
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    qlit = F.lit([float(x) for x in q]).cast("array<double>")
+    exact = (
+        emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        .orderBy("d")
+        .limit(10)
+        .collect()
+    )
+    truth = {r.vec_id for r in exact}
+    cent = pq_train(emb, m=8, k=64)
+    rows = cent.collect()
+    codes = pq_encode(emb, cent, m=8).localCheckpoint()
+    # ADC alone: the query's own row must sit AT the minimum ADC
+    # distance (cluster-mates with identical codes tie exactly, and
+    # the id tie-break may order them first — that is correct PQ)
+    adc = pq_search(codes, rows, list(q), m=8, topk=5000).collect()
+    d7 = next(r.adc_dist for r in adc if r.vec_id == 7)
+    assert d7 == adc[0].adc_dist
+    got = {
+        r.vec_id
+        for r in pq_search_rerank(
+            codes, emb, rows, list(q), m=8, topk=10, shortlist=200
+        ).collect()
+    }
+    assert len(got & truth) >= 9  # exact re-rank recovers the true neighbors
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest
+
+    from cascading_hive_spark.operators.similarity import pq_train
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=100, dim=64, n_clusters=4)
+    with pytest.raises(ValueError):
+        pq_train(emb, m=7)
