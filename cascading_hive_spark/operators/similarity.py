@@ -509,7 +509,7 @@ def pq_train(
         .localCheckpoint()
     )
     for _ in range(refine_iterations):
-        assigned = _pq_assign(sub, centroids)
+        assigned = _pq_assign(sub, centroids, d_sub)
         centroids = _pq_mean_centroids(assigned, d_sub).localCheckpoint()
     return centroids
 
@@ -525,25 +525,40 @@ def _pq_mean_centroids(assigned: DataFrame, d_sub: int) -> DataFrame:
     )
 
 
-def _pq_assign(sub: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per (id, sub) by L2 — broadcast the m*k
-    codebook, join on the subspace, argmin via one window."""
-    from pyspark.sql import Window
+def _pq_assign_cells(sub: DataFrame, centroids: DataFrame, d_sub: int) -> DataFrame:
+    """Nearest centroid per (id, sub) by L2 -> (_id, sub, cell).
 
-    d2 = F.aggregate(
-        F.zip_with("subvec", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    Broadcast the m*k codebook, explode to scored candidates, argmin
+    via ``min`` over a (distance, cell) struct — struct ordering IS
+    the tie-broken argmin, and the aggregation buffer is 16 bytes per
+    group. Distances are UNROLLED d_sub-term arithmetic (plain codegen),
+    not a zip_with/aggregate fold (interpreted per element — at
+    n*m*k scored rows the fold was the entire wall time), and the
+    subvectors are NOT carried through the aggregation (a first()-of-
+    array accumulator put whole subvecs in every partial-agg buffer
+    and OOM'd the 1M smoke); the shuffle carries (id, sub, 16-byte
+    struct) only."""
+    terms = [
+        (F.get("subvec", i).cast("double") - F.get("centroid", i))
+        for i in range(d_sub)
+    ]
+    d2 = sum((t * t for t in terms), F.lit(0.0))
     scored = sub.join(F.broadcast(centroids), "sub").select(
-        "_id", "sub", "subvec", "cell", d2.alias("_d2")
+        "_id", "sub", F.struct(d2.alias("d"), F.col("cell").alias("c")).alias("_key")
     )
-    w = Window.partitionBy("_id", "sub").orderBy(F.col("_d2").asc(), F.col("cell"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_d2")
+        scored.groupBy("_id", "sub")
+        .agg(F.min("_key").alias("_k"))
+        .select("_id", "sub", F.col("_k.c").alias("cell"))
     )
+
+
+def _pq_assign(sub: DataFrame, centroids: DataFrame, d_sub: int) -> DataFrame:
+    """Cell assignment WITH subvectors re-attached (the Lloyd mean
+    step needs them): thin argmin first, then an equi-join back to
+    the subvector table on (id, sub)."""
+    cells = _pq_assign_cells(sub, centroids, d_sub)
+    return sub.join(cells, ["_id", "sub"]).select("_id", "sub", "subvec", "cell")
 
 
 def pq_encode(
@@ -573,7 +588,7 @@ def pq_encode(
             )
         ).alias("_s"),
     ).select("_id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
-    assigned = _pq_assign(sub, centroids)
+    assigned = _pq_assign_cells(sub, centroids, d_sub)
     return (
         assigned.groupBy("_id")
         .agg(
@@ -610,20 +625,19 @@ def pq_search(
         lut[(r["sub"], r["cell"])] = float(
             sum((a - b) * (a - b) for a, b in zip(q, r["centroid"]))
         )
-    # map literal keyed sub*K_MAX+cell; K_MAX from the codebook
+    # FLAT array literal indexed sub*k_max+cell: array element_at is
+    # O(1) and the m-term sum is plain codegen arithmetic (a map
+    # literal's GetMapValue scans all m*k entries per lookup, and a
+    # HOF fold is interpreted — both dominated scan time).
     k_max = max(c for (_, c) in lut) + 1
-    entries = []
-    for (s, c), d in sorted(lut.items()):
-        entries += [F.lit(s * k_max + c), F.lit(d)]
-    lut_col = F.create_map(*entries)
-    dist = F.aggregate(
-        F.zip_with(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.col("codes"),
-            lambda j, c: F.element_at(lut_col, j * k_max + c),
+    flat = [float(lut.get((s_, c_), float("inf"))) for s_ in range(m) for c_ in range(k_max)]
+    lut_col = F.lit(flat)
+    dist = sum(
+        (
+            F.get(lut_col, F.lit(j * k_max) + F.get("codes", j))
+            for j in range(m)
         ),
         F.lit(0.0),
-        lambda acc, x: acc + x,
     )
     return (
         codes.select(F.col(id_col), dist.alias("adc_dist"))

@@ -15,6 +15,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     shuffle   [n=10000000]
     span      [n=1000000]
     bpe       [n=1000000] [n_merges=10]
+    pq        [n=1000000]
     scd2      [n=10000000] [n_keys=1000000]
 
 Each prints one JSON line per measurement.
@@ -32,7 +33,20 @@ from cascading_hive_spark.session import get_session
 
 
 def _spark():
-    s = get_session("scale-smoke", master="local[32]", shuffle_partitions=64)
+    # GCLockerRetryAllocationCount: the 32-thread local JVM hits
+    # GCLocker starvation (JNI lz4 critical sections vs allocation
+    # spikes) on the biggest smokes — retrying the allocation instead
+    # of throwing spurious OOM is the documented JVM-side fix.
+    s = get_session(
+        "scale-smoke",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.driver.extraJavaOptions": (
+                "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100"
+            )
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -413,6 +427,49 @@ def smoke_bpe(n: int = 1_000_000, n_merges: int = 10) -> None:
                           "top_merge": list(merges[0][1:3]) if merges else None}))
 
 
+def smoke_pq(n: int = 1_000_000) -> None:
+    """PQ at corpus scale: codebook train + encode wall, then ADC
+    search latency over the compressed codes (the scan the codes
+    exist for) and re-rank recall vs exact brute force."""
+    from cascading_hive_spark.operators.similarity import (
+        pq_encode, pq_search, pq_search_rerank, pq_train,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    spark = _spark()
+    for size in (n // 10, n):
+        emb = synthetic_embeddings(spark, n=size, dim=64, n_clusters=64).localCheckpoint()
+        t0 = time.monotonic()
+        cent = pq_train(emb, m=8, k=256)
+        rows = cent.collect()
+        train_wall = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        codes = pq_encode(emb, cent, m=8).localCheckpoint()
+        encode_wall = round(time.monotonic() - t0, 1)
+        q = emb.filter(F.col("vec_id") == 3).select("embedding").first()["embedding"]
+        qv = [float(x) for x in q]
+        t0 = time.monotonic()
+        pq_search(codes, rows, qv, m=8, topk=10).collect()
+        adc_wall = round(time.monotonic() - t0, 1)
+        qlit = F.lit(qv).cast("array<double>")
+        truth = {r.vec_id for r in (
+            emb.select("vec_id", F.aggregate(
+                F.zip_with("embedding", qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d"))
+            .orderBy("d").limit(10).collect())}
+        # shortlist scales with corpus size: within a dense cluster ADC
+        # ranks near-randomly (quantization noise floor), so recall@10
+        # ~ 1-(1-shortlist/cluster)^10 — a fixed 500 at 1M vectors
+        # (15.6k-member clusters) measures that formula, not the index
+        shortlist = max(500, size // 200)
+        got = {r.vec_id for r in pq_search_rerank(
+            codes, emb, rows, qv, m=8, topk=10, shortlist=shortlist).collect()}
+        print(json.dumps({"smoke": "pq", "n_vectors": size,
+                          "train_sec": train_wall, "encode_sec": encode_wall,
+                          "adc_search_sec": adc_wall, "shortlist": shortlist,
+                          "rerank_recall_at_10": len(got & truth) / 10}))
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -429,4 +486,5 @@ if __name__ == "__main__":
         "scd2": smoke_scd2,
         "span": smoke_span,
         "bpe": smoke_bpe,
+        "pq": smoke_pq,
     }[name](*args)
