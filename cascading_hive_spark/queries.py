@@ -4235,6 +4235,95 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GROUPED_AGG pandas_udf — the Arrow-vectorized custom AGGREGATE leg
+# of the UDF surface (scalar pandas_udf and grouped-map applyInPandas
+# are covered by pandas_udf_scalar / grouped_map_udaf): mean of each
+# user's 3 largest event values, deterministic so the SQL oracle is a
+# window + avg.
+@register(
+    "pandas_grouped_agg",
+    """
+    SELECT user_id, round(avg(value), 6) AS top3_mean
+    FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+    WHERE rn <= 3 GROUP BY user_id
+    """,
+)
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def top3_mean(v: pd.Series) -> float:
+        return float(v.nlargest(3).mean())
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(top3_mean("value"), 6).alias("top3_mean")
+    )
+
+
+# Cogrouped applyInPandas — the last pandas-API leg: two grouped
+# frames meet per key in ONE Arrow batch pair (pd.merge_asof per
+# user: each purchase gets its latest preceding click). The oracle is
+# the equivalent max-over-inequality-join.
+@register(
+    "cogrouped_asof_merge",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           max(c.ts) AS last_click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id, p.event_id, p.ts
+    """,
+)
+def q_cogrouped_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if len(p) == 0:  # click-only users contribute no output rows
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                    "last_click_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        p = p.sort_values("ts")
+        c = c[["ts"]].sort_values("ts").rename(columns={"ts": "last_click_ts"})
+        out = pd.merge_asof(
+            p, c, left_on="ts", right_on="last_click_ts",
+            direction="backward", allow_exact_matches=True,
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "purchase_id": out["event_id"],
+                "purchase_ts": out["ts"],
+                "last_click_ts": out["last_click_ts"],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, purchase_id long, purchase_ts timestamp, "
+            "last_click_ts timestamp",
+        )
+    )
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get
