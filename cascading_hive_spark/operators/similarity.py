@@ -680,3 +680,119 @@ def pq_search_rerank(
         )
     )
     return exact.orderBy(F.col("dist").asc(), F.col(id_col)).limit(topk)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + residual product quantization —
+# the composition used for billion-scale ANN (FAISS IVFPQ layout):
+# probe a few cells, ADC-score 8-byte codes inside them, re-rank.
+# ---------------------------------------------------------------------------
+def ivfpq_build(
+    vectors: DataFrame,
+    n_cells: int = 64,
+    m: int = 8,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build an IVF-PQ index: ivf_build's coarse cells, then PQ
+    codebooks trained on the RESIDUALS (vector minus its cell
+    centroid — residuals concentrate near zero, so a shared codebook
+    quantizes them far better than raw vectors). Returns
+    (index, coarse_centroids, pq_centroids) where index is
+    (id, cell, codes) — at 100 TB you'd write it
+    ``partitionBy("cell")`` so probes prune to nprobe directories,
+    8 bytes + a cell id per vector."""
+    assignments, coarse = ivf_build(vectors, n_cells, id_col=id_col, vec_col=vec_col)
+    residuals = assignments.join(F.broadcast(coarse), "cell").select(
+        F.col(id_col),
+        "cell",
+        F.zip_with(
+            F.col(vec_col), "centroid", lambda a, b: (a.cast("double") - b)
+        ).alias(vec_col),
+    )
+    pq_cent = pq_train(residuals, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
+    index = assignments.select(id_col, "cell").join(codes, id_col)
+    return index, coarse, pq_cent
+
+
+def ivfpq_search(
+    index: DataFrame,
+    coarse_rows: list,
+    pq_rows: list,
+    query_vec: list,
+    m: int,
+    nprobe: int = 8,
+    topk: int = 10,
+    shortlist: int = 200,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search an IVF-PQ index: rank cells by coarse distance
+    DRIVER-SIDE (n_cells rows — metadata), keep ``nprobe``; build one
+    ADC lookup table PER PROBED CELL from the query's residual
+    against that cell's centroid; score only the probed cells' rows
+    (a cell-pruned scan — the fraction nprobe/n_cells of the corpus)
+    with a flat array-literal LUT indexed (cell_slot, sub, code);
+    TakeOrdered a shortlist; exact re-rank against raw vectors when
+    ``vectors`` is given."""
+    d = len(query_vec)
+    cell_dist = sorted(
+        (
+            sum((query_vec[i] - r["centroid"][i]) ** 2 for i in range(d)),
+            r["cell"],
+            r["centroid"],
+        )
+        for r in coarse_rows
+    )
+    probed = cell_dist[:nprobe]
+    d_sub = d // m
+    k_max = max(r["cell"] for r in pq_rows) + 1
+    pq_by = {(r["sub"], r["cell"]): r["centroid"] for r in pq_rows}
+    flat: list[float] = []
+    slot_of = {}
+    for slot, (_, cell, centroid) in enumerate(probed):
+        slot_of[cell] = slot
+        resid = [query_vec[i] - centroid[i] for i in range(d)]
+        for j in range(m):
+            q = resid[j * d_sub : (j + 1) * d_sub]
+            for c in range(k_max):
+                cen = pq_by.get((j, c))
+                flat.append(
+                    float("inf")
+                    if cen is None
+                    else float(sum((a - b) * (a - b) for a, b in zip(q, cen)))
+                )
+    lut_col = F.lit(flat)
+    slot_expr = F.lit(None).cast("int")
+    for cell, slot in slot_of.items():
+        slot_expr = F.when(F.col("cell") == cell, slot).otherwise(slot_expr)
+    pruned = index.filter(F.col("cell").isin([c for _, c, _ in probed]))
+    base = F.col("_slot") * (m * k_max)
+    dist = sum(
+        (
+            F.get(lut_col, base + j * k_max + F.get("codes", j))
+            for j in range(m)
+        ),
+        F.lit(0.0),
+    )
+    short = (
+        pruned.withColumn("_slot", slot_expr)
+        .select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(shortlist if vectors is not None else topk)
+    )
+    if vectors is None:
+        return short
+    qlit = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    exact = vectors.join(F.broadcast(short.select(id_col)), id_col, "left_semi").select(
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(F.col(vec_col), qlit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    return exact.orderBy(F.col("dist").asc(), F.col(id_col)).limit(topk)

@@ -4324,6 +4324,30 @@ def q_cogrouped_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-PQ composite ANN: coarse cells + residual PQ codes + per-cell
+# ADC + exact re-rank (the billion-scale index layout). xxhash64-
+# seeded like its parts, so rows-only; recall + cell-pruning pinned
+# in tests/test_similarity.py.
+@register("ann_ivfpq_topk", None)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import ivfpq_build, ivfpq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index, coarse, pqc = ivfpq_build(emb, n_cells=8, m=8, k=16)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivfpq_search(
+        index,
+        coarse.collect(),
+        pqc.collect(),
+        [float(x) for x in q],
+        m=8,
+        nprobe=2,
+        topk=10,
+        shortlist=100,
+        vectors=emb,
+    )
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

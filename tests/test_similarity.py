@@ -237,3 +237,64 @@ def test_pq_train_rejects_indivisible_dim(spark):
     emb = synthetic_embeddings(spark, n=100, dim=64, n_clusters=4)
     with pytest.raises(ValueError):
         pq_train(emb, m=7)
+
+
+def test_ivfpq_recall_and_cell_pruning(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.similarity import ivfpq_build, ivfpq_search
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=5000, dim=64, n_clusters=32).localCheckpoint()
+    index, coarse, pqc = ivfpq_build(emb, n_cells=16, m=8, k=64)
+    index = index.localCheckpoint()
+    coarse_rows, pq_rows = coarse.collect(), pqc.collect()
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    qv = [float(x) for x in q]
+    qlit = F.lit(qv).cast("array<double>")
+    truth = {
+        r.vec_id
+        for r in emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        .orderBy("d")
+        .limit(10)
+        .collect()
+    }
+    got = {
+        r.vec_id
+        for r in ivfpq_search(
+            index, coarse_rows, pq_rows, qv, m=8, nprobe=2, topk=10,
+            shortlist=200, vectors=emb,
+        ).collect()
+    }
+    assert len(got & truth) >= 9  # residual PQ + rerank recovers the true top-k
+    # the probed scan must touch a small fraction of the corpus
+    ranked = sorted(
+        (sum((qv[i] - c["centroid"][i]) ** 2 for i in range(64)), c["cell"])
+        for c in coarse_rows
+    )
+    cells = [c for _, c in ranked[:2]]
+    assert index.filter(F.col("cell").isin(cells)).count() < 2500
+
+
+def test_ivfpq_shortlist_only_without_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.similarity import ivfpq_build, ivfpq_search
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=1000, dim=64, n_clusters=8).localCheckpoint()
+    index, coarse, pqc = ivfpq_build(emb, n_cells=8, m=8, k=16)
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()["embedding"]
+    out = ivfpq_search(
+        index, coarse.collect(), pqc.collect(), [float(x) for x in q],
+        m=8, nprobe=2, topk=5,
+    ).collect()
+    assert len(out) == 5
+    assert out == sorted(out, key=lambda r: (r.adc_dist, r.vec_id))
