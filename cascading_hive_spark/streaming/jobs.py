@@ -277,3 +277,62 @@ def enrich_stream(events: DataFrame, dim: DataFrame, key_expr: str) -> DataFrame
     return events.withColumn("__k", FF.expr(key_expr)).join(
         FF.broadcast(dim), FF.col("__k") == dim[dim.columns[0]]
     ).drop("__k")
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas drives its state protocol
+    over protobuf; this container ships pyspark 4.1 WITHOUT the
+    python `protobuf` package, so the API exists but its driver
+    worker crashes importing StateMessage_pb2. Gate, don't guess."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def totals_stream_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, max) via Spark 4's transformWithState
+    StatefulProcessor API — the successor to applyInPandasWithState
+    (jobs.sessionize_stream keeps the classic shape): typed ValueState
+    per key, Update output, RocksDB state store. Raises RuntimeError
+    where the protobuf dependency is missing (see
+    transform_with_state_available) rather than crashing the stream's
+    driver worker mid-query.
+
+    Stream/batch duality: the final availableNow replay row per user
+    equals ``events.groupBy(user_id).agg(count(*), max(value))``.
+    """
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the python 'protobuf' package; "
+            "not installed in this environment (use sessionize_stream's "
+            "applyInPandasWithState path instead)"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._state.get()
+            n, mx = (prev[0], prev[1]) if prev else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType="user_id long, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -222,3 +222,38 @@ def test_sessionize_chunk_order_independent(spark, tmp_path):
         assert (row.n_sessions, row.n_events) == (2, 40)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
+    """The Spark-4 transformWithState path: runs end-to-end where
+    protobuf exists; raises the documented RuntimeError (instead of
+    crashing the streaming driver worker) where it does not."""
+    import pytest
+
+    from cascading_hive_spark.streaming.jobs import (
+        run_available_now,
+        stream_events,
+        totals_stream_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            totals_stream_tws(stream_events(spark, sf_dir))
+        return
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.tables import load_table
+
+    out = run_available_now(
+        totals_stream_tws(stream_events(spark, sf_dir)), "tws_totals", "update"
+    )
+    final = {r.user_id: (r.n_events, r.max_value) for r in out.collect()}
+    batch = {
+        r.user_id: (r.n, r.mx)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert final == batch
