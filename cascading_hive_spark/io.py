@@ -156,3 +156,47 @@ def read_binary_files(
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+def morton_interleave(a, b, bits: int = 10):
+    """Morton (Z-order) code of two bucketed ints — bit ``i`` of ``a``
+    lands at position ``2i``, bit ``i`` of ``b`` at ``2i+1``, so
+    range-sorting by the code clusters BOTH dimensions at once (the
+    Z-order-lite data layout trick: files get narrow min/max ranges
+    on every interleaved column, and parquet row-group skipping works
+    for predicates on either one). Pure bigint shift/mask algebra —
+    whole-stage codegen, and the same expression runs in any SQL
+    engine."""
+    a = a.cast("bigint")
+    b = b.cast("bigint")
+    code = F.lit(0).cast("bigint")
+    for i in range(bits):
+        code = code + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        code = code + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return code
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 10,
+) -> None:
+    """Write ``df`` parquet laid out by the Morton code of two bucketed
+    dimensions: repartitionByRange on the code (contiguous code ranges
+    per file) + sortWithinPartitions (narrow min/max INSIDE each file
+    too, for row-group-level skipping). After this layout a filter on
+    EITHER column prunes most files by their footer min/max — the
+    multi-dimensional analog of partitionBy that does not explode the
+    file count."""
+    code = morton_interleave(F.col(col_a), F.col(col_b), bits)
+    (
+        df.withColumn("_z", code)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

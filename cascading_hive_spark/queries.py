@@ -4348,6 +4348,48 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order (Morton) code — the multi-dimensional data-layout sort key
+# behind io.zorder_write (T test_io asserts the layout narrows BOTH
+# dimensions' per-file min/max). Pure bit algebra, identical in SQL.
+@register(
+    "morton_code",
+    """
+    SELECT o_orderkey,
+           CAST(((((o_orderkey % 1024) >> 0) & 1) << 0)
+             + ((((o_custkey % 1024) >> 0) & 1) << 1)
+             + ((((o_orderkey % 1024) >> 1) & 1) << 2)
+             + ((((o_custkey % 1024) >> 1) & 1) << 3)
+             + ((((o_orderkey % 1024) >> 2) & 1) << 4)
+             + ((((o_custkey % 1024) >> 2) & 1) << 5)
+             + ((((o_orderkey % 1024) >> 3) & 1) << 6)
+             + ((((o_custkey % 1024) >> 3) & 1) << 7)
+             + ((((o_orderkey % 1024) >> 4) & 1) << 8)
+             + ((((o_custkey % 1024) >> 4) & 1) << 9)
+             + ((((o_orderkey % 1024) >> 5) & 1) << 10)
+             + ((((o_custkey % 1024) >> 5) & 1) << 11)
+             + ((((o_orderkey % 1024) >> 6) & 1) << 12)
+             + ((((o_custkey % 1024) >> 6) & 1) << 13)
+             + ((((o_orderkey % 1024) >> 7) & 1) << 14)
+             + ((((o_custkey % 1024) >> 7) & 1) << 15)
+             + ((((o_orderkey % 1024) >> 8) & 1) << 16)
+             + ((((o_custkey % 1024) >> 8) & 1) << 17)
+             + ((((o_orderkey % 1024) >> 9) & 1) << 18)
+             + ((((o_custkey % 1024) >> 9) & 1) << 19) AS BIGINT) AS z
+    FROM orders
+    """,
+)
+def q_morton_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.io import morton_interleave
+
+    o = _t(spark, sf_dir, "orders")
+    z = morton_interleave(
+        F.pmod(F.col("o_orderkey"), F.lit(1024)),
+        F.pmod(F.col("o_custkey"), F.lit(1024)),
+        bits=10,
+    )
+    return o.select("o_orderkey", z.alias("z"))
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get

@@ -183,3 +183,50 @@ def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
     )
     decoded = {(r.width, r.height) for r in decode_image(payloads).collect()}
     assert decoded == {(640, 480), (32, 16)}
+
+
+def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
+    from cascading_hive_spark.io import zorder_write
+
+    df = spark.range(0, 40_000).select(
+        (F.col("id") * 2654435761 % 1024).alias("a"),
+        (F.col("id") * 40503 % 1024).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "z")
+    zorder_write(df, out, "a", "b", n_files=16)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("a") - F.min("a")).alias("span_a"),
+            (F.max("b") - F.min("b")).alias("span_b"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    ).collect()
+    assert len(per_file) == 16
+    avg_a = sum(r.span_a for r in per_file) / len(per_file)
+    avg_b = sum(r.span_b for r in per_file) / len(per_file)
+    # a naive single-column sort gives one dim span ~64 and the other
+    # ~1023 (unclustered); the Z-layout must narrow BOTH dims
+    assert avg_a < 600 and avg_b < 600, (avg_a, avg_b)
+    assert spark.read.parquet(out).count() == 40_000
+
+
+def test_observe_runtime_metrics(spark, sf_dir):
+    """df.observe: accumulator-style metrics collected DURING the real
+    pass (no second scan) — the pipeline-invariant hook (row counts,
+    null counts) every production job wants."""
+    from pyspark.sql import Observation
+
+    from cascading_hive_spark.tables import load_table
+
+    obs = Observation("quality")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+    )
+    n = li.filter(F.col("l_quantity") > 0).count()
+    assert obs.get["rows_seen"] >= n
+    assert obs.get["null_qty"] == 0
