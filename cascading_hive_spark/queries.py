@@ -4390,6 +4390,62 @@ def q_morton_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", z.alias("z"))
 
 
+# Spark 4 VARIANT type: parse_json -> typed variant_get path access —
+# the open-schema column type (vs the map/from_json path map_type_ops
+# already covers). Oracle via DuckDB's JSON extraction.
+@register(
+    "variant_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+               AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("_k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("_k").cast("int").alias("max_k"))
+    )
+
+
+# Spark 4 recursive CTE (WITH RECURSIVE): ancestor-chain depth over a
+# binary-heap hierarchy derived from customer keys. The iterative
+# fixpoint runs INSIDE Catalyst — no driver loop — and DuckDB mirrors
+# the same recursion.
+@register(
+    "recursive_cte_depth",
+    """
+    WITH RECURSIVE anc(c, a, depth) AS (
+      SELECT c_custkey, c_custkey // 2, 1 FROM customer WHERE c_custkey > 0
+      UNION ALL
+      SELECT c, a // 2, depth + 1 FROM anc WHERE a > 0
+    )
+    SELECT c AS c_custkey, CAST(max(depth) AS BIGINT) AS depth
+    FROM anc GROUP BY c
+    """,
+)
+def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(c, a, depth) AS (
+          SELECT c_custkey, c_custkey DIV 2, 1 FROM _rc_customer
+          WHERE c_custkey > 0
+          UNION ALL
+          SELECT c, a DIV 2, depth + 1 FROM anc WHERE a > 0
+        )
+        SELECT c AS c_custkey, CAST(max(depth) AS BIGINT) AS depth
+        FROM anc GROUP BY c
+        """
+    )
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get
