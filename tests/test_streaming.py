@@ -257,3 +257,47 @@ def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restartability: two availableNow runs over a growing source
+    with the SAME checkpointLocation must process every input file
+    exactly once — the second run picks up only the new file, and the
+    sink holds no duplicates. This is the property that makes a
+    failed/restarted 100 TB ingestion safe to re-run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    half1 = spark.range(0, 500).select(F.col("id").alias("event_id"))
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long")
+            .parquet(src)
+            .withColumn("doubled", F.col("event_id") * 2)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 500
+
+    half2 = spark.range(500, 1000).select(F.col("id").alias("event_id"))
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # same checkpoint: must NOT reprocess the first file
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 1000  # no duplicates
+    assert out.select("event_id").distinct().count() == 1000
+    assert out.filter(F.col("doubled") != F.col("event_id") * 2).count() == 0
