@@ -4446,6 +4446,63 @@ def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Point-in-time dimension lookup: every order labeled with the
+# customer's priority REGIME at order time — scd2_compact builds the
+# history, asof_join (backward) resolves each fact row against it;
+# the oracle replays the validity-window join. The composition every
+# warehouse runs as "join fact to SCD2 dimension as-of".
+@register(
+    "scd2_point_in_time",
+    """
+    WITH latest AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority FROM (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+    runs AS (
+      SELECT *,
+             (lag(o_orderdate) OVER w IS NULL OR
+              o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w)
+                 AS new_run
+      FROM latest
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)),
+    hist AS (
+      SELECT o_custkey AS k, o_orderpriority AS regime,
+             o_orderdate AS vf, lead(o_orderdate) OVER w2 AS vt
+      FROM runs WHERE new_run
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate))
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           h.regime AS regime_priority
+    FROM orders o
+    JOIN hist h ON h.k = o.o_custkey AND o.o_orderdate >= h.vf
+               AND (h.vt IS NULL OR o.o_orderdate < h.vt)
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.asof import asof_join
+    from cascading_hive_spark.operators.scd import scd2_compact
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_compact(
+        orders, "o_custkey", "o_orderdate", ["o_orderpriority"], "o_orderkey"
+    ).select(
+        F.col("o_custkey").alias("h_key"),
+        F.col("valid_from"),
+        F.col("o_orderpriority").alias("regime_priority"),
+    )
+    return asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        hist,
+        "o_orderdate",
+        "valid_from",
+        "o_custkey",
+        "h_key",
+        ["regime_priority"],
+        direction="backward",
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "regime_priority")
+
+
 # The external driver oracle-checks only the FIRST 50 entries of
 # ``queries()`` per round (CORRECTNESS_r{N}.json). Registration order
 # above is thematic, so without intervention the same 50 queries get
