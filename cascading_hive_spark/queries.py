@@ -4515,6 +4515,24 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time otherwise, and tests/test_registry_hygiene.py pins the same
 # invariants in pytest.
 
+# r7 ROTATION NOTE: after the r6 driver run checks the current 50,
+# these 40 registered queries will still never have had a driver
+# CORRECTNESS row (r6 additions + pre-r6 overflow) — fill the next
+# window from them, keeping wordcount at slot 1:
+#   ann_ivf_knn_join string_functions date_functions conditional_scalars
+#   like_patterns bitwise_ops q2_min_cost_supplier q9_product_profit
+#   q11_important_stock q20_excess_suppliers text_tfidf_topk
+#   text_gopher_rules text_bigram_lm interleave_sources
+#   embedding_quantize_int8 dedup_minhash_incremental key_skew_profile
+#   scd2_customer_priority join_runtime_prefilter table_profile
+#   approx_percentile_bounded deterministic_shuffle cube_quantity
+#   set_except_all set_intersect_all dedup_span_coverage
+#   multimodal_audio_meta events_interpolate bpe_merges stats_bivariate
+#   fuzzy_match_customers robust_stats ann_pq_topk pandas_grouped_agg
+#   cogrouped_asof_merge ann_ivfpq_topk morton_code variant_props
+#   recursive_cte_depth scd2_point_in_time
+# (bpe_merges / ann_pq_topk / ann_ivfpq_topk are rows-only — the
+# window requires oracles, so they stay outside it by design.)
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     "pack_sequences",  # evicted from the r5 window by a mid-list insertion
