@@ -16,6 +16,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     span      [n=1000000]
     bpe       [n=1000000] [n_merges=10]
     pq        [n=1000000]
+    fuzzy     [n=1000000]
     scd2      [n=10000000] [n_keys=1000000]
 
 Each prints one JSON line per measurement.
@@ -470,6 +471,34 @@ def smoke_pq(n: int = 1_000_000) -> None:
                           "rerank_recall_at_10": len(got & truth) / 10}))
 
 
+def smoke_fuzzy(n: int = 1_000_000) -> None:
+    """blocked_levenshtein_pairs at corpus scale: n names in ~n/50
+    blocks (in-block quadratic compare is the budget: ~25M levenshtein
+    evals at 1M rows). Planted exact triples guarantee >= size/3 * 3
+    distance-0 pairs; names congruent mod n_blocks additionally differ
+    by one decimal digit, contributing legitimate distance-1 pairs —
+    the total is ~10x the floor, all real matches."""
+    from cascading_hive_spark.operators.dedup import blocked_levenshtein_pairs
+
+    spark = _spark()
+    for size in (n // 10, n):
+        df = spark.range(size).select(
+            F.col("id"),
+            F.concat(
+                F.lit("Customer#"), F.lpad((F.col("id") / 3).cast("bigint").cast("string"), 9, "0")
+            ).alias("name"),
+            F.pmod((F.col("id") / 3).cast("bigint"), F.lit(size // 50)).alias("blk"),
+        ).localCheckpoint()
+        t0 = time.monotonic()
+        n_pairs = blocked_levenshtein_pairs(
+            df, "id", "name", ["blk"], max_dist=1, max_block=10_000
+        ).count()
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "fuzzy", "n_rows": size, "n_blocks": size // 50,
+                          "wall_sec": wall, "n_pairs": n_pairs,
+                          "exact_pair_floor": (size // 3) * 3}))
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -487,4 +516,5 @@ if __name__ == "__main__":
         "span": smoke_span,
         "bpe": smoke_bpe,
         "pq": smoke_pq,
+        "fuzzy": smoke_fuzzy,
     }[name](*args)
