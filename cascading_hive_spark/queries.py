@@ -4515,6 +4515,60 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time otherwise, and tests/test_registry_hygiene.py pins the same
 # invariants in pytest.
 
+# Equi-HEIGHT histogram (value_histogram is equi-width): the
+# CBO-style histogram, built the way it scales — decile BOUNDARIES
+# from one partial-aggregated exact-percentile pass (NOT a global
+# ntile window, which funnels the corpus through one reducer), then a
+# broadcast of the 9 boundaries bins every row in a narrow map.
+# Boundaries are rounded to 2 decimals before binning so both engines
+# compare against identical constants.
+@register(
+    "equiheight_histogram",
+    """
+    WITH b AS (
+      SELECT list_value(
+        round(quantile_cont(l_extendedprice, 0.1), 2),
+        round(quantile_cont(l_extendedprice, 0.2), 2),
+        round(quantile_cont(l_extendedprice, 0.3), 2),
+        round(quantile_cont(l_extendedprice, 0.4), 2),
+        round(quantile_cont(l_extendedprice, 0.5), 2),
+        round(quantile_cont(l_extendedprice, 0.6), 2),
+        round(quantile_cont(l_extendedprice, 0.7), 2),
+        round(quantile_cont(l_extendedprice, 0.8), 2),
+        round(quantile_cont(l_extendedprice, 0.9), 2)) AS bs
+      FROM lineitem)
+    SELECT 1 + len(list_filter(b.bs, x -> x < l.l_extendedprice)) AS bin,
+           round(min(l.l_extendedprice), 2) AS lo,
+           round(max(l.l_extendedprice), 2) AS hi,
+           count(*) AS n
+    FROM lineitem l, b
+    GROUP BY 1
+    """,
+)
+def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.array(
+            *[
+                F.round(F.percentile("l_extendedprice", x / 10.0), 2)
+                for x in range(1, 10)
+            ]
+        ).alias("bs")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        "l_extendedprice",
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda x: x < F.col("l_extendedprice")))
+        ).cast("bigint").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # r7 ROTATION NOTE: after the r6 driver run checks the current 50,
 # these 40 registered queries will still never have had a driver
 # CORRECTNESS row (r6 additions + pre-r6 overflow) — fill the next

@@ -152,3 +152,22 @@ def test_span_coverage_shuffles_digests_not_token_arrays(spark, sf_dir):
         if "Exchange hashpartitioning(_g" in line and "_arr" in line:
             raise AssertionError(f"token array in a gram shuffle: {line}")
     assert "Exchange" in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Optimizer control surface: each join-strategy hint must produce
+    its physical operator even when Catalyst would pick another (the
+    escape hatch when size estimates lie at 100 TB — the same reason
+    dedup.py pins shuffle_hash on computed tables)."""
+    from cascading_hive_spark.plans import physical_plan
+
+    big = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS v")
+    small = spark.range(0, 50).selectExpr("id AS k", "id AS w")
+    cases = [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]
+    for hint, operator in cases:
+        plan = physical_plan(big.join(small.hint(hint), "k"))
+        assert operator in plan, f"{hint} hint did not yield {operator}:\n{plan}"
