@@ -4569,6 +4569,71 @@ def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-granularity time rollup in ONE scan (the hypertable
+# continuous-aggregate shape): GROUPING SETS over derived (day, hour)
+# gives hourly rows AND daily subtotals from a single pass, grouping
+# bits distinguishing the levels.
+@register(
+    "events_multi_rollup",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(hour) = 1 THEN NULL ELSE hour END AS hour,
+           CAST(GROUPING(hour) AS INT) AS is_daily,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM (SELECT ts, value, CAST(extract(hour FROM ts) AS INT) AS hour
+          FROM events)
+    GROUP BY GROUPING SETS ((day), (day, hour))
+    """,
+)
+def q_events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+        "value",
+    )
+    return (
+        ev.groupingSets([["day"], ["day", "hour"]], "day", "hour")
+        .agg(
+            F.grouping("hour").cast("int").alias("is_daily"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("day", "hour", "is_daily", "n", "sum_value")
+    )
+
+
+# Ordered-set aggregate OVER A WINDOW: 3-row moving median per user —
+# the robust rolling statistic (window_moving_avg's outlier-immune
+# sibling). ROWS frame + full tiebreak order keeps both engines on
+# identical window contents.
+@register(
+    "window_moving_median",
+    """
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS med3
+    FROM events
+    """,
+)
+def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med3"),
+    )
+
+
 # r7 ROTATION NOTE: after the r6 driver run checks the current 50,
 # these 40 registered queries will still never have had a driver
 # CORRECTNESS row (r6 additions + pre-r6 overflow) — fill the next
