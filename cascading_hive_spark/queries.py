@@ -4634,6 +4634,48 @@ def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable HLL sketches (Spark 3.5+ hll_sketch_agg/hll_union_agg):
+# the pre-aggregation pattern behind every "distinct users over an
+# arbitrary date range" dashboard — per-day sketches build once, any
+# range unions in sketch space without re-touching raw data. Sketch
+# bytes are engine-specific, so the row follows the approx_distinct
+# trick: hash-match the EXACT distinct twin and pin the boolean that
+# the union-of-daily-sketches estimate lands within 3x the sketch's
+# relative error.
+@register(
+    "hll_mergeable_sketches",
+    """
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      AND CAST(ts AS DATE) <= DATE '2024-01-21'
+    """,
+)
+def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    lo, hi = F.lit("2024-01-08").cast("date"), F.lit("2024-01-21").cast("date")
+    merged = (
+        daily.filter((F.col("day") >= lo) & (F.col("day") <= hi))
+        .agg(F.hll_union_agg("sk").alias("u"))
+        .select(F.hll_sketch_estimate("u").alias("_approx"))
+    )
+    exact = ev.filter((F.col("day") >= lo) & (F.col("day") <= hi)).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    # lgConfigK=14 -> rel err ~1.04/sqrt(2^14) ~ 0.8%; bound at 3x
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.col("exact_users") * (3 * 1.04 / (2 ** 7))
+        ).alias("within_bound"),
+    )
+
+
 # r7 ROTATION NOTE: after the r6 driver run checks the current 50,
 # these 40 registered queries will still never have had a driver
 # CORRECTNESS row (r6 additions + pre-r6 overflow) — fill the next
