@@ -2463,7 +2463,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_totalprice AS f64,
            CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(38,18)) AS dec,
            o_totalprice > 100000 AS flag,
-           encode(o_orderpriority) AS bin,
+           hex(encode(o_orderpriority)) AS bin_hex,
            CAST(o_orderdate AS TIMESTAMP) AS ts,
            CAST(o_orderdate AS DATE) AS d
     FROM orders
@@ -2473,7 +2473,11 @@ def q_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F1 all_types coverage (FIXTURES.md; RCFileTest.java:51-54): every
     # primitive the reference's schemes convert, flowing through one
     # projection. decimal pinned to (38,18) like the reference's
-    # unconstrained BigDecimal (SURVEY.md §7).
+    # unconstrained BigDecimal (SURVEY.md §7). The binary leg still
+    # flows THROUGH BinaryType (the cast is in-plan) but surfaces as
+    # hex — the driver's pandas canonicalizer cannot sort raw bytes
+    # (CORRECTNESS_r06 bytearray crash), and the hygiene gate now bans
+    # non-atomic output columns in the driver window.
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -2484,7 +2488,7 @@ def q_all_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("f64"),
         F.col("o_totalprice").cast("decimal(18,4)").cast("decimal(38,18)").alias("dec"),
         (F.col("o_totalprice") > 100000).alias("flag"),
-        F.col("o_orderpriority").cast("binary").alias("bin"),
+        F.hex(F.col("o_orderpriority").cast("binary")).alias("bin_hex"),
         F.col("o_orderdate").cast("timestamp").alias("ts"),
         F.col("o_orderdate").cast("date").alias("d"),
     )
@@ -2897,7 +2901,7 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_type_ops",
     """
     SELECT event_id,
-           list_sort(json_keys(props)) AS ks,
+           array_to_string(list_sort(json_keys(props)), ',') AS ks,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
            CAST(len(json_keys(props)) AS INT) AS n_keys
     FROM events
@@ -2906,12 +2910,15 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MapType surface: JSON -> map<string,int>, key enumeration +
     # value access (§2.C nested types; parsed-but-unprocessed in the
-    # reference, SURVEY.md §1.2)
+    # reference, SURVEY.md §1.2). Keys surface joined to one string:
+    # an array<string> output column crashes the driver's pandas
+    # canonicalizer (CORRECTNESS_r06 unhashable-list crash); the map
+    # ops themselves still run in-plan on the MapType column.
     ev = _t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("ks"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("ks"),
         m.getItem("k").alias("k_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )

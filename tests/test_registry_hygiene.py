@@ -33,3 +33,28 @@ def test_oracle_column_sets_consistent():
     for n in q._DRIVER_WINDOW:
         assert callable(fns[n])
         assert oracles[n].strip()
+
+
+def test_window_output_schemas_are_atomic(spark, sf_dir):
+    """The driver canonicalizes results via pandas ``sort_values``,
+    which crashes on unhashable cell values — so no driver-window query
+    may return a Binary/Array/Map/Struct/Variant (or Null-typed)
+    column (the CORRECTNESS_r06 ``all_types_surface``/``map_type_ops``
+    incident). Non-atomic values must be projected to scalars (hex,
+    array_join, to_json) before they leave a windowed query."""
+    from pyspark.sql import types as T
+
+    banned = (T.BinaryType, T.ArrayType, T.MapType, T.StructType, T.NullType)
+    banned_names = {"variant"}
+    fns = q.queries()
+    offenders = []
+    for n in q._DRIVER_WINDOW:
+        schema = fns[n](spark, sf_dir).schema
+        for field in schema.fields:
+            dt = field.dataType
+            if isinstance(dt, banned) or dt.typeName() in banned_names:
+                offenders.append(f"{n}.{field.name}: {dt.simpleString()}")
+    assert not offenders, (
+        "driver-window queries returning pandas-unsortable columns "
+        f"(would crash the driver canonicalizer): {offenders}"
+    )
