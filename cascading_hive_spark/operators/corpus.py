@@ -216,6 +216,26 @@ def interleave_sources(df: DataFrame, id_col: str, source_col: str) -> DataFrame
     )
 
 
+def _re_quote(tok: str) -> str:
+    r"""Quote a BPE token for literal use inside a Java regex pattern:
+    ``\Q...\E`` with any embedded ``\E`` split out and re-quoted
+    (java.util.regex.Pattern.quote's algorithm) — a token containing
+    ``\E`` would otherwise terminate the quoted region early."""
+    return "\\Q" + tok.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _repl_quote(tok: str) -> str:
+    r"""Quote a BPE token for literal use as a Java regex REPLACEMENT
+    (Matcher.quoteReplacement semantics): ``\`` escapes and ``$`` group
+    references must be neutralized or corpora containing them throw
+    IllegalArgumentException / corrupt merges (ADVICE r6)."""
+    return tok.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _merge_pattern(a: str, b: str) -> str:
+    return f"(?<= ){_re_quote(a)} {_re_quote(b)}(?= )"
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
@@ -286,9 +306,11 @@ def bpe_train(
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append((rank, a, b, c))
-        pattern = f"(?<= )\\Q{a}\\E \\Q{b}\\E(?= )"
         words = words.select(
-            "cnt", F.regexp_replace("seg", pattern, a + b).alias("seg")
+            "cnt",
+            F.regexp_replace("seg", _merge_pattern(a, b), _repl_quote(a + b)).alias(
+                "seg"
+            ),
         ).localCheckpoint()
     return merges
 
@@ -323,7 +345,7 @@ def bpe_segment(df: DataFrame, text_col: str, merges, out_col: str = "tokens") -
     word = F.regexp_replace(F.col("_w"), "(.)", "$1 ")
     seg = F.concat(F.lit(" "), word, F.lit("</w> "))
     for _, a, b, _c in merges:
-        seg = F.regexp_replace(seg, f"(?<= )\\Q{a}\\E \\Q{b}\\E(?= )", a + b)
+        seg = F.regexp_replace(seg, _merge_pattern(a, b), _repl_quote(a + b))
     return (
         df.select(
             "*", F.explode(F.split(F.col(text_col), r"\s+")).alias("_w")

@@ -3,13 +3,16 @@
 Pattern: media travels as an opaque ``binary`` column plus a typed
 metadata struct; decode/feature-extraction runs as Arrow-batched
 Pandas UDFs via ``mapInPandas`` so bytes never round-trip through
-per-row Python pickling. The actual image/audio codecs are NOT in this
-container, so ``decode_image`` is a stub gated behind import-try
-(NotImplementedError without PIL), while ``extract_meta`` is a REAL
-mapInPandas pipeline over the binary column with a deterministic
-byte-level feature set — the Spark-side plumbing (schema, batching,
-Arrow binary transfer, partitioning) is fully exercised and
-oracle-checkable.
+per-row Python pickling. ``decode_image`` is a REAL pure-Python
+container-header parser (PNG IHDR / JPEG SOFn / GIF screen
+descriptor — no PIL needed: width, height, bit depth, color type
+straight from the byte layout), ``decode_audio`` walks RIFF/fmt
+chunks the same way, and ``extract_meta`` derives a deterministic
+byte-level feature set; full pixel/sample decoding (which would need
+codec libraries absent from this container) stays behind an
+import-try. All legs share the same Spark plumbing — schema,
+batching, Arrow binary transfer, partitioning — and are
+oracle-checked (CORRECTNESS_r06 ``multimodal_decode``).
 
 Scale notes: binary payloads dominate row size — keep them out of
 shuffles (derive features scan-side, drop the blob before any wide

@@ -219,14 +219,32 @@ def runtime_prefilter_join(
     """
     if how not in ("inner", "semi", "left_semi"):
         raise ValueError(f"prefilter is only semantics-transparent for inner/semi, got {how}")
+    # xxhash64 hashes the VALUE AS TYPED: int 5 and bigint 5 hash to
+    # different buckets, which would silently discard matching rows
+    # before the exact join (ADVICE r6). Integral keys are widened to a
+    # common bigint for hashing only; any other type mix is an error.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    probe_dt = dict(probe.dtypes)[probe_key]
+    build_dt = dict(build.dtypes)[build_key]
+    if probe_dt in integral and build_dt in integral:
+        probe_hash_key = probe[probe_key].cast("bigint")
+        build_hash_key = build[build_key].cast("bigint")
+    elif probe_dt == build_dt:
+        probe_hash_key = probe[probe_key]
+        build_hash_key = build[build_key]
+    else:
+        raise ValueError(
+            f"prefilter key types must match (or both be integral): "
+            f"probe {probe_key}:{probe_dt} vs build {build_key}:{build_dt}"
+        )
     m = 1 << m_bits
     buckets = (
-        build.select(F.pmod(F.xxhash64(build_key), F.lit(m)).alias("_bucket"))
+        build.select(F.pmod(F.xxhash64(build_hash_key), F.lit(m)).alias("_bucket"))
         .distinct()
     )
     pre = probe.join(
         F.broadcast(buckets),
-        F.pmod(F.xxhash64(probe_key), F.lit(m)) == F.col("_bucket"),
+        F.pmod(F.xxhash64(probe_hash_key), F.lit(m)) == F.col("_bucket"),
         "left_semi",
     )
     return pre.join(build, pre[probe_key] == build[build_key], how)

@@ -4131,17 +4131,27 @@ def q_stats_bivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_match_customers",
     """
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS bn
+      FROM customer)
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
-    FROM customer a
-    JOIN customer b
+    FROM blocked a
+    JOIN blocked b
       ON a.c_nationkey = b.c_nationkey
      AND a.c_mktsegment = b.c_mktsegment
      AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    WHERE a.bn <= 10000
+      AND levenshtein(a.c_name, b.c_name) <= 2
     """,
 )
 def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle mirrors the operator's max_block guard (blocks larger
+    # than 10k rows are dropped on BOTH sides), so operator and oracle
+    # compute the same relation at every scale factor — TPC-H
+    # (c_nationkey, c_mktsegment) blocks are ~1200*SF rows, so at
+    # SF>=9 an uncapped oracle would diverge (ADVICE r6).
     from cascading_hive_spark.operators.dedup import blocked_levenshtein_pairs
 
     return blocked_levenshtein_pairs(
@@ -4150,6 +4160,7 @@ def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         ["c_nationkey", "c_mktsegment"],
         max_dist=2,
+        max_block=10_000,
     )
 
 

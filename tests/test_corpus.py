@@ -213,3 +213,38 @@ def test_bpe_overlapping_merge_is_greedy_left_to_right(spark):
     merges = bpe_train(docs, "text", n_merges=2)
     assert merges[0] == (0, "a", "a", 10)
     assert merges[1][1:3] == ("aa", "aa") or merges[1][1:3] == ("aa", "</w>")
+
+
+def test_bpe_handles_regex_special_tokens(spark):
+    """Corpora containing $ or backslash (ADVICE r6): the merged token
+    flows through regexp_replace's REPLACEMENT string, where Java
+    treats $ as a group reference and backslash as an escape — both
+    must round-trip literally, in training AND segmentation."""
+    from cascading_hive_spark.operators.corpus import bpe_segment, bpe_train
+
+    corpus = {"$$$$": 4, "$$": 6, "a\\b": 5, "c\\b": 3}
+    text = " ".join(w for w, c in corpus.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "id long, text string")
+    got = bpe_train(docs, "text", n_merges=8)
+    want = _py_bpe(corpus, 8)
+    assert got == want
+    # segmentation replays the same merges on unseen text
+    seg = bpe_segment(
+        spark.createDataFrame([(1, "$$ a\\b")], "id long, text string"),
+        "text",
+        got,
+    )
+    toks = {tuple(r.tokens) for r in seg.collect()}
+    # every output token must re-concatenate to the original word+</w>
+    for t in toks:
+        assert "".join(t) in ("$$</w>", "a\\b</w>")
+
+
+def test_bpe_quote_helpers_cover_quote_edge_cases():
+    """\\E inside a token would end the \\Q quote region early; the
+    helper splits and re-quotes (Pattern.quote's algorithm)."""
+    from cascading_hive_spark.operators.corpus import _re_quote, _repl_quote
+
+    assert _re_quote("ab") == "\\Qab\\E"
+    assert _re_quote("a\\Eb") == "\\Qa\\E\\\\E\\Qb\\E"
+    assert _repl_quote("a$1\\n") == "a\\$1\\\\n"

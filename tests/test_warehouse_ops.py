@@ -84,6 +84,24 @@ def test_prefilter_join_semi_and_rejects_outer(spark):
         runtime_prefilter_join(probe, build, "pk", "bk", how="left")
 
 
+def test_prefilter_join_mixed_integral_key_types(spark):
+    """int-vs-bigint keys (ADVICE r6): xxhash64 hashes the value AS
+    TYPED, so without widening, matching rows would be silently
+    discarded by the prefilter. Widened hashing must equal the plain
+    join; a non-integral type mix raises instead of silently dropping."""
+    import pytest
+
+    probe = spark.range(0, 1000).select(F.col("id").cast("int").alias("pk"))
+    build = spark.range(0, 1000, 10).select(F.col("id").alias("bk"))  # bigint
+    got = runtime_prefilter_join(probe, build, "pk", "bk", m_bits=8)
+    want = probe.join(build, probe.pk == build.bk)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 100
+    sprobe = probe.select(F.col("pk").cast("string").alias("pk"))
+    with pytest.raises(ValueError, match="key types"):
+        runtime_prefilter_join(sprobe, build, "pk", "bk")
+
+
 def test_prefilter_plan_broadcasts_bucket_set(spark):
     probe = spark.range(0, 1000).select(F.col("id").alias("pk"))
     build = spark.range(0, 100).select(F.col("id").alias("bk"))
