@@ -1606,19 +1606,37 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Batched IVF ANN join — the 100 TB query-table path (knn_join's
 # broadcast limit removed): cell-assign queries, shuffle-join on cell,
-# per-query window top-k. Approximate (recall property-tested, full-
-# probe == knn_join asserted exactly in tests/test_similarity.py) →
-# rows-only driver check.
-@register("ann_ivf_knn_join", None)
+# per-query window top-k. Driver-checked at FULL PROBE
+# (nprobe == n_cells): with every cell probed the candidate set is the
+# whole corpus regardless of centroid placement, so the result must
+# equal brute-force kNN BIT-FOR-BIT — the oracle below replays brute
+# force in SQL, hash-verifying the whole build/assign/probe-join/rank
+# machinery end-to-end (VERDICT r6 #3; the reference's
+# ORCFileTest-style whole-path check). The approximate partial-probe
+# path keeps its recall property tests (tests/test_similarity.py) and
+# the rows-only ann_ivf_topk driver row.
+@register(
+    "ann_ivf_knn_join",
+    f"""
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             round({_QCOS}, 6) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_QCOS} DESC, e.vec_id) AS BIGINT) AS rnk
+      FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+    WHERE rnk <= 5
+    """,
+)
 def q_ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.similarity import ivf_build, ivf_knn_join
 
     e = _t(spark, sf_dir, "embeddings")
-    assignments, centroids = ivf_build(e, n_cells=16)
+    n_cells = 16
+    assignments, centroids = ivf_build(e, n_cells=n_cells)
     queries_df = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return ivf_knn_join(assignments, centroids, queries_df, k=5, nprobe=8)
+    return ivf_knn_join(assignments, centroids, queries_df, k=5, nprobe=n_cells)
 
 
 # ---------------------------------------------------------------------------
