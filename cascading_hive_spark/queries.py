@@ -4712,76 +4712,71 @@ def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r7 ROTATION NOTE: after the r6 driver run checks the current 50,
-# these 40 registered queries will still never have had a driver
-# CORRECTNESS row (r6 additions + pre-r6 overflow) — fill the next
-# window from them, keeping wordcount at slot 1:
-#   ann_ivf_knn_join string_functions date_functions conditional_scalars
-#   like_patterns bitwise_ops q2_min_cost_supplier q9_product_profit
-#   q11_important_stock q20_excess_suppliers text_tfidf_topk
-#   text_gopher_rules text_bigram_lm interleave_sources
-#   embedding_quantize_int8 dedup_minhash_incremental key_skew_profile
-#   scd2_customer_priority join_runtime_prefilter table_profile
-#   approx_percentile_bounded deterministic_shuffle cube_quantity
-#   set_except_all set_intersect_all dedup_span_coverage
-#   multimodal_audio_meta events_interpolate bpe_merges stats_bivariate
-#   fuzzy_match_customers robust_stats ann_pq_topk pandas_grouped_agg
-#   cogrouped_asof_merge ann_ivfpq_topk morton_code variant_props
-#   recursive_cte_depth scd2_point_in_time
-# (bpe_merges / ann_pq_topk / ann_ivfpq_topk are rows-only — the
-# window requires oracles, so they stay outside it by design.)
+# r7 WINDOW (rotated per VERDICT r6 #2): the 43 oracle-able queries
+# that have never earned a driver hash-match — the 41 never-checked
+# (r6 additions + pre-r6 overflow, incl. the 4 r6 late registrations
+# equiheight_histogram / events_multi_rollup / window_moving_median /
+# hll_mergeable_sketches, plus ann_ivf_knn_join which gained its
+# full-probe exact oracle this round) + the 2 r6 canonicalizer-crash
+# rows re-checked after their scalar-projection fix — then wordcount
+# at slot 1 and 6 previously-green refreshers. After this round every
+# oracle-able registered query has had at least one driver-verified
+# row; only bpe_merges / ann_pq_topk / ann_ivfpq_topk (and the 3
+# engine-hash rows-only queries) stay outside by design.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
-    "pack_sequences",  # evicted from the r5 window by a mid-list insertion
-    # never driver-checked as of r5 (CORRECTNESS_r01..r05):
-    "text_pii_redact",
-    "text_chunking",
-    "decontaminate_docs",
-    "text_repetition",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_by_flag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q21_sole_returned_supplier",
-    "q22_scalar_subquery",
-    "join_null_safe",
-    "grouping_sets",
-    "array_higher_order",
-    "percentiles",
-    "skew_salted_group_count",
-    "skew_salted_join",
+    # -- the 2 r6 driver-canonicalizer crashes, now scalar-projected:
     "all_types_surface",
-    "dedup_keep_first",
-    "pipeline_quality_dedup_rollup",
-    "a25_null_detection",
-    "pandas_udf_scalar",
-    "grouped_map_udaf",
-    "range_join_error_window",
-    "dedup_cluster_components",
-    "text_clean_normalize",
-    "events_funnel",
-    "events_sessions_detail",
-    "value_histogram",
-    "posexplode_tokens",
-    "upsert_orders",
     "map_type_ops",
-    "streaming_sessionize",
-    "streaming_attribution",
-    "streaming_session_windows",
-    "string_agg_names",
-    "unpivot_measures",
-    "train_test_split",
-    "events_daily_gapfill",
-    "dedup_simhash_portable",  # new in r6 — full-pipeline oracle
-    "approx_distinct_parts",  # r6: exact twin + bound check, first real row
-    "multimodal_decode",  # new in r6 — real header decode, full oracle
+    # -- never driver-checked (CORRECTNESS_r01..r06):
+    "ann_ivf_knn_join",  # full-probe == brute-force exact twin (new r7)
+    "string_functions",
+    "date_functions",
+    "conditional_scalars",
+    "like_patterns",
+    "bitwise_ops",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_suppliers",
+    "text_tfidf_topk",
+    "text_gopher_rules",
+    "text_bigram_lm",
+    "interleave_sources",
+    "embedding_quantize_int8",
+    "dedup_minhash_incremental",
+    "key_skew_profile",
+    "scd2_customer_priority",
+    "join_runtime_prefilter",
+    "table_profile",
+    "approx_percentile_bounded",
+    "deterministic_shuffle",
+    "cube_quantity",
+    "set_except_all",
+    "set_intersect_all",
+    "dedup_span_coverage",
+    "multimodal_audio_meta",
+    "events_interpolate",
+    "stats_bivariate",
+    "fuzzy_match_customers",
+    "robust_stats",
+    "pandas_grouped_agg",
+    "cogrouped_asof_merge",
+    "morton_code",
+    "variant_props",
+    "recursive_cte_depth",
+    "scd2_point_in_time",
+    "equiheight_histogram",
+    "events_multi_rollup",
+    "window_moving_median",
+    "hll_mergeable_sketches",
+    # -- previously-green refreshers (drift canaries):
+    "q1_pricing_summary",  # the decimal-sum perf/correctness watch item
+    "q5_local_supplier_volume",
+    "asof_join_last_order",
+    "dedup_minhash_portable",
+    "pivot_linestatus",
+    "a24_to_json",
 ]
 
 
