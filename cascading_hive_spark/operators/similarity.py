@@ -182,6 +182,64 @@ def ivf_build(
     return assignments, centroids
 
 
+def ivf_build_portable(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """ENGINE-PORTABLE IVF build — every arithmetic step reproducible
+    bit-for-bit in plain SQL, so a DuckDB oracle can replay the whole
+    index (seeding, centroids, assignment) and the PARTIAL-probe
+    search result hash-matches cross-engine (queries.py:
+    ann_ivf_portable) — the same portability trade minhash/simhash
+    made: ``ivf_build`` (xxhash64 seeds + Lloyd float means) is the
+    fast/tight path; this one swaps in
+
+    - seeding: Knuth multiplicative hash of the id (pmod algebra,
+      identical in any engine — operators/sampling.py) instead of
+      xxhash64;
+    - centroids: per-cell means computed as EXACT decimal(18,6) sums
+      of 6-decimal-rounded coordinates divided by the cell count —
+      order-independent (decimal addition is exact), so the resulting
+      doubles are identical regardless of partitioning or engine,
+      where a float/double ``avg`` is partition-order-dependent;
+    - no Lloyd refinement: replaying iterative refinement multiplies
+      the oracle for no extra machinery coverage (assignment, probe
+      selection, candidate join, ranking are all already exercised).
+
+    Same scale shape as ``ivf_build``: one aggregation pass for
+    centroids, one broadcast-scored narrow pass for assignment.
+    """
+    from cascading_hive_spark.operators.sampling import hash_order
+
+    dim = _dim_of(vectors, vec_col)
+    seeded = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(hash_order(F.col(id_col)), F.lit(n_cells)).alias("cell"),
+    )
+    sums = seeded.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.round(F.get(F.col(vec_col), i).cast("double"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroids = sums.select(
+        "cell",
+        F.array(
+            *[(F.col(f"_s{i}").cast("double") / F.col("_n")) for i in range(dim)]
+        ).alias("centroid"),
+    ).localCheckpoint()
+    assignments = _assign_cells(vectors, centroids, id_col, vec_col)
+    return assignments, centroids
+
+
 def ivf_search(
     assignments: DataFrame,
     centroids: DataFrame,

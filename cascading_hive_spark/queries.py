@@ -1639,6 +1639,95 @@ def q_ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join(assignments, centroids, queries_df, k=5, nprobe=n_cells)
 
 
+_IVFP_CELLS, _IVFP_NPROBE, _IVFP_K, _IVFP_DIM = 8, 2, 5, 64
+
+
+def _ivf_portable_oracle() -> str:
+    # Replays ivf_build_portable + ivf_knn_join end-to-end: Knuth-hash
+    # seed cells, EXACT decimal(18,6)-sum centroid means (order-
+    # independent -> bit-identical doubles cross-engine), nearest-
+    # centroid assignment, per-query top-nprobe probe cells, candidate
+    # join, rounded-cosine ranking. Every float op is sequential
+    # double arithmetic in the same order as the Spark side.
+    dim, nc, npr, k = _IVFP_DIM, _IVFP_CELLS, _IVFP_NPROBE, _IVFP_K
+
+    def cos(a_vec: str, b_vec: str) -> str:
+        def dot_(x: str, y: str) -> str:
+            return (
+                f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
+            )
+
+        return (
+            f"({dot_(a_vec, b_vec)} / "
+            f"(sqrt({dot_(a_vec, a_vec)}) * sqrt({dot_(b_vec, b_vec)})))"
+        )
+
+    sums = ",\n             ".join(
+        f"CAST(sum(CAST(round(embedding[{i + 1}]::DOUBLE, 6) AS DECIMAL(18,6))) "
+        f"AS DOUBLE) / count(*) AS c{i}"
+        for i in range(dim)
+    )
+    centroid_arr = "[" + ", ".join(f"c{i}" for i in range(dim)) + "]"
+    return f"""
+    WITH csum AS (
+      SELECT ((vec_id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761) % 1000000007 % {nc} AS cell,
+             {sums}
+      FROM embeddings GROUP BY 1),
+    cents AS (SELECT cell, {centroid_arr} AS centroid FROM csum),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos('e.embedding', 'c.centroid')} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {cos('q.embedding', 'c.centroid')} DESC, c.cell) AS rn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < 5)
+      WHERE rn <= {npr}),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             round({cos('a.embedding', 'p.qv')}, 6) AS cos_sim
+      FROM assigned a JOIN probes p ON a.cell = p.cell)
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+# PARTIAL-probe IVF with an exact cross-engine twin — the genuinely
+# approximate probe path (cells NOT probed stay unseen), hash-matched:
+# ivf_build_portable makes every build step engine-portable (Knuth-
+# hash seeding, exact decimal-sum centroid means — see its docstring),
+# so the oracle replays index construction AND probe selection, not
+# just the final ranking. Complements ann_ivf_knn_join's full-probe
+# row the way dedup_minhash_portable complements dedup_minhash_lsh.
+@register("ann_ivf_portable", _ivf_portable_oracle())
+def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import (
+        ivf_build_portable,
+        ivf_knn_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_build_portable(e, n_cells=_IVFP_CELLS)
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_knn_join(
+        assignments, centroids, queries_df, k=_IVFP_K, nprobe=_IVFP_NPROBE
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis (operators/text.py)
 # ---------------------------------------------------------------------------

@@ -96,6 +96,33 @@ def test_ivf_knn_join_full_probe_equals_brute_force(spark, emb):
     assert got == truth
 
 
+def test_ivf_build_portable_deterministic_and_full_probe_exact(spark, emb):
+    """ivf_build_portable's centroids are EXACT decimal-sum means: the
+    same doubles under any partitioning (a float avg is partition-
+    order-dependent — the property the portable twin needs); and full
+    probe still degenerates to brute force."""
+    a1, c1 = S.ivf_build_portable(emb, n_cells=8)
+    a2, c2 = S.ivf_build_portable(emb.repartition(7), n_cells=8)
+    cents1 = {r.cell: list(r.centroid) for r in c1.collect()}
+    cents2 = {r.cell: list(r.centroid) for r in c2.collect()}
+    assert cents1 == cents2  # bit-identical, not approximately equal
+    assign1 = {r.vec_id: r.cell for r in a1.collect()}
+    assign2 = {r.vec_id: r.cell for r in a2.collect()}
+    assert assign1 == assign2
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in S.knn_join(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in S.ivf_knn_join(a1, c1, queries, k=5, nprobe=8).collect()
+    }
+    assert got == truth
+
+
 def test_ivf_knn_join_recall_at_partial_probe(spark, emb):
     """Partial probe: every query still gets k rows, ranks are dense,
     and recall vs brute force is high at nprobe=nc/2."""
