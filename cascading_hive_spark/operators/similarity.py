@@ -572,6 +572,74 @@ def pq_train(
     return centroids
 
 
+def pq_train_portable(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ENGINE-PORTABLE PQ codebook — the ``ivf_build_portable`` trade
+    applied to product quantization so a DuckDB oracle can replay the
+    WHOLE compressed-ANN pipeline (codebook, encode, ADC shortlist,
+    exact re-rank) bit-for-bit (queries.py: ann_pq_portable):
+
+    - the hash-ranked seed sample swaps xxhash64 for the Knuth-hash
+      pmod algebra (sample gate) + md5-hex ordering (seed rank) —
+      both reproducible in any engine;
+    - the codebook is the seed DATA POINTS themselves (float32
+      coords cast to double — exact, no arithmetic to diverge), no
+      Lloyd refinement: iterative mean refinement is already
+      hash-verified by ivf_build_portable's decimal-sum centroids,
+      and skipping it keeps the replayed SQL at half the size while
+      every piece of PQ-specific machinery (subspace split, per-sub
+      argmin encode, LUT scoring, shortlist, re-rank) stays covered.
+
+    ``pq_train`` (xxhash64 + Lloyd) remains the quality path; this is
+    the verification twin. Returns (sub, cell, centroid) like
+    ``pq_train`` so ``pq_encode``/``pq_search_rerank`` compose
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    from cascading_hive_spark.operators.sampling import hash_order
+
+    dim = _dim_of(vectors, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    sub = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subvec"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
+    n = vectors.count()  # index build time only, like pq_train
+    sample_mod = max(1, n // (k * 20))
+    cand = sub.filter(F.pmod(hash_order(F.col("_id")), F.lit(sample_mod)) == 0)
+    w_seed = Window.partitionBy("sub").orderBy(
+        F.md5(F.concat(F.lit("pqseed|"), F.col("_id").cast("string"))), F.col("_id")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "sub",
+            (F.col("_rn") - 1).alias("cell"),
+            F.transform("subvec", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+
+
 def _pq_mean_centroids(assigned: DataFrame, d_sub: int) -> DataFrame:
     return assigned.groupBy("sub", "cell").agg(
         F.array(

@@ -4360,6 +4360,116 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQP_M, _PQP_K, _PQP_SHORTLIST, _PQP_TOPK = 8, 16, 100, 10
+
+
+def _pq_portable_oracle() -> str:
+    # Replays pq_train_portable + pq_encode + pq_search_rerank:
+    # Knuth-hash sample gate, md5-ranked seed codebook (data points —
+    # no float accumulation to diverge), per-sub L2 argmin encode,
+    # query ADC LUT, sequential-sum ADC shortlist, exact re-rank.
+    # Every float op is IEEE double in the same evaluation order as
+    # the Spark side, so the result hash-matches bit-for-bit.
+    m, k, shortlist, topk = _PQP_M, _PQP_K, _PQP_SHORTLIST, _PQP_TOPK
+    d_sub = 64 // m
+
+    def d2(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"({a}[{i + 1}] - {b}[{i + 1}]) * ({a}[{i + 1}] - {b}[{i + 1}])"
+            for i in range(d_sub)
+        )
+        return f"(0.0 + {terms})"
+
+    qsub = (
+        f"list_transform(generate_series(1, {d_sub}), "
+        f"i -> q.embedding[c.sub*{d_sub} + i]::DOUBLE)"
+    )
+    return f"""
+    WITH params AS (
+      SELECT greatest(1, count(*) // {k * 20}) AS smod FROM embeddings),
+    subs AS (
+      SELECT e.vec_id, t.sub,
+             list_transform(generate_series(1, {d_sub}),
+                 i -> e.embedding[t.sub*{d_sub} + i]::DOUBLE) AS sv
+      FROM embeddings e CROSS JOIN (SELECT unnest(range({m})) AS sub) t),
+    seeds AS (
+      SELECT sub, rn - 1 AS cell, sv AS centroid FROM (
+        SELECT s.sub, s.sv,
+               row_number() OVER (PARTITION BY s.sub
+                   ORDER BY md5('pqseed|' || CAST(s.vec_id AS VARCHAR)),
+                            s.vec_id) AS rn
+        FROM subs s, params p
+        WHERE ((s.vec_id % 1000000007 + 1000000007) % 1000000007
+               * 2654435761) % 1000000007 % p.smod = 0)
+      WHERE rn <= {k}),
+    assigned AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT s.vec_id, s.sub, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY {d2('s.sv', 'c.centroid')}, c.cell) AS rn
+        FROM subs s JOIN seeds c ON s.sub = c.sub)
+      WHERE rn = 1),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    lut AS (
+      SELECT c.sub, c.cell,
+             {d2(qsub, 'c.centroid')} AS d
+      FROM seeds c, q),
+    adc AS (
+      SELECT a.vec_id, list_sum(list(l.d ORDER BY a.sub)) AS adc_dist
+      FROM assigned a JOIN lut l ON a.sub = l.sub AND a.cell = l.cell
+      GROUP BY a.vec_id),
+    short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc)
+      WHERE rn <= {shortlist}),
+    rerank AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+                 i -> (e.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)
+                    * (e.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE))) AS dist
+      FROM embeddings e JOIN short s USING (vec_id), q)
+    SELECT vec_id, round(dist, 6) AS dist FROM (
+      SELECT vec_id, dist,
+             row_number() OVER (ORDER BY dist, vec_id) AS rn
+      FROM rerank)
+    WHERE rn <= {topk}
+    """
+
+
+# Compressed-domain ANN with an exact cross-engine twin: the portable
+# codebook (pq_train_portable — seed data points, engine-portable
+# hashing) feeds the SAME pq_encode/pq_search_rerank machinery as
+# ann_pq_topk, and the oracle replays codebook -> 8-byte codes -> ADC
+# shortlist -> exact re-rank end-to-end. Complements the rows-only
+# ann_pq_topk (xxhash64 + Lloyd quality path) the way
+# dedup_minhash_portable complements dedup_minhash_lsh.
+@register("ann_pq_portable", _pq_portable_oracle())
+def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train_portable,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = pq_train_portable(emb, m=_PQP_M, k=_PQP_K)
+    rows = centroids.collect()  # m*k codebook rows — metadata-sized
+    codes = pq_encode(emb, centroids, m=_PQP_M)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = pq_search_rerank(
+        codes,
+        emb,
+        rows,
+        [float(x) for x in q],
+        m=_PQP_M,
+        topk=_PQP_TOPK,
+        shortlist=_PQP_SHORTLIST,
+    )
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 # GROUPED_AGG pandas_udf — the Arrow-vectorized custom AGGREGATE leg
 # of the UDF surface (scalar pandas_udf and grouped-map applyInPandas
 # are covered by pandas_udf_scalar / grouped_map_udaf): mean of each

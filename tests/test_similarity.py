@@ -123,6 +123,24 @@ def test_ivf_build_portable_deterministic_and_full_probe_exact(spark, emb):
     assert got == truth
 
 
+def test_pq_train_portable_deterministic_and_composes(spark, emb):
+    """Portable PQ codebook: partitioning-independent (seed points,
+    no float accumulation) and drop-in for pq_encode/pq_search_rerank."""
+    c1 = S.pq_train_portable(emb, m=8, k=16)
+    c2 = S.pq_train_portable(emb.repartition(5), m=8, k=16)
+    rows1 = {(r.sub, r.cell): list(r.centroid) for r in c1.collect()}
+    rows2 = {(r.sub, r.cell): list(r.centroid) for r in c2.collect()}
+    assert rows1 == rows2  # bit-identical
+    assert len(rows1) == 8 * 16
+    codes = S.pq_encode(emb, c1, m=8)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = S.pq_search_rerank(
+        codes, emb, c1.collect(), [float(x) for x in q], m=8, topk=10, shortlist=100
+    ).collect()
+    assert len(out) == 10
+    assert out[0].vec_id == 0 and out[0].dist < 1e-9  # self survives shortlist
+
+
 def test_ivf_knn_join_recall_at_partial_probe(spark, emb):
     """Partial probe: every query still gets k rows, ranks are dense,
     and recall vs brute force is high at nprobe=nc/2."""
