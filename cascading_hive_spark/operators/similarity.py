@@ -843,6 +843,39 @@ def ivfpq_build(
     return index, coarse, pq_cent
 
 
+def ivfpq_build_portable(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """ENGINE-PORTABLE IVF-PQ build: ``ivf_build_portable``'s coarse
+    cells (Knuth-hash seeding, exact decimal-sum centroid means),
+    residuals computed in plain double subtraction (exact), and
+    ``pq_train_portable``'s seed-point codebook on those residuals —
+    every arithmetic step replayable in SQL, so the composite
+    billion-scale index layout (coarse cell + 8-byte residual code)
+    gets a bit-for-bit DuckDB twin (queries.py: ann_ivfpq_portable).
+    ``ivfpq_build`` stays the quality path. Same return shape:
+    (index, coarse_centroids, pq_centroids)."""
+    assignments, coarse = ivf_build_portable(
+        vectors, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    residuals = assignments.join(F.broadcast(coarse), "cell").select(
+        F.col(id_col),
+        "cell",
+        F.zip_with(
+            F.col(vec_col), "centroid", lambda a, b: (a.cast("double") - b)
+        ).alias(vec_col),
+    )
+    pq_cent = pq_train_portable(residuals, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
+    index = assignments.select(id_col, "cell").join(codes, id_col)
+    return index, coarse, pq_cent
+
+
 def ivfpq_search(
     index: DataFrame,
     coarse_rows: list,
@@ -865,9 +898,15 @@ def ivfpq_search(
     TakeOrdered a shortlist; exact re-rank against raw vectors when
     ``vectors`` is given."""
     d = len(query_vec)
+    # (x)*(x), not x**2: C pow() is not guaranteed correctly rounded,
+    # and the portable twin (ann_ivfpq_portable) needs this ranking
+    # bit-reproducible in SQL arithmetic
     cell_dist = sorted(
         (
-            sum((query_vec[i] - r["centroid"][i]) ** 2 for i in range(d)),
+            sum(
+                (query_vec[i] - r["centroid"][i]) * (query_vec[i] - r["centroid"][i])
+                for i in range(d)
+            ),
             r["cell"],
             r["centroid"],
         )

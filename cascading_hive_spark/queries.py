@@ -4559,6 +4559,161 @@ def q_cogrouped_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQP_CELLS, _IVFPQP_NPROBE = 8, 2
+
+
+def _ivfpq_portable_oracle() -> str:
+    # Replays ivfpq_build_portable + ivfpq_search end-to-end: coarse
+    # decimal-mean cells (cosine assignment), residuals, md5-seeded
+    # residual PQ codebook, per-sub argmin codes, L2 cell ranking for
+    # the probe set, per-probed-cell ADC LUT on the query residual,
+    # sequential-sum shortlist, exact re-rank. All sequential double
+    # arithmetic in the Spark side's evaluation order.
+    nc, npr = _IVFPQP_CELLS, _IVFPQP_NPROBE
+    m, k, shortlist, topk = _PQP_M, _PQP_K, _PQP_SHORTLIST, _PQP_TOPK
+    d_sub = 64 // m
+
+    def cos(a: str, b: str) -> str:
+        def dot_(x: str, y: str) -> str:
+            return (
+                f"list_sum(list_transform(generate_series(1, 64), "
+                f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
+            )
+
+        return (
+            f"({dot_(a, b)} / "
+            f"(sqrt({dot_(a, a)}) * sqrt({dot_(b, b)})))"
+        )
+
+    def l2(a: str, b: str, n: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {n}), "
+            f"i -> ({a} - {b}) * ({a} - {b})))"
+        )
+
+    sums = ",\n             ".join(
+        f"CAST(sum(CAST(round(embedding[{i + 1}]::DOUBLE, 6) AS DECIMAL(18,6))) "
+        f"AS DOUBLE) / count(*) AS c{i}"
+        for i in range(64)
+    )
+    centroid_arr = "[" + ", ".join(f"c{i}" for i in range(64)) + "]"
+    # query residual against a probed cell, sub-sliced then quantized:
+    lut_term_a = (
+        f"(q.embedding[s.sub*{d_sub} + i]::DOUBLE - p.centroid[s.sub*{d_sub} + i])"
+        " - s.centroid[i]"
+    )
+    return f"""
+    WITH csum AS (
+      SELECT ((vec_id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761) % 1000000007 % {nc} AS cell,
+             {sums}
+      FROM embeddings GROUP BY 1),
+    cents AS (SELECT cell, {centroid_arr} AS centroid FROM csum),
+    cassigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos('e.embedding', 'c.centroid')} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(generate_series(1, 64),
+                 i -> a.embedding[i]::DOUBLE - c.centroid[i]) AS rv
+      FROM cassigned a JOIN cents c USING (cell)),
+    params AS (
+      SELECT greatest(1, count(*) // {k * 20}) AS smod FROM embeddings),
+    rsubs AS (
+      SELECT r.vec_id, t.sub,
+             list_transform(generate_series(1, {d_sub}),
+                 i -> r.rv[t.sub*{d_sub} + i]) AS sv
+      FROM resid r CROSS JOIN (SELECT unnest(range({m})) AS sub) t),
+    pseeds AS (
+      SELECT sub, rn - 1 AS cell, sv AS centroid FROM (
+        SELECT s.sub, s.sv,
+               row_number() OVER (PARTITION BY s.sub
+                   ORDER BY md5('pqseed|' || CAST(s.vec_id AS VARCHAR)),
+                            s.vec_id) AS rn
+        FROM rsubs s, params p
+        WHERE ((s.vec_id % 1000000007 + 1000000007) % 1000000007
+               * 2654435761) % 1000000007 % p.smod = 0)
+      WHERE rn <= {k}),
+    passigned AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT s.vec_id, s.sub, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY {l2('s.sv[i]', 'c.centroid[i]', d_sub)}, c.cell) AS rn
+        FROM rsubs s JOIN pseeds c ON s.sub = c.sub)
+      WHERE rn = 1),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT cell, centroid FROM (
+        SELECT c.cell, c.centroid,
+               row_number() OVER (
+                   ORDER BY {l2('q.embedding[i]::DOUBLE', 'c.centroid[i]', 64)},
+                            c.cell) AS crn
+        FROM cents c, q)
+      WHERE crn <= {npr}),
+    lut AS (
+      SELECT p.cell AS ccell, s.sub, s.cell AS pcell,
+             list_sum(list_transform(generate_series(1, {d_sub}),
+                 i -> ({lut_term_a}) * ({lut_term_a}))) AS d
+      FROM pseeds s CROSS JOIN probed p CROSS JOIN q),
+    adc AS (
+      SELECT a.vec_id, list_sum(list(l.d ORDER BY a.sub)) AS adc_dist
+      FROM passigned a
+      JOIN cassigned v ON v.vec_id = a.vec_id
+      JOIN lut l ON l.ccell = v.cell AND l.sub = a.sub AND l.pcell = a.cell
+      GROUP BY a.vec_id),
+    short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc)
+      WHERE rn <= {shortlist}),
+    rerank AS (
+      SELECT e.vec_id,
+             {l2('e.embedding[i]::DOUBLE', 'q.embedding[i]::DOUBLE', 64)} AS dist
+      FROM embeddings e JOIN short s USING (vec_id), q)
+    SELECT vec_id, round(dist, 6) AS dist FROM (
+      SELECT vec_id, dist,
+             row_number() OVER (ORDER BY dist, vec_id) AS rn
+      FROM rerank)
+    WHERE rn <= {topk}
+    """
+
+
+# IVF-PQ with an exact cross-engine twin: the portable coarse cells +
+# residual seed-point codebook feed the SAME ivfpq_search (per-cell
+# ADC, cell pruning at nprobe=2 of 8 — genuinely approximate), and
+# the oracle replays the whole composite index end-to-end. Completes
+# the portable-ANN family (brute/IVF/PQ/IVF-PQ all hash-verified).
+@register("ann_ivfpq_portable", _ivfpq_portable_oracle())
+def q_ann_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import (
+        ivfpq_build_portable,
+        ivfpq_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index, coarse, pqc = ivfpq_build_portable(
+        emb, n_cells=_IVFPQP_CELLS, m=_PQP_M, k=_PQP_K
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = ivfpq_search(
+        index,
+        coarse.collect(),
+        pqc.collect(),
+        [float(x) for x in q],
+        m=_PQP_M,
+        nprobe=_IVFPQP_NPROBE,
+        topk=_PQP_TOPK,
+        shortlist=_PQP_SHORTLIST,
+        vectors=emb,
+    )
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 # IVF-PQ composite ANN: coarse cells + residual PQ codes + per-cell
 # ADC + exact re-rank (the billion-scale index layout). xxhash64-
 # seeded like its parts, so rows-only; recall + cell-pruning pinned

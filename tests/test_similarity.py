@@ -141,6 +141,24 @@ def test_pq_train_portable_deterministic_and_composes(spark, emb):
     assert out[0].vec_id == 0 and out[0].dist < 1e-9  # self survives shortlist
 
 
+def test_ivfpq_build_portable_deterministic(spark, emb):
+    """Portable IVF-PQ: index (cell + codes) identical under
+    repartitioning — the property the end-to-end DuckDB twin needs."""
+    i1, c1, p1 = S.ivfpq_build_portable(emb, n_cells=8, m=8, k=16)
+    i2, c2, p2 = S.ivfpq_build_portable(emb.repartition(5), n_cells=8, m=8, k=16)
+    idx1 = {r.vec_id: (r.cell, list(r.codes)) for r in i1.collect()}
+    idx2 = {r.vec_id: (r.cell, list(r.codes)) for r in i2.collect()}
+    assert idx1 == idx2
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = S.ivfpq_search(
+        i1, c1.collect(), p1.collect(), [float(x) for x in q],
+        m=8, nprobe=8, topk=10, shortlist=100, vectors=emb,
+    ).collect()
+    assert len(out) == 10
+    # full probe + wide shortlist: self must surface with ~zero distance
+    assert out[0].vec_id == 0 and out[0].dist < 1e-9
+
+
 def test_ivf_knn_join_recall_at_partial_probe(spark, emb):
     """Partial probe: every query still gets k rows, ranks are dense,
     and recall vs brute force is high at nprobe=nc/2."""
