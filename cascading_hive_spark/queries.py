@@ -3081,6 +3081,78 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming ingestion dedup run end-to-end: the SAME file replayed
+# through TWO unioned file-stream sources (every event arrives twice —
+# the at-least-once delivery every real ingestion pipeline has), then
+# dropDuplicates over a watermark. The replay-horizon watermark keeps
+# dedup state for the whole replay, so the streamed output must equal
+# the batch table EXACTLY (exactly-once semantics); the oracle is the
+# plain table. At production scale the watermark is the redelivery
+# horizon (minutes-hours), bounding state to one id per in-horizon
+# event — the unbounded-stream-safe shape dedup_stream documents.
+@register(
+    "streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type, ts, value FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import dedup_stream, stream_events
+
+    tune_for_queries(spark)
+    name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"
+    doubled = stream_events(spark, sf_dir).unionByName(
+        stream_events(spark, sf_dir)
+    )
+    stream = dedup_stream(doubled, watermark="365 days").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# Watermarked tumbling-window aggregate run end-to-end: the canonical
+# streaming dashboard query (hourly counts + decimal-image value sums
+# per event type). Complete mode + AvailableNow flushes every window
+# once the replay drains, so the streamed result equals the batch
+# events_hourly aggregation — that duality IS the oracle.
+@register(
+    "streaming_hourly_counts",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           count(*) AS cnt,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import hourly_counts, stream_events
+
+    tune_for_queries(spark)
+    name = f"q_stream_hourly_{uuid.uuid4().hex[:8]}"
+    stream = hourly_counts(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # Stream-STREAM watermarked join run end-to-end: view->purchase
 # attribution within 1 hour. Inner stream-stream joins emit matches
 # immediately (the watermark only bounds buffered state), so a single
