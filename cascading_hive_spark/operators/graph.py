@@ -272,3 +272,73 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def pagerank_portable(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """ENGINE-PORTABLE fixed-iteration PageRank: same algorithm as
+    ``pagerank`` (dangling mass redistributed uniformly), but the two
+    order-dependent float accumulations — the per-node contribution
+    sum and the dangling-mass sum — go through EXACT decimal(38,12)
+    images of 12-decimal-rounded terms, so each iteration's rank
+    vector is a bit-identical double under any partitioning or engine
+    and a DuckDB oracle can unroll the iterations as chained CTEs
+    (queries.py: graph_pagerank_hubs). The 1e-12 quantization per term
+    is far below PageRank's own fixed-iteration truncation error;
+    ``pagerank`` remains the plain-double path (property-tested
+    against a dense numpy power iteration).
+
+    Scale shape identical to ``pagerank``: per iteration one shuffle
+    on src (contributions) + one on dst (sums); rows never carry more
+    than (node, rank)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+
+    def dec_sum(col):
+        return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
+        ["u", "v"]
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for i in range(iterations):
+        with_deg = ranks.join(out_deg, ranks.node == out_deg.u, "left")
+        dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(dec_sum(F.col("rank")), F.lit(0.0)).alias("_dm")
+        )
+        contribs = (
+            e.join(ranks.join(out_deg, ranks.node == out_deg.u), e.u == F.col("node"))
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(dec_sum(F.col("_c")).alias("_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_total))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (F.coalesce(F.col("_sum"), F.lit(0.0)) + F.col("_dm") / F.col("_n"))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -4437,6 +4437,96 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_DAMPING, _PR_ITERATIONS = 0.85, 5
+
+
+def _pagerank_oracle() -> str:
+    # Unrolls pagerank_portable's fixed iterations as chained CTEs:
+    # ring+hub edge derivation, then per round the dangling decimal
+    # sum, the per-node contribution decimal sum, and the damped
+    # update — float literals forced to DOUBLE (DuckDB parses bare
+    # numeric literals as DECIMAL) and every accumulation through the
+    # same exact decimal(38,12) images as the Spark side.
+    d = _PR_DAMPING
+    base = repr(1.0 - d)  # the Python-float literal the Spark side uses
+    its = []
+    for i in range(1, _PR_ITERATIONS + 1):
+        p = i - 1
+        its.append(f"""
+    d{i} AS (
+      SELECT coalesce(CAST(sum(CAST(round(r.rank, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS dm
+      FROM r{p} r LEFT JOIN outdeg o ON r.node = o.u
+      WHERE o.u IS NULL),
+    s{i} AS (
+      SELECT e.v AS node,
+             CAST(sum(CAST(round(r.rank / o.deg, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS csum
+      FROM edges e JOIN r{p} r ON e.u = r.node JOIN outdeg o ON o.u = e.u
+      GROUP BY e.v),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} AS DOUBLE) / nt.n
+             + CAST({d!r} AS DOUBLE)
+               * (coalesce(s.csum, CAST(0.0 AS DOUBLE)) + d{i}.dm / nt.n) AS rank
+      FROM nodes n CROSS JOIN nt CROSS JOIN d{i}
+      LEFT JOIN s{i} s ON s.node = n.node)""")
+    chain = ",".join(its)
+    return f"""
+    WITH cust AS (SELECT c_custkey, c_nationkey FROM customer),
+    raw_edges AS (
+      SELECT c_custkey AS u,
+             lead(c_custkey) OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_custkey) AS v
+      FROM cust
+      UNION ALL
+      SELECT c_custkey AS u,
+             min(c_custkey) OVER (PARTITION BY c_nationkey) AS v
+      FROM cust),
+    edges AS (
+      SELECT DISTINCT u, v FROM raw_edges WHERE v IS NOT NULL AND u <> v),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+    nt AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nt.n AS rank FROM nodes, nt),{chain}
+    SELECT node, round(rank, 9) AS rank FROM r{_PR_ITERATIONS}
+    """
+
+
+# Fixed-iteration PageRank run end-to-end with a hash-matched twin —
+# the iterative-algorithm surface (driver loop over declarative steps)
+# finally driver-verifiable: pagerank_portable quantizes the two
+# order-dependent accumulations through exact decimal images, and the
+# oracle unrolls the 5 iterations as chained CTEs. Graph: per-nation
+# customer "referral ring" (each customer -> next custkey) plus a hub
+# edge to the nation's min custkey, so hub nodes accumulate rank and
+# the result is non-uniform. The plain-double pagerank stays
+# property-tested against a dense numpy power iteration.
+@register("graph_pagerank_hubs", _pagerank_oracle())
+def q_graph_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.graph import pagerank_portable
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w_ring = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    ring = c.select(
+        F.col("c_custkey").alias("src"),
+        F.lead("c_custkey").over(w_ring).alias("dst"),
+    )
+    hub = c.select(
+        F.col("c_custkey").alias("src"),
+        F.min("c_custkey").over(Window.partitionBy("c_nationkey")).alias("dst"),
+    )
+    edges = ring.unionByName(hub).filter(
+        F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+    ranks = pagerank_portable(
+        edges, damping=_PR_DAMPING, iterations=_PR_ITERATIONS
+    )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
 _PQP_M, _PQP_K, _PQP_SHORTLIST, _PQP_TOPK = 8, 16, 100, 10
 
 
