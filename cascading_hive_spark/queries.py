@@ -5233,6 +5233,17 @@ def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r8 ROTATION NOTE: after the r7 driver run checks the window below,
+# the only oracle-able queries without a driver CORRECTNESS row will
+# be the 7 registered DURING r7 (all hash-matched locally at
+# sf0.001/0.01(/0.1)):
+#   ann_ivf_portable ann_pq_portable ann_ivfpq_portable
+#   streaming_dedup streaming_hourly_counts graph_pagerank_hubs
+#   (+ anything registered after this note)
+# Fill the next window's free slots from them first, keeping wordcount
+# at slot 1; bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
+# dedup_minhash_lsh / dedup_simhash stay rows-only by design (each now
+# has a hash-matched portable sibling in the window history).
 # r7 WINDOW (rotated per VERDICT r6 #2): the 43 oracle-able queries
 # that have never earned a driver hash-match — the 41 never-checked
 # (r6 additions + pre-r6 overflow, incl. the 4 r6 late registrations

@@ -153,6 +153,44 @@ def smoke_cc(n_edges: int = 100_000) -> None:
                       "n_components": n_comp, "wall_sec": wall}))
 
 
+def smoke_pagerank(n_edges: int = 10_000_000, iterations: int = 5) -> None:
+    """pagerank on a scale-free-ish synthetic web graph: n_edges/4
+    nodes, each node links to its successor plus a Zipf-skewed hub
+    (xxhash-picked among the lowest ~1000 ids), so hub in-degrees are
+    heavily skewed — the shape that stresses the per-iteration
+    groupBy(dst) shuffle. Cost must be linear in edges x iterations."""
+    from cascading_hive_spark.operators.graph import pagerank
+
+    spark = _spark()
+    n_nodes = max(2, n_edges // 4)
+    base = spark.range(0, n_nodes)
+    edges = (
+        base.select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") + 1, F.lit(n_nodes)).alias("dst"),
+        )
+        .union(
+            base.select(
+                F.col("id").alias("src"),
+                # skewed hub choice: power-law-ish via nested pmod
+                F.pmod(
+                    F.pmod(F.abs(F.xxhash64("id")), F.lit(1000)),
+                    F.pmod(F.abs(F.xxhash64(F.col("id") + 7)), F.lit(31)) + 1,
+                ).alias("dst"),
+            )
+        )
+        .localCheckpoint()
+    )
+    t0 = time.monotonic()
+    ranks = pagerank(edges, iterations=iterations)
+    top = ranks.orderBy(F.col("rank").desc()).limit(5).collect()
+    wall = round(time.monotonic() - t0, 1)
+    print(json.dumps({"smoke": "pagerank", "n_edges": n_edges,
+                      "n_nodes": n_nodes, "iterations": iterations,
+                      "wall_sec": wall,
+                      "top_rank": round(top[0]["rank"], 6)}))
+
+
 def smoke_elsh_auto(n: int = 1_000_000) -> None:
     """embedding_lsh_pairs with DEFAULT (auto-sized) band bits at 1M
     vectors: must stay near-linear without manual bit tuning."""
@@ -506,6 +544,7 @@ if __name__ == "__main__":
         "ivf_knn": smoke_ivf_knn,
         "simhash": smoke_simhash,
         "cc": smoke_cc,
+        "pagerank": smoke_pagerank,
         "elsh_auto": smoke_elsh_auto,
         "packing": smoke_packing,
         "asof": smoke_asof,

@@ -171,3 +171,11 @@ def test_join_strategy_hints_are_honored(spark):
     for hint, operator in cases:
         plan = physical_plan(big.join(small.hint(hint), "k"))
         assert operator in plan, f"{hint} hint did not yield {operator}:\n{plan}"
+
+
+def test_portable_ann_and_pagerank_no_cartesian(spark, sf_dir):
+    """The r7 portable twins keep the scale shape of their fast-path
+    siblings: every crossJoin is against a broadcast metadata-sized
+    table (centroids / 1-row aggregates), never a CartesianProduct."""
+    for name in ("ann_ivf_portable", "graph_pagerank_hubs"):
+        assert_no_cartesian(_q(spark, sf_dir, name))
