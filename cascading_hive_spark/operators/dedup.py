@@ -1210,3 +1210,114 @@ def blocked_levenshtein_pairs(
         .filter(F.col("distance") <= max_dist)
         .select("id_a", "id_b", F.col("distance").cast("bigint").alias("distance"))
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    ngram_n: int = 3,
+    max_gram_df: int = 4,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs — the WEIGHTED sibling of
+    ``ngram_jaccard_pairs`` (sklearn-style document similarity, the
+    fourth dedup signal family after set-Jaccard, MinHash and
+    embedding cosine): docs sharing at least one RARE word
+    ``ngram_n``-gram (2 <= gram doc-frequency <= ``max_gram_df``) are
+    candidates; candidates are verified by exact cosine over their
+    full sparse unigram TF-IDF vectors.
+
+    Blocking on n-GRAMS, not unigrams: a low-entropy corpus (the
+    synthetic documents table has ~31 distinct words, every word in
+    ~80% of docs) has NO rare unigrams, but word-trigram space grows
+    combinatorially, so shared trigrams are highly discriminative —
+    near-identical copies share dozens of df=2 grams while unrelated
+    docs collide on few.
+
+    ENGINE-PORTABLE by construction (exact DuckDB twin in queries.py:
+    dedup_tfidf_cosine): idf is the RATIONAL ratio (N+1)/(df_t+1) —
+    plain IEEE +,*,/ (no ln(), whose last-ulp rounding differs across
+    libm builds) — and the two order-dependent accumulations (vector
+    norms, pair dot products) go through exact decimal(38,9) images of
+    9-decimal-rounded term products, so similarities are bit-identical
+    under any partitioning or engine. The 1e-9 quantization is far
+    below any sane threshold resolution.
+
+    Scale shape: tokenize/TF/DF are partial-aggregated narrow passes;
+    candidate generation joins only rare-gram postings (each gram
+    contributes <= max_gram_df^2/2 pairs — frequent grams never
+    explode the join); verification joins the candidate pairs back to
+    their unigram vectors (work ∝ pairs x terms/doc, never
+    corpus-quadratic)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t"),
+    ).filter(F.length("_t") > 0)
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = df.count()  # plan-build-time scalar, like ivf/pq builds
+    dft = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    w = tf.join(dft, "_t").select(
+        "_id",
+        "_t",
+        (
+            F.col("_tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("_df") + 1))
+        ).alias("_w"),
+    )
+
+    def dec_sum(col):
+        return F.sum(F.round(col, 9).cast("decimal(38,9)")).cast("double")
+
+    norms = w.groupBy("_id").agg(
+        F.sqrt(dec_sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    arr = F.split(F.lower(F.col(text_col)), r"\s+")
+    tarr = df.select(
+        F.col(id_col).alias("_id"), arr.alias("_arr"), F.size(arr).alias("_n")
+    )
+    grams = (
+        tarr.filter(F.col("_n") >= ngram_n)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("_n") - (ngram_n - 1))
+            ).alias("_p"),
+            "_arr",
+        )
+        .select(
+            "_id",
+            F.array_join(F.slice(F.col("_arr"), F.col("_p"), ngram_n), " ").alias(
+                "_g"
+            ),
+        )
+        .distinct()
+    )
+    gdf = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_gdf"))
+    rare = grams.join(
+        gdf.filter((F.col("_gdf") >= 2) & (F.col("_gdf") <= max_gram_df)), "_g"
+    ).select("_id", "_g")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "_g")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    wa = w.select(F.col("_id").alias("id_a"), "_t", F.col("_w").alias("_wa"))
+    wb = w.select(F.col("_id").alias("id_b"), "_t", F.col("_w").alias("_wb"))
+    dots = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "_t"])
+        .groupBy("id_a", "id_b")
+        .agg(dec_sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_norm").alias("_na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("_norm").alias("_nb"))
+    cos = F.col("_dot") / (F.col("_na") * F.col("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )

@@ -1235,6 +1235,75 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sparse TF-IDF cosine near-dup — the weighted fourth dedup signal
+# family (set-Jaccard / MinHash / embedding-cosine / tf-idf-cosine):
+# rational idf, decimal-image accumulations, rare-term candidate
+# blocking; the oracle replays tokenize -> TF/DF -> weights -> rare
+# candidates -> exact cosine verify bit-for-bit (see
+# operators/dedup.py:tfidf_cosine_pairs for the portability notes).
+@register(
+    "dedup_tfidf_cosine",
+    r"""
+    WITH toks AS (
+      SELECT id, t FROM (
+        SELECT doc_id AS id,
+               unnest(string_split_regex(lower(text), '\s+')) AS t
+        FROM documents)
+      WHERE len(t) > 0),
+    tf AS (SELECT id, t, count(*) AS tf FROM toks GROUP BY id, t),
+    nt AS (SELECT count(*) AS n FROM documents),
+    dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    w AS (
+      SELECT tf.id, tf.t,
+             CAST(tf.tf AS DOUBLE)
+             * (CAST(nt.n + 1 AS DOUBLE) / (dft.df + 1)) AS w
+      FROM tf JOIN dft USING (t) CROSS JOIN nt),
+    norms AS (
+      SELECT id, sqrt(CAST(sum(CAST(round(w*w, 9) AS DECIMAL(38,9)))
+                 AS DOUBLE)) AS nrm
+      FROM w GROUP BY id),
+    tarr AS (
+      SELECT doc_id AS id, string_split_regex(lower(text), '\s+') AS a
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT id, array_to_string(list_slice(a, p, p + 2), ' ') AS g
+      FROM tarr, LATERAL unnest(generate_series(1, len(a) - 2)) AS t(p)
+      WHERE len(a) >= 3),
+    gdf AS (SELECT g, count(*) AS gdf FROM grams GROUP BY g),
+    rare AS (
+      SELECT grams.id, grams.g FROM grams JOIN gdf USING (g)
+      WHERE gdf BETWEEN 2 AND 4),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id),
+    dots AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(38,9)))
+                 AS DOUBLE) AS dot
+      FROM cand c
+      JOIN w a ON a.id = c.id_a
+      JOIN w b ON b.id = c.id_b AND b.t = a.t
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.id = dots.id_a
+    JOIN norms nb ON nb.id = dots.id_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.8
+    """,
+)
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        ngram_n=3,
+        max_gram_df=4,
+    )
+
+
 # Embedding-cosine near-dup with bounded hyperplane-LSH blocking (the
 # round-1 label-block all-pairs join was the one scale-killer: a hot
 # label with 1M vectors is 5e11 pairs). Candidates now come from

@@ -508,3 +508,36 @@ def test_duplicate_span_stats_within_doc_repeat_not_counted(spark):
     )
     got = {r.doc_id: r for r in duplicate_span_stats(docs, "doc_id", "text").collect()}
     assert got[1].dup_tokens == 0
+
+
+def test_tfidf_cosine_pairs_planted_and_deterministic(spark):
+    """tfidf_cosine_pairs: a near-identical copy must surface with
+    cos ~1, unrelated word-salad must stay below threshold, and the
+    result must be bit-identical under repartitioning (the decimal-
+    image accumulation property its oracle twin relies on)."""
+    from cascading_hive_spark.operators.dedup import tfidf_cosine_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")  # 1 of 10 words changed
+    rows = [(1, base), (2, near)]
+    # unrelated docs over a DIFFERENT vocabulary region, repeated so
+    # grams exist but cross-pairs share nothing rare
+    for i in range(3, 9):
+        rows.append((i, f"omega psi chi phi upsilon tau w{i} w{i} sigma rho"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=0.5, max_gram_df=4
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] >= 0.8  # planted pair found
+    for (a, b), c in out.items():
+        assert not ({a, b} & {1, 2}) or (a, b) == (1, 2)  # no cross-vocab FPs
+    out2 = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tfidf_cosine_pairs(
+            df.repartition(5), "doc_id", "text", threshold=0.5, max_gram_df=4
+        ).collect()
+    }
+    assert out == out2  # bit-identical similarities, not approximate
