@@ -118,6 +118,27 @@ def smoke_simhash(n: int = 500_000) -> None:
                       "n_pairs": n_pairs}))
 
 
+def smoke_tfidf(n: int = 1_000_000) -> None:
+    """tfidf_cosine_pairs at corpus scale: rare-gram candidate blocking
+    must stay near-linear (each gram with doc-freq in [2, max_gram_df]
+    contributes <= max_gram_df^2/2 pairs; verify cost ∝ pairs x
+    terms/doc). 5000-word vocab -> trigram space is huge, so the
+    planted dup pairs dominate the rare-gram buckets."""
+    from cascading_hive_spark.operators.dedup import tfidf_cosine_pairs
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (100_000, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.02, n_vocab=5000
+        ).localCheckpoint()
+        wall, n_pairs = _timed(
+            tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.8)
+        )
+        print(json.dumps({"smoke": "tfidf", "n_docs": size, "wall_sec": wall,
+                          "n_pairs": n_pairs, "planted": int(size * 0.02)}))
+
+
 def smoke_cc(n_edges: int = 100_000) -> None:
     """connected_components on a dedup-shaped pair graph (many small
     components) plus one adversarial 10k chain under the star
@@ -545,6 +566,7 @@ if __name__ == "__main__":
         "simhash": smoke_simhash,
         "cc": smoke_cc,
         "pagerank": smoke_pagerank,
+        "tfidf": smoke_tfidf,
         "elsh_auto": smoke_elsh_auto,
         "packing": smoke_packing,
         "asof": smoke_asof,
