@@ -132,6 +132,43 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     return updates.unionByName(kept)
 
 
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change stream to a snapshot — MERGE with DELETE
+    semantics (``upsert`` has no delete path): ``changes`` carries the
+    target's payload columns plus ``op_col`` in {'I','U','D'} and a
+    monotone ``seq_col``; per key the LATEST change wins (ties broken
+    by op so the result is deterministic even on mis-sequenced feeds),
+    then
+
+    - latest op D  -> the key disappears from the result,
+    - latest op I/U -> the change row's payload replaces/creates it,
+    - no change    -> the target row survives untouched.
+
+    Planned as one window shuffle on the key (latest-change pick) +
+    anti-join + union — the same single-key-shuffle shape as upsert,
+    no full-outer widening, safe at any scale the key shuffle is.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    untouched = target.join(latest.select(*keys), keys, "left_anti")
+    applied = latest.filter(F.col(op_col) != "D").drop(seq_col, op_col)
+    return untouched.unionByName(applied)
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

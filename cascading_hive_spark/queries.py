@@ -3150,6 +3150,72 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CDC MERGE with DELETE semantics (io.cdc_apply — upsert has no
+# delete path): a deterministic change stream derived from orders
+# (price updates at seq 1, deletes at seq 2 for every 97th key —
+# overlapping keys prove latest-change-wins, inserts for new keys),
+# applied latest-per-key. The oracle replays pick-latest + anti-join
+# + union in SQL.
+@register(
+    "cdc_apply_orders",
+    """
+    WITH changes AS (
+      SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS price,
+             'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL
+      SELECT o_orderkey, 0.0, 'D', 2 FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 1.0, 'I', 1
+      FROM orders WHERE o_orderkey < 5),
+    latest AS (
+      SELECT o_orderkey, price, op FROM (
+        SELECT o_orderkey, price, op,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq DESC, op DESC) AS rn
+        FROM changes)
+      WHERE rn = 1),
+    untouched AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest))
+    SELECT o_orderkey, price FROM untouched
+    UNION ALL
+    SELECT o_orderkey, price FROM latest WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.io import cdc_apply
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    changes = (
+        o.filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                "o_orderkey",
+                F.lit(0.0).alias("price"),
+                F.lit("D").alias("op"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") < 5).select(
+                (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+                F.lit(1.0).alias("price"),
+                F.lit("I").alias("op"),
+                F.lit(1).alias("seq"),
+            )
+        )
+    )
+    return cdc_apply(target, changes, ["o_orderkey"])
+
+
 # Streaming ingestion dedup run end-to-end: the SAME file replayed
 # through TWO unioned file-stream sources (every event arrives twice —
 # the at-least-once delivery every real ingestion pipeline has), then

@@ -271,3 +271,31 @@ def test_blocked_levenshtein_max_block_guard(spark):
     rows = out.collect()
     # the 100-row hot block is dropped by the guard; the cold pair survives
     assert [(r.id_a, r.id_b, r.distance) for r in rows] == [(200, 201, 1)]
+
+
+# --- CDC apply (MERGE with deletes) ---------------------------------
+def test_cdc_apply_latest_wins_and_deletes(spark):
+    from cascading_hive_spark.io import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),   # plain update
+            (3, "x", "U", 1),    # update then...
+            (3, "x", "D", 2),    # ...deleted later: latest wins
+            (4, "y", "D", 1),    # deleted then...
+            (4, "d2", "U", 2),   # ...re-upserted later: survives
+            (5, "e", "I", 1),    # brand-new key
+        ],
+        "k long, v string, op string, seq int",
+    )
+    got = {r.k: r.v for r in cdc_apply(target, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d2", 5: "e"}  # 3 deleted
+    # determinism under repartitioning (window pick is key-scoped)
+    got2 = {
+        r.k: r.v
+        for r in cdc_apply(target.repartition(5), changes.repartition(3), ["k"]).collect()
+    }
+    assert got == got2
