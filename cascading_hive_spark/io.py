@@ -169,6 +169,42 @@ def cdc_apply(
     return untouched.unionByName(applied)
 
 
+def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Snapshot reconciliation — the inverse of ``cdc_apply``: compare
+    two versions of a table on ``keys`` and emit one row per differing
+    key with ``diff_status`` in {'added','removed','changed'} plus the
+    old/new payload structs (unchanged keys are filtered out, so the
+    result is change-stream-sized, not table-sized). The null-safe
+    struct comparison makes NULL payload transitions first-class.
+
+    Round-trip law (pinned in tests): replaying the diff as a CDC
+    stream reproduces the new snapshot exactly —
+    ``cdc_apply(old, diff_as_changes(table_diff(old, new)))  == new``.
+
+    Plan shape: ONE full-outer shuffle on the key; payloads travel as
+    structs so the compare is a single expression, no per-column join.
+    """
+    payload = [c for c in old.columns if c not in keys]
+    if payload != [c for c in new.columns if c not in keys]:
+        raise ValueError(
+            f"old/new payload columns differ: {payload} vs "
+            f"{[c for c in new.columns if c not in keys]}"
+        )
+    o = old.select(*keys, F.struct(*payload).alias("_old"))
+    n = new.select(*keys, F.struct(*payload).alias("_new"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("_old").isNull(), "added")
+        .when(F.col("_new").isNull(), "removed")
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), "changed")
+    )
+    return (
+        j.withColumn("diff_status", status)
+        .filter(F.col("diff_status").isNotNull())
+        .select(*keys, "diff_status", "_old", "_new")
+    )
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

@@ -3216,6 +3216,66 @@ def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(target, changes, ["o_orderkey"])
 
 
+# Snapshot reconciliation (io.table_diff — cdc_apply's inverse): diff
+# the orders snapshot against its CDC-applied successor and recover
+# exactly the applied change stream (changed / removed / added). One
+# full-outer key shuffle with struct payloads; the oracle replays the
+# same derivation + FULL OUTER JOIN. Output projected to scalars (the
+# driver window bans struct columns).
+@register(
+    "table_diff_orders",
+    """
+    WITH target AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders),
+    changes AS (
+      SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS price,
+             'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL
+      SELECT o_orderkey, 0.0, 'D', 2 FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 1.0, 'I', 1
+      FROM orders WHERE o_orderkey < 5),
+    latest AS (
+      SELECT o_orderkey, price, op FROM (
+        SELECT o_orderkey, price, op,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq DESC, op DESC) AS rn
+        FROM changes)
+      WHERE rn = 1),
+    new AS (
+      SELECT o_orderkey, price FROM target
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      UNION ALL
+      SELECT o_orderkey, price FROM latest WHERE op <> 'D')
+    SELECT coalesce(t.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN t.price IS DISTINCT FROM n.price THEN 'changed'
+           END AS diff_status,
+           t.price AS old_price, n.price AS new_price
+    FROM target t FULL OUTER JOIN new n ON t.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN t.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN t.price IS DISTINCT FROM n.price THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.io import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    new = q_cdc_apply_orders(spark, sf_dir)
+    d = table_diff(old, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "diff_status",
+        F.col("_old.price").alias("old_price"),
+        F.col("_new.price").alias("new_price"),
+    )
+
+
 # Streaming ingestion dedup run end-to-end: the SAME file replayed
 # through TWO unioned file-stream sources (every event arrives twice —
 # the at-least-once delivery every real ingestion pipeline has), then

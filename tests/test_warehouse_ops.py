@@ -299,3 +299,41 @@ def test_cdc_apply_latest_wins_and_deletes(spark):
         for r in cdc_apply(target.repartition(5), changes.repartition(3), ["k"]).collect()
     }
     assert got == got2
+
+
+def test_table_diff_roundtrip_law(spark):
+    """cdc_apply(old, diff-as-changes(table_diff(old, new))) == new —
+    the reconciliation law that makes diff+apply a migration tool."""
+    from cascading_hive_spark.io import cdc_apply, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0), (5, "e", 5.0)],
+        "k long, v string, x double",
+    )  # 2 changed, 3 null->value changed, 4 removed, 5 added
+    d = table_diff(old, new, ["k"])
+    statuses = {r.k: r.diff_status for r in d.collect()}
+    assert statuses == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    changes = d.select(
+        "k",
+        F.col("_new.v").alias("v"),
+        F.col("_new.x").alias("x"),
+        F.when(F.col("diff_status") == "removed", "D").otherwise("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    replayed = cdc_apply(old, changes, ["k"])
+    assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_table_diff_rejects_mismatched_payload(spark):
+    import pytest
+
+    from cascading_hive_spark.io import table_diff
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    b = spark.createDataFrame([(1, 2.0)], "k long, w double")
+    with pytest.raises(ValueError, match="payload columns differ"):
+        table_diff(a, b, ["k"])
