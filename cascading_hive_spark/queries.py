@@ -5434,7 +5434,7 @@ def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.001/0.01(/0.1)):
 #   ann_ivf_portable ann_pq_portable ann_ivfpq_portable
 #   streaming_dedup streaming_hourly_counts graph_pagerank_hubs
-#   dedup_tfidf_cosine
+#   dedup_tfidf_cosine cdc_apply_orders table_diff_orders
 #   (+ anything registered after this note)
 # Fill the next window's free slots from them first, keeping wordcount
 # at slot 1; bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /

@@ -161,3 +161,56 @@ def test_profile_columns_empty(spark):
     # one row per column even on an empty table — the ANALYZE contract
     assert {r.column for r in out} == {"doc_id", "text"}
     assert all(r.n_rows == 0 and r.n_distinct == 0 for r in out)
+
+
+def test_tfidf_cosine_empty_corpus(spark):
+    out = D.tfidf_cosine_pairs(_empty_docs(spark), "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+
+
+def test_cdc_apply_empty_changes_is_identity(spark):
+    from cascading_hive_spark.io import cdc_apply
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    empty = spark.createDataFrame([], "k long, v string, op string, seq int")
+    got = sorted(map(tuple, cdc_apply(target, empty, ["k"]).collect()))
+    assert got == [(1, "a"), (2, "b")]
+    # empty target: pure inserts
+    changes = spark.createDataFrame([(3, "c", "I", 1)], "k long, v string, op string, seq int")
+    empty_t = spark.createDataFrame([], "k long, v string")
+    assert [tuple(r) for r in cdc_apply(empty_t, changes, ["k"]).collect()] == [(3, "c")]
+
+
+def test_table_diff_empty_sides(spark):
+    from cascading_hive_spark.io import table_diff
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    e = spark.createDataFrame([], "k long, v string")
+    assert {r.diff_status for r in table_diff(a, e, ["k"]).collect()} == {"removed"}
+    assert {r.diff_status for r in table_diff(e, a, ["k"]).collect()} == {"added"}
+    assert table_diff(e, e, ["k"]).count() == 0
+
+
+def test_pagerank_portable_empty_edges(spark):
+    import pytest
+
+    from cascading_hive_spark.operators.graph import pagerank_portable
+
+    e = spark.createDataFrame([], "src long, dst long")
+    # no nodes -> empty rank table, not a crash
+    assert pagerank_portable(e, iterations=1).count() == 0
+    with pytest.raises(ValueError):
+        pagerank_portable(e, iterations=0)
+
+
+def test_ivf_build_portable_empty(spark):
+    from cascading_hive_spark.operators import similarity as S
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    # _dim_of needs a row; empty corpus must raise a clear error, not
+    # return a broken index
+    import pytest
+
+    with pytest.raises(Exception):
+        S.ivf_build_portable(e, n_cells=4)
