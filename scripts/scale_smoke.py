@@ -174,6 +174,47 @@ def smoke_cc(n_edges: int = 100_000) -> None:
                       "n_components": n_comp, "wall_sec": wall}))
 
 
+def smoke_cdc(n: int = 10_000_000, change_rate: int = 20) -> None:
+    """cdc_apply + table_diff at snapshot scale: 10M-row target, a
+    change stream touching 1/change_rate of keys (updates, deletes,
+    inserts mixed, with seq collisions on every 3rd changed key so the
+    latest-wins window does real work), then table_diff reconciles the
+    result against the original — both are one-key-shuffle plans, so
+    the curve must be linear in the snapshot size."""
+    from cascading_hive_spark.io import cdc_apply, table_diff
+
+    spark = _spark()
+    for size in (1_000_000, n):
+        target = spark.range(size).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).cast("double").alias("v")
+        ).localCheckpoint()
+        ch = spark.range(0, size, change_rate).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).cast("double").alias("v"),
+            F.when(F.col("id") % 3 == 0, "D").otherwise("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        # changed keys are multiples of change_rate, so the deleted set
+        # is multiples of 3*change_rate; HALF of those (multiples of
+        # 6*change_rate) get a seq-2 re-upsert AFTER the delete —
+        # latest-wins work — while the other half stay net-deleted
+        dup = ch.filter(F.col("k") % (6 * change_rate) == 0).select(
+            "k", (F.col("v") + 1).alias("v"), F.lit("U").alias("op"), F.lit(2).alias("seq")
+        )
+        changes = ch.unionByName(dup).localCheckpoint()
+        t0 = time.monotonic()
+        new = cdc_apply(target, changes, ["k"]).localCheckpoint()
+        n_new = new.count()
+        wall_apply = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        n_diff = table_diff(target, new, ["k"]).count()
+        wall_diff = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "cdc", "n_target": size,
+                          "n_changes": changes.count(), "n_after": n_new,
+                          "n_diff": n_diff, "apply_sec": wall_apply,
+                          "diff_sec": wall_diff}))
+
+
 def smoke_pagerank(n_edges: int = 10_000_000, iterations: int = 5) -> None:
     """pagerank on a scale-free-ish synthetic web graph: n_edges/4
     nodes, each node links to its successor plus a Zipf-skewed hub
@@ -567,6 +608,7 @@ if __name__ == "__main__":
         "cc": smoke_cc,
         "pagerank": smoke_pagerank,
         "tfidf": smoke_tfidf,
+        "cdc": smoke_cdc,
         "elsh_auto": smoke_elsh_auto,
         "packing": smoke_packing,
         "asof": smoke_asof,
