@@ -3348,6 +3348,51 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Stream-STATIC broadcast join run end-to-end (the reference's
+# map-join intent in streaming form: the dimension is broadcast per
+# micro-batch): every event enriched with its nation, aggregated per
+# nation so the output is compact. Oracle = the batch join+rollup.
+@register(
+    "streaming_enrich",
+    """
+    SELECT n.n_name, count(*) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events e JOIN nation n ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import enrich_stream, stream_events
+
+    tune_for_queries(spark)
+    name = f"q_stream_enrich_{uuid.uuid4().hex[:8]}"
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = enrich_stream(
+        stream_events(spark, sf_dir), nation, "CAST(user_id % 25 AS INT)"
+    ).select("n_name", "value")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 # Stream-STREAM watermarked join run end-to-end: view->purchase
 # attribution within 1 hour. Inner stream-stream joins emit matches
 # immediately (the watermark only bounds buffered state), so a single
@@ -5435,6 +5480,7 @@ def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   ann_ivf_portable ann_pq_portable ann_ivfpq_portable
 #   streaming_dedup streaming_hourly_counts graph_pagerank_hubs
 #   dedup_tfidf_cosine cdc_apply_orders table_diff_orders
+#   streaming_enrich
 #   (+ anything registered after this note)
 # Fill the next window's free slots from them first, keeping wordcount
 # at slot 1; bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
