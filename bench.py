@@ -14,7 +14,9 @@ import sys
 import time
 
 # Headline set: one per operator family (scan/agg, join tree, window,
-# asof, LSH dedup, ANN, text, multimodal, sessionize).
+# asof, LSH dedup, ANN, text, multimodal, sessionize; r8 added one
+# per post-r3 family — graph, gram-blocked dedup, CDC merge, SCD2 —
+# per VERDICT r7 #3 so regressions there show up in BENCH_rN).
 HEADLINE = [
     "wordcount",
     "q1_pricing_summary",
@@ -29,6 +31,10 @@ HEADLINE = [
     "ann_knn_join",
     "text_analyze",
     "multimodal_meta",
+    "graph_pagerank_hubs",
+    "dedup_tfidf_cosine",
+    "cdc_apply_orders",
+    "scd2_point_in_time",
 ]
 
 

@@ -153,11 +153,21 @@ def cdc_apply(
     Planned as one window shuffle on the key (latest-change pick) +
     anti-join + union — the same single-key-shuffle shape as upsert,
     no full-outer widening, safe at any scale the key shuffle is.
+
+    Determinism: ties on (key, seq, op) are broken by a hash of the
+    payload struct, so a feed carrying duplicate (key, seq, op) rows
+    with DIFFERENT payloads still resolves to the same winner on
+    every run/partitioning (without it row_number picks arbitrarily).
+    Exact-duplicate rows are indistinguishable, so any pick is the
+    same row.
     """
     from pyspark.sql import Window
 
+    payload = [c for c in changes.columns if c not in (*keys, seq_col, op_col)]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).desc()
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        F.xxhash64(*[F.col(c) for c in payload]) if payload else F.lit(0),
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -961,3 +961,59 @@ def ivfpq_search(
         ).alias("dist"),
     )
     return exact.orderBy(F.col("dist").asc(), F.col(id_col)).limit(topk)
+
+
+def ivfpq_write(
+    index: DataFrame,
+    coarse: DataFrame,
+    pq_centroids: DataFrame,
+    path: str,
+) -> None:
+    """Persist an IVF-PQ index — the complete 100 TB ANN layout: the
+    (id, codes) table partitioned BY COARSE CELL on disk (8 bytes + a
+    cell id per vector — dim/m * 8x smaller than raw embeddings) plus
+    the two metadata-sized codebook sidecars. A probe then reads only
+    nprobe of n_cells partition directories of COMPRESSED codes:
+    fractional scan x compressed rows, the multiplicative cost win
+    IVF-on-raw-vectors (``ivf_write``) leaves on the table."""
+    index.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    pq_centroids.write.mode("overwrite").parquet(f"{path}/pq")
+
+
+def ivfpq_probe_from_disk(
+    spark,
+    path: str,
+    query_vec: list,
+    m: int,
+    nprobe: int = 8,
+    topk: int = 10,
+    shortlist: int = 200,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index (``ivfpq_write`` layout). Both
+    codebooks are sidecar reads (n_cells and m*k rows — metadata by
+    construction); the probed-cell filter is an IN-list on the
+    partition column, so the codes scan touches only the nprobe
+    directories (PartitionFilters — plan-asserted in
+    tests/test_similarity.py::test_ivfpq_disk_index_prunes_partitions)
+    before ADC-scoring and, when ``vectors`` is given, exact re-rank
+    of the shortlist against raw embeddings (broadcast semi-join)."""
+    coarse_rows = spark.read.parquet(f"{path}/coarse").collect()
+    pq_rows = spark.read.parquet(f"{path}/pq").collect()
+    index = spark.read.parquet(f"{path}/codes")
+    return ivfpq_search(
+        index,
+        coarse_rows,
+        pq_rows,
+        query_vec,
+        m,
+        nprobe=nprobe,
+        topk=topk,
+        shortlist=shortlist,
+        vectors=vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

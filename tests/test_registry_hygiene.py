@@ -41,10 +41,25 @@ def test_window_output_schemas_are_atomic(spark, sf_dir):
     may return a Binary/Array/Map/Struct/Variant (or Null-typed)
     column (the CORRECTNESS_r06 ``all_types_surface``/``map_type_ops``
     incident). Non-atomic values must be projected to scalars (hex,
-    array_join, to_json) before they leave a windowed query."""
+    array_join, to_json) before they leave a windowed query.
+
+    Also bans REPRESENTATION-fragile scalars (the CORRECTNESS_r07
+    ``all_types_surface`` hash mismatch): float32 (pandas renders
+    np.float32 at 7 significant digits on one engine, a widened
+    float64 repr on the other) and decimals with scale > 6 (long
+    trailing-zero text diverges across canonicalizers). Widen float
+    to double (exact) or cast the decimal to string/rounded double
+    before it leaves a windowed query."""
     from pyspark.sql import types as T
 
-    banned = (T.BinaryType, T.ArrayType, T.MapType, T.StructType, T.NullType)
+    banned = (
+        T.BinaryType,
+        T.ArrayType,
+        T.MapType,
+        T.StructType,
+        T.NullType,
+        T.FloatType,
+    )
     banned_names = {"variant"}
     fns = q.queries()
     offenders = []
@@ -52,9 +67,34 @@ def test_window_output_schemas_are_atomic(spark, sf_dir):
         schema = fns[n](spark, sf_dir).schema
         for field in schema.fields:
             dt = field.dataType
-            if isinstance(dt, banned) or dt.typeName() in banned_names:
+            if (
+                isinstance(dt, banned)
+                or dt.typeName() in banned_names
+                or (isinstance(dt, T.DecimalType) and dt.scale > 6)
+            ):
                 offenders.append(f"{n}.{field.name}: {dt.simpleString()}")
     assert not offenders, (
         "driver-window queries returning pandas-unsortable columns "
         f"(would crash the driver canonicalizer): {offenders}"
     )
+
+
+def test_entry_module_imports_cleanly():
+    """The driver's very first step is ``import __spark_entry__`` — a
+    loader crash there costs a whole round's bench + correctness
+    artifacts (the r4 incident). Import it in a FRESH interpreter so a
+    stale module cache in this process can't mask a broken
+    registration (`_apply_driver_window` raises on bad names,
+    duplicates, or a wrong window size at import time)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, "-c", "import __spark_entry__"],
+        capture_output=True,
+        cwd=repo,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]

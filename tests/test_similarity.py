@@ -361,3 +361,68 @@ def test_ivfpq_shortlist_only_without_vectors(spark):
     ).collect()
     assert len(out) == 5
     assert out == sorted(out, key=lambda r: (r.adc_dist, r.vec_id))
+
+
+def test_ivfpq_disk_index_prunes_partitions(spark, emb, tmp_path):
+    """Disk IVF-PQ (the complete 100 TB layout — compressed codes
+    partitioned by coarse cell + codebook sidecars): partition pruning
+    reaches the CODES scan, and the probe equals the in-memory
+    ivfpq_search on the same index."""
+    path = str(tmp_path / "ivfpq_idx")
+    index, coarse, pqc = S.ivfpq_build(emb, n_cells=16, m=8, k=16)
+    S.ivfpq_write(index, coarse, pqc, path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = S.ivfpq_probe_from_disk(
+        spark, path, qv, m=8, nprobe=4, topk=10, shortlist=50, vectors=emb
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    rows = out.collect()
+    assert len(rows) == 10
+    mem = [
+        (r.vec_id, round(r.dist, 9))
+        for r in S.ivfpq_search(
+            index,
+            coarse.collect(),
+            pqc.collect(),
+            qv,
+            m=8,
+            nprobe=4,
+            topk=10,
+            shortlist=50,
+            vectors=emb,
+        ).collect()
+    ]
+    assert [(r.vec_id, round(r.dist, 9)) for r in rows] == mem
+
+
+def test_ivfpq_disk_full_probe_equals_brute_force(spark, emb, tmp_path):
+    """nprobe = n_cells + shortlist >= corpus + exact re-rank must
+    reproduce brute-force L2 top-k bit-for-bit — the codes only pick
+    the shortlist, and the shortlist is everything."""
+    path = str(tmp_path / "ivfpq_idx_full")
+    index, coarse, pqc = S.ivfpq_build_portable(emb, n_cells=8, m=8, k=16)
+    S.ivfpq_write(index, coarse, pqc, path)
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    got = [
+        (r.vec_id, round(r.dist, 6))
+        for r in S.ivfpq_probe_from_disk(
+            spark, path, qv, m=8, nprobe=8, topk=5, shortlist=n, vectors=emb
+        ).collect()
+    ]
+    qlit = F.lit(qv).cast("array<double>")
+    brute = (
+        emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    assert got == [(r.vec_id, round(r.dist, 6)) for r in brute]
