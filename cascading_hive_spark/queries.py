@@ -5616,6 +5616,148 @@ def q_order_extremes_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Exact-quota stratified sampling — the form a training-data mix
+# actually needs (sample_stratified's per-stratum FRACTIONS can't
+# promise "exactly k docs per language"): deterministic hash-ordered
+# row_number per stratum, keep the first k. md5 (not xxhash64) so the
+# order is engine-portable; the shuffle key is the stratum, the sort
+# is per-stratum (no global order), so this scales like any window.
+@register(
+    "sample_exact_quota",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 50
+    """,
+)
+def q_sample_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# Per-group percentile filter — the quality-cut a corpus pipeline
+# runs ("drop the shortest quartile per language"): EXACT interpolated
+# percentile per stratum (thresholds are a lang-sized table ->
+# broadcast join back), then a filter against the threshold. Spark's
+# percentile() and DuckDB's quantile_cont share the percentile_cont
+# interpolation, and interpolated values of integers are exactly
+# representable, so the >= boundary is engine-stable.
+@register(
+    "filter_by_group_percentile",
+    """
+    WITH th AS (
+      SELECT lang, quantile_cont(n_chars, 0.25) AS p25
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars, round(th.p25, 6) AS lang_p25
+    FROM documents d JOIN th USING (lang)
+    WHERE d.n_chars >= th.p25
+    """,
+)
+def q_filter_by_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    th = d.groupBy("lang").agg(F.percentile("n_chars", F.lit(0.25)).alias("p25"))
+    return (
+        d.join(F.broadcast(th), "lang")
+        .filter(F.col("n_chars") >= F.col("p25"))
+        .select("doc_id", "lang", "n_chars", F.round("p25", 6).alias("lang_p25"))
+    )
+
+
+# Vocabulary coverage — "what fraction of all token occurrences do
+# the top-N tokens cover": the Zipf diagnostic behind vocab-size /
+# tokenizer decisions. Token counts reuse wordcount's split semantics
+# (Java split limit=0 — trailing empties removed); the ranked
+# cumulative windows run over the VOCAB-sized counts table (not the
+# corpus), so the unpartitioned window is metadata-scale.
+@register(
+    "vocab_coverage_topk",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(
+                 regexp_replace(text, '[ \[\]\(\),.]+$', ''),
+                 '[ \[\]\(\),.]')) AS token
+      FROM documents
+      WHERE regexp_replace(text, '[ \[\]\(\),.]+$', '') <> ''),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rnk,
+             sum(cnt) OVER () AS total,
+             sum(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts)
+    SELECT rnk, token, cnt, round(cum * 1.0 / total, 6) AS cum_frac
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = R.wordcount(_t(spark, sf_dir, "documents"), "text", _WC_PATTERN)
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy(F.col("cnt").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("total", F.sum("cnt").over(w_all))
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "rnk",
+            "token",
+            "cnt",
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_frac"),
+        )
+    )
+
+
+# Watermarked HOPPING-window aggregate run end-to-end — the streaming
+# twin of the new batch events_sliding_window_counts (size 2h, slide
+# 1h: every event in 2 window instances). Complete mode + AvailableNow
+# flushes every window once the replay drains, so the streamed result
+# equals the batch hopping aggregation — the same duality oracle as
+# streaming_hourly_counts.
+@register(
+    "streaming_sliding_counts",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - k * INTERVAL 1 HOUR
+             AS window_start,
+           count(*) AS cnt,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1
+    """,
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import sliding_counts, stream_events
+
+    tune_for_queries(spark)
+    name = f"q_stream_sliding_{uuid.uuid4().hex[:8]}"
+    stream = sliding_counts(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver-verified
 # hash-match; only bpe_merges / ann_pq_topk / ann_ivfpq_topk /

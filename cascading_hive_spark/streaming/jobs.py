@@ -261,6 +261,31 @@ def upsert_sink_available_now(
     return out
 
 
+def sliding_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    size: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Watermarked HOPPING-window counts — ``hourly_counts`` with a
+    slide smaller than the size, so each event lands in size/slide
+    window instances (the streaming twin of the batch
+    events_sliding_window_counts query). State is bounded by
+    watermark/slide open windows; the decimal-image value sum is the
+    same .xx5 rounding armor as events_hourly/q1."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "cnt", "sum_value")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exactly-once-per-id dedup: dropDuplicates keyed on
     event_id with a watermark bounding the dedup state (ids older than

@@ -18,6 +18,9 @@ Usage: python scripts/scale_smoke.py <name> [args]
     pq        [n=1000000]
     fuzzy     [n=1000000]
     scd2      [n=10000000] [n_keys=1000000]
+    streaming [n=1000000] [slices=20]
+    catalog10k [n_parts=10000] [rows_per=10]
+    ivfpq_disk [n=1000000]
 
 Each prints one JSON line per measurement.
 """
@@ -485,6 +488,166 @@ def smoke_scd2(n: int = 10_000_000, n_keys: int = 1_000_000) -> None:
                           "current_rows": n_current, "wall_sec": wall}))
 
 
+def smoke_catalog10k(n_parts: int = 10_000, rows_per: int = 10) -> None:
+    """Catalog-at-scale smoke (VERDICT r7 #6): a 10k-partition table.
+    Times partition ENUMERATION (SHOW PARTITIONS surface), the full
+    reference filter grammar over the spec list, and a pruned read —
+    asserting via input_file_name() that the scan touched ONLY the
+    matching directories (partition pruning at 10k partitions, the
+    metastore shape a 100 TB daily-partitioned table actually has)."""
+    spark = _spark()
+    from cascading_hive_spark import catalog as C
+
+    name = "cat10k_smoke"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df = (
+        spark.range(n_parts * rows_per)
+        .select(
+            F.format_string("p%05d", (F.col("id") % n_parts).cast("int")).alias("p"),
+            F.col("id").alias("v"),
+        )
+    )
+    t0 = time.monotonic()
+    (
+        df.repartition("p")
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    t_write = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    parts = C.partitions(spark, name)
+    t_enum = round(time.monotonic() - t0, 1)
+    assert len(parts) == n_parts, len(parts)
+    t0 = time.monotonic()
+    kept = C.partitions(
+        spark, name, filter="(p like 'p0012%' or p = 'p09999') and p <> 'p00121'"
+    )
+    t_filter = round(time.monotonic() - t0, 1)
+    assert len(kept) == 10, len(kept)  # p00120,p00122..p00129 + p09999
+    pruned = spark.table(name).filter("p like 'p0012%'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    t0 = time.monotonic()
+    n_rows = pruned.count()
+    t_pruned_read = round(time.monotonic() - t0, 2)
+    assert n_rows == 10 * rows_per, n_rows
+    # the scan touched ONLY the 10 matching directories
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files == 10, n_files
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_10k_partitions_smoke",
+                "n_partitions": n_parts,
+                "write_sec": t_write,
+                "enumerate_sec": t_enum,
+                "filter_grammar_sec": t_filter,
+                "pruned_read_sec": t_pruned_read,
+                "files_read_pruned": n_files,
+            }
+        )
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def smoke_streaming(n: int = 1_000_000, slices: int = 20) -> None:
+    """Streaming state-boundedness smoke (VERDICT r7 #5): replay n
+    synthetic events spanning 30 days through dedup_stream and
+    hourly_counts with BOUNDED watermarks (1h / 2h — not the 365-day
+    replay horizon the oracle harness uses), delivered as ``slices``
+    time-ordered files with maxFilesPerTrigger=1 so the watermark
+    advances BETWEEN micro-batches and actually evicts state (a
+    single availableNow batch never would). Records wall time and the
+    state-store row count after the final batch — bounded state means
+    numRowsTotal ~ one watermark's worth of keys, NOT ~ n."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = _spark()
+    base = tempfile.mkdtemp(prefix="stream_smoke_")
+    src = os.path.join(base, "events")
+    span_s = 30 * 24 * 3600
+    per = max(1, n // slices)
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % int(n * 0.9)).alias("event_id"),  # ~10% dup ids
+        (F.col("id") % 50_000).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * F.lit(float(span_s)) / n).cast("long")
+        ).alias("ts"),
+        ((F.col("id") % 1000) / F.lit(100.0)).alias("value"),
+    )
+    # sequential appends => file mtimes follow event time, so the file
+    # source (which orders by mtime) replays in event-time order
+    for i in range(slices):
+        (
+            df.filter((F.col("id") >= i * per) & (F.col("id") < (i + 1) * per))
+            .drop("id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = spark.read.parquet(src).schema
+
+    def run(make_out, watermark_desc):
+        from pyspark.sql import functions as FF  # noqa: F401
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        ckpt = tempfile.mkdtemp(prefix="stream_smoke_ckpt_")
+        t0 = time.monotonic()
+        q = (
+            make_out(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = round(time.monotonic() - t0, 1)
+        ops = (q.lastProgress or {}).get("stateOperators") or []
+        state_rows = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return wall, state_rows
+
+    from cascading_hive_spark.streaming.jobs import dedup_stream, hourly_counts
+
+    wall_d, state_d = run(lambda s: dedup_stream(s, watermark="1 hour"), "1h")
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_dedup_smoke",
+                "n_events": n,
+                "slices": slices,
+                "watermark": "1 hour",
+                "wall_sec": wall_d,
+                "state_rows_final": state_d,
+            }
+        )
+    )
+    wall_h, state_h = run(lambda s: hourly_counts(s, watermark="2 hours"), "2h")
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_hourly_smoke",
+                "n_events": n,
+                "slices": slices,
+                "watermark": "2 hours",
+                "wall_sec": wall_h,
+                "state_rows_final": state_h,
+            }
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def smoke_span(n: int = 1_000_000) -> None:
     """duplicate_span_stats at corpus scale: the dup-gram join and
     island merge must stay near-linear (thin digest shuffles; spans
@@ -571,6 +734,74 @@ def smoke_pq(n: int = 1_000_000) -> None:
                           "rerank_recall_at_10": len(got & truth) / 10}))
 
 
+def smoke_ivfpq_disk(n: int = 1_000_000) -> None:
+    """Disk IVF-PQ probe at corpus scale (VERDICT r7 #4): build the
+    IVF-PQ index, PERSIST it (codes partitioned by coarse cell +
+    codebook sidecars), then measure the from-disk probe — asserting
+    via input_file_name() that the codes scan touched only the nprobe
+    probed cells' directories. The probe cost is the point: nprobe/
+    n_cells of the corpus in 8-byte codes, everything else sidecar
+    metadata."""
+    import os
+    import shutil
+    import tempfile
+
+    from cascading_hive_spark.operators.similarity import (
+        ivfpq_build, ivfpq_probe_from_disk, ivfpq_write,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    spark = _spark()
+    n_cells, nprobe = 64, 8
+    for size in (n // 10, n):
+        emb = synthetic_embeddings(
+            spark, n=size, dim=64, n_clusters=n_cells
+        ).localCheckpoint()
+        base = tempfile.mkdtemp(prefix="ivfpq_disk_smoke_")
+        t0 = time.monotonic()
+        index, coarse, pqc = ivfpq_build(emb, n_cells=n_cells, m=8, k=256)
+        ivfpq_write(index, coarse, pqc, base)
+        build_write_wall = round(time.monotonic() - t0, 1)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]
+        ]
+        t0 = time.monotonic()
+        out = ivfpq_probe_from_disk(
+            spark, base, qv, m=8, nprobe=nprobe, topk=10,
+            shortlist=max(500, size // 200), vectors=emb,
+        )
+        hits = out.collect()
+        probe_wall = round(time.monotonic() - t0, 2)
+        assert len(hits) == 10
+        # pruning proof: the codes scan read only the probed cells
+        codes = spark.read.parquet(os.path.join(base, "codes"))
+        coarse_rows = spark.read.parquet(os.path.join(base, "coarse")).collect()
+        d = len(qv)
+        probed_cells = sorted(
+            (
+                sum((qv[i] - r["centroid"][i]) * (qv[i] - r["centroid"][i]) for i in range(d)),
+                r["cell"],
+            )
+            for r in coarse_rows
+        )[:nprobe]
+        cells = [c for _, c in probed_cells]
+        n_files_probed = (
+            codes.filter(F.col("cell").isin(cells))
+            .select(F.input_file_name()).distinct().count()
+        )
+        n_files_total = codes.select(F.input_file_name()).distinct().count()
+        print(json.dumps({
+            "smoke": "ivfpq_disk", "n_vectors": size,
+            "n_cells": n_cells, "nprobe": nprobe,
+            "build_write_sec": build_write_wall,
+            "probe_sec": probe_wall,
+            "files_probed": n_files_probed,
+            "files_total": n_files_total,
+        }))
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def smoke_fuzzy(n: int = 1_000_000) -> None:
     """blocked_levenshtein_pairs at corpus scale: n names in ~n/50
     blocks (in-block quadratic compare is the budget: ~25M levenshtein
@@ -614,6 +845,9 @@ if __name__ == "__main__":
         "asof": smoke_asof,
         "packing_skewed": smoke_packing_skewed,
         "q1_decimal": smoke_q1_decimal,
+        "streaming": smoke_streaming,
+        "catalog10k": smoke_catalog10k,
+        "ivfpq_disk": smoke_ivfpq_disk,
         "shuffle": smoke_shuffle,
         "scd2": smoke_scd2,
         "span": smoke_span,
