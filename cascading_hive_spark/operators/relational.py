@@ -296,3 +296,40 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def partial_agg(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """One partition's MERGEABLE aggregate state: per key, the row
+    count and a decimal-image value sum (exact, order-independent —
+    the same .xx5 armor as q1). The output is a tiny keyed table that
+    ``merge_partial_aggs`` can re-aggregate losslessly, which is the
+    incremental-pipeline contract at 100 TB: aggregate each arriving
+    partition ONCE, merge states, never rescan history. (AVG is
+    derived at read time from sum/count — only mergeable states are
+    stored; the same discipline HLL sketches follow in
+    hll_mergeable_sketches.)"""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast(f"decimal(18,{scale})")).alias("sum_img"),
+    )
+
+
+def merge_partial_aggs(*partials: DataFrame) -> DataFrame:
+    """Merge ``partial_agg`` states: union + re-aggregate. Counts add;
+    decimal-image sums add exactly (no float reassociation), so
+    merge(partial(A), partial(B)) == partial(A ∪ B) bit-for-bit —
+    the law pinned in tests/test_scale_patterns.py. The merge input
+    is state-sized (one row per key per partial), not data-sized."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    keys = [c for c in out.columns if c not in ("cnt", "sum_img")]
+    return out.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_img").alias("sum_img"),
+    )

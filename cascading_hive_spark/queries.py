@@ -5758,6 +5758,46 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Incremental aggregation via MERGEABLE partial state (relational.
+# partial_agg / merge_partial_aggs) — the don't-rescan-history
+# contract: each arriving partition is aggregated ONCE into (cnt,
+# exact decimal-image sum) states, and merging states is lossless
+# (counts add, decimal sums add with no float reassociation), so
+# merge(partial(base), partial(increment)) == the full aggregate
+# BIT-FOR-BIT. The split is mid-day so day-grain groups STRADDLE the
+# boundary and the merge does real work. Oracle = the full aggregate
+# (that equality IS the mergeability law; also pinned in
+# tests/test_scale_patterns.py).
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           count(*) AS cnt,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value", "ts"
+    )
+    cut = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    base = ev.filter(F.col("ts") < cut).drop("ts")
+    incr = ev.filter(F.col("ts") >= cut).drop("ts")
+    merged = R.merge_partial_aggs(
+        R.partial_agg(base, ["day", "event_type"], "value"),
+        R.partial_agg(incr, ["day", "event_type"], "value"),
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.round(F.col("sum_img"), 2).cast("double").alias("sum_value"),
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver-verified
 # hash-match; only bpe_merges / ann_pq_topk / ann_ivfpq_topk /

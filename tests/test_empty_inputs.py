@@ -214,3 +214,50 @@ def test_ivf_build_portable_empty(spark):
 
     with pytest.raises(Exception):
         S.ivf_build_portable(e, n_cells=4)
+
+
+def test_partial_agg_merge_empty_slices(spark):
+    empty = spark.createDataFrame([], "day date, event_type string, value double")
+    merged = R.merge_partial_aggs(
+        R.partial_agg(empty, ["day", "event_type"], "value"),
+        R.partial_agg(empty, ["day", "event_type"], "value"),
+    )
+    assert merged.count() == 0
+    assert merged.columns == ["day", "event_type", "cnt", "sum_img"]
+
+
+def test_cdc_apply_empty_changes(spark):
+    from cascading_hive_spark.io import cdc_apply
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    changes = spark.createDataFrame([], "k int, v double, op string, seq int")
+    out = cdc_apply(target, changes, ["k"])
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 10.0), (2, 20.0)}
+
+
+def test_sliding_counts_empty_stream_input(spark):
+    """Batch twin of the hopping window over zero rows: no window
+    instances, no crash."""
+    empty = spark.createDataFrame([], "ts timestamp, user_id long")
+    out = (
+        empty.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .count()
+    )
+    assert out.count() == 0
+
+
+def test_ivfpq_disk_probe_missing_vectors_shortlist_only(spark, tmp_path):
+    """Disk probe without a re-rank table returns the ADC shortlist;
+    build from a tiny corpus to keep the index path exercised."""
+    from cascading_hive_spark.operators.similarity import (
+        ivfpq_build_portable, ivfpq_probe_from_disk, ivfpq_write,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, n=64, dim=64, n_clusters=4)
+    index, coarse, pqc = ivfpq_build_portable(emb, n_cells=4, m=8, k=4)
+    path = str(tmp_path / "tiny_ivfpq")
+    ivfpq_write(index, coarse, pqc, path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivfpq_probe_from_disk(spark, path, qv, m=8, nprobe=4, topk=3, shortlist=10)
+    assert out.count() == 3

@@ -179,3 +179,48 @@ def test_portable_ann_and_pagerank_no_cartesian(spark, sf_dir):
     table (centroids / 1-row aggregates), never a CartesianProduct."""
     for name in ("ann_ivf_portable", "graph_pagerank_hubs"):
         assert_no_cartesian(_q(spark, sf_dir, name))
+
+
+def test_max_by_extremes_is_partial_aggregable(spark, sf_dir):
+    """order_extremes_per_customer exists to AVOID the window shuffle:
+    max_by/min_by must plan as a two-phase HashAggregate (map-side
+    partial combine), with no Window/Sort operator anywhere."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "order_extremes_per_customer"))
+    assert "Window" not in plan
+    # struct comparators plan as SortAggregate (not hashable) — the
+    # property that matters is the map-side partial combine
+    assert "partial_max_by" in plan and "partial_min_by" in plan, plan
+
+
+def test_sliding_window_counts_no_join(spark, sf_dir):
+    """Hopping windows must plan as generate(window instances) +
+    aggregate — one shuffle on the window key, never a self-join or
+    range join against a window spine."""
+    from cascading_hive_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "events_sliding_window_counts")
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_group_percentile_threshold_broadcasts(spark, sf_dir):
+    """filter_by_group_percentile joins the doc table against a
+    lang-sized threshold table — that side must broadcast (a shuffle
+    join keyed on ~10 langs would put the whole corpus through a
+    10-partition shuffle)."""
+    df = _q(spark, sf_dir, "filter_by_group_percentile")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_exact_quota_sorts_per_stratum_only(spark, sf_dir):
+    """sample_exact_quota's ordering is per-stratum (window over
+    lang) — no global Sort/Exchange ordering the whole corpus on one
+    reducer."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "sample_exact_quota"))
+    assert "rangepartitioning" not in plan.lower(), plan

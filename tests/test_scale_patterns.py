@@ -117,3 +117,31 @@ def test_write_max_records_per_file(spark, sf_dir, tmp_path):
     IO.write_table(li, path, max_records_per_file=1000)
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) >= 5  # 6000 rows / 1000 cap
+
+
+def test_partial_agg_merge_is_lossless(spark, sf_dir):
+    """The mergeability law behind incremental_agg_merge:
+    merge(partial(A), partial(B)) == partial(A ∪ B) EXACTLY — counts
+    add, decimal-image sums add with no float reassociation. Split
+    three ways (incl. an empty slice) to exercise merge arity and the
+    empty-state edge."""
+    from cascading_hive_spark.operators import relational as R
+    from cascading_hive_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value"
+    )
+    a = ev.filter(F.dayofmonth("day") <= 10)
+    b = ev.filter(F.dayofmonth("day") > 10)
+    empty = ev.filter(F.lit(False))
+    merged = R.merge_partial_aggs(
+        R.partial_agg(a, ["day", "event_type"], "value"),
+        R.partial_agg(b, ["day", "event_type"], "value"),
+        R.partial_agg(empty, ["day", "event_type"], "value"),
+    )
+    full = R.partial_agg(ev, ["day", "event_type"], "value")
+    key = lambda r: (str(r.day), r.event_type)  # noqa: E731
+    got = {key(r): (r.cnt, str(r.sum_img)) for r in merged.collect()}
+    want = {key(r): (r.cnt, str(r.sum_img)) for r in full.collect()}
+    assert got == want and len(got) > 0
