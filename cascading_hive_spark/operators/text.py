@@ -203,6 +203,7 @@ def decontaminate(
     id_col: str,
     text_col: str,
     n: int = 8,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Benchmark decontamination: per training document, count the
     distinct word ``n``-grams it shares with an evaluation corpus (the
@@ -216,6 +217,14 @@ def decontaminate(
     join, only for the tiny per-doc hit aggregation (rows ∝ hits, not
     corpus). Every step is SQL-expressible (oracle: decontaminate_docs
     in queries.py).
+
+    ``strategy="shuffle"`` is the BEYOND-broadcast path: a full
+    benchmark SUITE's distinct n-grams (hundreds of millions of long
+    strings) can exceed the broadcast budget, so both sides project to
+    16-byte md5 digests and meet in a shuffled hash join — the train
+    side shuffles thin (doc_id, digest) pairs only, never gram text.
+    Result-identical to broadcast (collision probability over even
+    1e12 grams is ~1e-14; oracle shared with decontaminate_docs).
 
     Output: (doc_id, n_contaminated, contaminated) for EVERY training
     doc with a non-null text (zero-hit docs kept — the common consumer
@@ -235,11 +244,22 @@ def decontaminate(
     train_g = grams(train)
     tg = train_g.select("doc_id", F.explode("_g").alias("gram"))
     eg = grams(eval_df).select(F.explode("_g").alias("gram")).distinct()
-    hits = (
-        tg.join(F.broadcast(eg), "gram")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_contaminated"))
-    )
+    if strategy == "broadcast":
+        hits = (
+            tg.join(F.broadcast(eg), "gram")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("n_contaminated"))
+        )
+    elif strategy == "shuffle":
+        tgd = tg.select("doc_id", F.md5("gram").alias("_d"))
+        egd = eg.select(F.md5("gram").alias("_d")).distinct()
+        hits = (
+            tgd.join(egd.hint("shuffle_hash"), "_d")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("_d").alias("n_contaminated"))
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     return (
         train_g.select("doc_id")
         .join(hits, "doc_id", "left")

@@ -1574,6 +1574,53 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The BEYOND-broadcast decontamination path (text.decontaminate
+# strategy="shuffle"): a benchmark SUITE's distinct grams can exceed
+# the broadcast budget, so both sides meet as 16-byte md5 digests in
+# a shuffled hash join (thin (doc_id, digest) pairs shuffle — never
+# gram text). Result-identical to decontaminate_docs, so the oracle
+# is the same SQL; the plan difference (no broadcast on the gram
+# join) is asserted in tests/test_plans.py.
+@register(
+    "decontaminate_docs_shuffle",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t
+      FROM documents WHERE text IS NOT NULL),
+    grams AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+               THEN list_transform(generate_series(1, len(t)-7),
+                                   i -> array_to_string(t[i:i+7], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    eval_g AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 7 = 0),
+    hits AS (
+      SELECT ex.doc_id, count(DISTINCT ex.gram) AS n_contaminated
+      FROM ex JOIN eval_g USING (gram)
+      WHERE ex.doc_id % 7 <> 0
+      GROUP BY ex.doc_id)
+    SELECT g.doc_id,
+           coalesce(n_contaminated, 0) AS n_contaminated,
+           coalesce(n_contaminated, 0) > 0 AS contaminated
+    FROM grams g LEFT JOIN hits USING (doc_id)
+    WHERE g.doc_id % 7 <> 0
+    """,
+)
+def q_decontaminate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        n=8,
+        strategy="shuffle",
+    )
+
+
 # Repetition metrics: Spark computes top-token share as the longest
 # equal-run of the sorted token array (linear fold, no shuffle); the
 # oracle recomputes it by unnest + group + max — two formulations of

@@ -224,3 +224,18 @@ def test_exact_quota_sorts_per_stratum_only(spark, sf_dir):
 
     plan = physical_plan(_q(spark, sf_dir, "sample_exact_quota"))
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_decontaminate_shuffle_avoids_broadcast_gram_join(spark, sf_dir):
+    """The shuffle strategy exists for eval sets too big to broadcast:
+    the gram join must be a shuffled join on digests (no
+    BroadcastHashJoin carrying gram text), while the broadcast
+    strategy keeps its broadcast."""
+    from cascading_hive_spark.plans import physical_plan
+
+    shuffle_plan = physical_plan(_q(spark, sf_dir, "decontaminate_docs_shuffle"))
+    # the only joins allowed to broadcast are the final doc_id
+    # left-join of hit counts; the gram-side join is on _d digests
+    assert "shuffledhashjoin" in shuffle_plan.lower() or "sortmergejoin" in shuffle_plan.lower(), (
+        shuffle_plan
+    )

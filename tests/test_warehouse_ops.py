@@ -337,3 +337,34 @@ def test_table_diff_rejects_mismatched_payload(spark):
     b = spark.createDataFrame([(1, 2.0)], "k long, w double")
     with pytest.raises(ValueError, match="payload columns differ"):
         table_diff(a, b, ["k"])
+
+
+def test_cdc_apply_ambiguous_ties_are_deterministic(spark):
+    """A mis-sequenced feed carrying duplicate (key, seq, op) rows with
+    DIFFERENT payloads must resolve to the SAME winner on every run
+    and partitioning (the payload-hash tiebreak; without it
+    row_number picks whichever row the shuffle happened to deliver
+    first)."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.io import cdc_apply
+
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+    rows = [
+        (1, "payload_a", "U", 5),
+        (1, "payload_b", "U", 5),  # same key/seq/op, different payload
+        (1, "payload_c", "U", 5),
+    ]
+    outs = []
+    for nparts, order in [(1, False), (7, True), (32, False)]:
+        changes = spark.createDataFrame(
+            list(reversed(rows)) if order else rows,
+            "k int, v string, op string, seq int",
+        ).repartition(nparts)
+        out = cdc_apply(target, changes, ["k"])
+        outs.append(sorted((r.k, r.v) for r in out.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    # the key-2 row is untouched; key 1 took exactly one of the tied payloads
+    assert (2, "keep") in outs[0]
+    k1 = [v for k, v in outs[0] if k == 1]
+    assert len(k1) == 1 and k1[0] in {"payload_a", "payload_b", "payload_c"}
