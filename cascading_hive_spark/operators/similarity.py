@@ -1017,3 +1017,55 @@ def ivfpq_probe_from_disk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a PERSISTED IVF index (``ivf_write``
+    layout) without a rebuild — the daily-arrival maintenance path:
+    assign each new vector to its nearest EXISTING centroid (broadcast
+    of the sidecar, one narrow pass) and append into the matching cell
+    partitions. Probes see the new vectors immediately; cost ∝ the
+    increment, never the corpus. Centroids drift as the distribution
+    shifts — re-run ivf_build/ivf_write when recall degrades (the
+    standard reindex cadence), exactly as FAISS add() vs retrain."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = _assign_cells(new_vectors, centroids, id_col, vec_col)
+    assigned.select(id_col, vec_col, "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a PERSISTED IVF-PQ index (``ivfpq_write``
+    layout): coarse-assign against the existing centroid sidecar,
+    compute RESIDUALS, encode with the existing PQ codebook sidecar,
+    append 8-byte codes into the matching cell partitions. Increment-
+    sized work end-to-end; codebooks are frozen (appendors never
+    retrain — quantization error for drifted data grows until the
+    scheduled rebuild, the deployed IVF-PQ contract)."""
+    coarse = spark.read.parquet(f"{path}/coarse")
+    pq_cent = spark.read.parquet(f"{path}/pq")
+    assigned = _assign_cells(new_vectors, coarse, id_col, vec_col)
+    residuals = assigned.join(F.broadcast(coarse), "cell").select(
+        F.col(id_col),
+        "cell",
+        F.zip_with(
+            F.col(vec_col), "centroid", lambda a, b: (a.cast("double") - b)
+        ).alias(vec_col),
+    )
+    codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
+    index = residuals.select(id_col, "cell").join(codes, id_col)
+    index.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")

@@ -5845,6 +5845,43 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Persisted-index MAINTENANCE end-to-end (similarity.ivf_append):
+# build the index on PART of the corpus, persist it, append the rest
+# against the frozen centroid sidecar (increment-sized work), then
+# probe from disk at FULL PROBE — with every cell probed the
+# candidate set is the whole (base + appended) corpus, so the result
+# must equal brute-force kNN over ALL embeddings bit-for-bit,
+# hash-verifying that appended vectors landed in the partitioned
+# layout and are ranked identically to base vectors.
+@register(
+    "ann_ivf_append_probe",
+    f"""
+    SELECT e.vec_id, round({_QCOS}, 6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+    ORDER BY round({_QCOS}, 6) DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cascading_hive_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_probe_from_disk,
+        ivf_write,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_cells = 16
+    base = e.filter(F.col("vec_id") >= 10)
+    assignments, centroids = ivf_build(base, n_cells=n_cells)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_append_")
+    ivf_write(assignments, centroids, path)
+    ivf_append(spark, path, e.filter(F.col("vec_id") < 10))
+    query = e.filter(F.col("vec_id") == 3).select("embedding")
+    return ivf_probe_from_disk(spark, path, query, k=10, nprobe=n_cells)
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver-verified
 # hash-match; only bpe_merges / ann_pq_topk / ann_ivfpq_topk /

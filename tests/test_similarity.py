@@ -426,3 +426,44 @@ def test_ivfpq_disk_full_probe_equals_brute_force(spark, emb, tmp_path):
         .collect()
     )
     assert got == [(r.vec_id, round(r.dist, 6)) for r in brute]
+
+
+def test_ivf_append_incremental_vectors_found(spark, emb, tmp_path):
+    """Index maintenance: appended vectors are assigned to existing
+    cells, land in the partitioned layout, and a from-disk probe finds
+    them — without touching the base corpus (increment-sized work)."""
+    path = str(tmp_path / "ivf_append_idx")
+    base = emb.filter(F.col("vec_id") >= 10)
+    assignments, centroids = S.ivf_build(base, n_cells=16)
+    S.ivf_write(assignments, centroids, path)
+    new = emb.filter(F.col("vec_id") < 10)
+    S.ivf_append(spark, path, new)
+    stored = spark.read.parquet(f"{path}/vectors")
+    assert stored.count() == emb.count()
+    # a self-query for an appended vector must hit it at rank 1
+    query = emb.filter(F.col("vec_id") == 3).select("embedding")
+    top = S.ivf_probe_from_disk(spark, path, query, k=1, nprobe=4).first()
+    assert top.vec_id == 3 and top.cos_sim >= 0.999999
+
+
+def test_ivfpq_append_codes_layout_and_probe(spark, emb, tmp_path):
+    """IVF-PQ maintenance: appended vectors are residual-encoded with
+    the FROZEN sidecar codebooks, appended into cell partitions, and
+    the from-disk probe (exact re-rank) finds an appended vector."""
+    path = str(tmp_path / "ivfpq_append_idx")
+    base = emb.filter(F.col("vec_id") >= 10)
+    index, coarse, pqc = S.ivfpq_build_portable(base, n_cells=8, m=8, k=16)
+    S.ivfpq_write(index, coarse, pqc, path)
+    new = emb.filter(F.col("vec_id") < 10)
+    S.ivfpq_append(spark, path, new, m=8)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count()
+    assert codes.filter(F.col("vec_id") < 10).count() == 10
+    # codes schema unchanged: m ints per row
+    row = codes.filter(F.col("vec_id") == 3).first()
+    assert len(row["codes"]) == 8
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    hits = S.ivfpq_probe_from_disk(
+        spark, path, qv, m=8, nprobe=8, topk=5, shortlist=emb.count(), vectors=emb
+    ).collect()
+    assert hits[0].vec_id == 3 and hits[0].dist <= 1e-9
