@@ -5883,13 +5883,20 @@ def q_ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
-# EVERY oracle-able registered query has at least one driver-verified
-# hash-match; only bpe_merges / ann_pq_topk / ann_ivfpq_topk /
-# ann_ivf_topk / dedup_minhash_lsh / dedup_simhash stay rows-only by
-# design (each has a hash-matched portable/exact sibling in the window
-# history). Fill future windows with: (a) anything registered after
-# this note, (b) the oldest-verified greens as drift canaries, keeping
-# wordcount at slot 1.
+# the only oracle-able queries without a driver CORRECTNESS row are
+# the ones registered DURING r8 (each already parity-green at
+# sf0.001/0.01, and at sf0.1 where noted in the commit log):
+#   sample_exact_quota  filter_by_group_percentile
+#   vocab_coverage_topk  streaming_sliding_counts
+#   incremental_agg_merge  decontaminate_docs_shuffle
+#   ann_ivf_append_probe
+#   (+ anything registered after this note — fill the r9 window from
+#   this LIST, not a remembered count)
+# bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
+# dedup_minhash_lsh / dedup_simhash stay rows-only by design (each has
+# a hash-matched portable/exact sibling in the window history). Fill
+# remaining slots with the oldest-verified greens as drift canaries,
+# keeping wordcount at slot 1.
 # r8 WINDOW (rotated per VERDICT r7 #1): the 10 r7-registered queries
 # that have never had a driver CORRECTNESS row (judge-verified at
 # sf0.01, staged for this window), the 3 r8 registrations

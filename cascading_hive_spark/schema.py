@@ -238,3 +238,43 @@ def default_names(n: int) -> list[str]:
 def to_ddl(schema: T.StructType) -> str:
     """StructType -> Hive-compatible DDL column list."""
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def schema_diff(old: T.StructType, new: T.StructType) -> list[dict]:
+    """Schema-drift report between two table versions — the DDL-level
+    companion to io.table_diff's row-level reconciliation: one dict
+    per changed column path with ``change`` in {'added', 'removed',
+    'type_changed', 'nullability_changed'}. Nested structs are walked
+    with dotted paths (a type change INSIDE a struct reports the leaf
+    path, not an opaque whole-struct change); arrays/maps compare by
+    simpleString. Order-insensitive — reordered columns are not
+    drift (by-name alignment is the repo's write contract,
+    io.align_to_schema)."""
+
+    def walk(prefix: str, o: T.StructType, n: T.StructType, out: list[dict]) -> None:
+        ofields = {f.name: f for f in o.fields}
+        nfields = {f.name: f for f in n.fields}
+        for name, f in ofields.items():
+            path = f"{prefix}{name}"
+            if name not in nfields:
+                out.append({"column": path, "change": "removed",
+                            "old_type": f.dataType.simpleString(), "new_type": None})
+                continue
+            g = nfields[name]
+            if isinstance(f.dataType, T.StructType) and isinstance(g.dataType, T.StructType):
+                walk(f"{path}.", f.dataType, g.dataType, out)
+            elif f.dataType.simpleString() != g.dataType.simpleString():
+                out.append({"column": path, "change": "type_changed",
+                            "old_type": f.dataType.simpleString(),
+                            "new_type": g.dataType.simpleString()})
+            if f.nullable != g.nullable and name in nfields:
+                out.append({"column": path, "change": "nullability_changed",
+                            "old_type": str(f.nullable), "new_type": str(g.nullable)})
+        for name, g in nfields.items():
+            if name not in ofields:
+                out.append({"column": f"{prefix}{name}", "change": "added",
+                            "old_type": None, "new_type": g.dataType.simpleString()})
+
+    out: list[dict] = []
+    walk("", old, new, out)
+    return out

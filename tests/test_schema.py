@@ -108,3 +108,33 @@ def test_ddl_roundtrip_property(spark):
         assert st1 == T.StructType.fromDDL(ddl)
 
     check()
+
+
+def test_schema_diff_reports_drift_with_nested_paths():
+    from cascading_hive_spark.schema import parse_ddl, schema_diff
+
+    old = parse_ddl(
+        "id bigint, price decimal(18,2), tags array<string>, "
+        "meta struct<lang:string,score:double>, gone int"
+    )
+    new = parse_ddl(
+        "id bigint, price decimal(38,6), tags array<string>, "
+        "meta struct<lang:string,score:float,source:string>, fresh date"
+    )
+    diff = {(d["column"], d["change"]) for d in schema_diff(old, new)}
+    assert diff == {
+        ("price", "type_changed"),
+        ("meta.score", "type_changed"),
+        ("meta.source", "added"),
+        ("gone", "removed"),
+        ("fresh", "added"),
+    }
+    assert schema_diff(new, new) == []
+
+
+def test_schema_diff_ignores_column_order():
+    from cascading_hive_spark.schema import parse_ddl, schema_diff
+
+    a = parse_ddl("x int, y string")
+    b = parse_ddl("y string, x int")
+    assert schema_diff(a, b) == []
