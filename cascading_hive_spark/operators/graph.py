@@ -313,12 +313,17 @@ def pagerank_portable(
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
     out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
+    # the dangling-node SET is static (nodes with no out-edges) —
+    # compute it once so each iteration pays a semi-join on the
+    # checkpointed set instead of re-deriving it from a left join
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.u, "left_anti"
+    ).localCheckpoint()
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for i in range(iterations):
-        with_deg = ranks.join(out_deg, ranks.node == out_deg.u, "left")
-        dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
             F.coalesce(dec_sum(F.col("rank")), F.lit(0.0)).alias("_dm")
         )
         contribs = (
