@@ -283,3 +283,46 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def file_stats(spark, path: str) -> DataFrame:
+    """Per-file size report for a parquet location via the hidden
+    ``_metadata`` column (no directory walk — the scan planner already
+    knows the files): (file_path, file_bytes, n_rows). The input to a
+    compaction decision; aggregate for per-partition rollups."""
+    return (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_bytes"),
+        )
+        .groupBy("file_path", "file_bytes")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction: rewrite a parquet location into
+    ceil(total_bytes / target) files — the maintenance pass behind
+    every long-lived ingest location (a 10k-tiny-file partition read
+    pays per-file open cost; see the catalog10k smoke). Writes to
+    ``out_path`` (never in place — compose with catalog.publish for
+    an atomic location swap) and returns the output file count.
+    Row-group-major rewrite: repartition is a round-robin shuffle of
+    the data ONCE; sort order inside files is not preserved (run
+    zorder_write instead when layout matters)."""
+    import math
+
+    stats = file_stats(spark, path).agg(
+        F.sum("file_bytes").alias("_b")
+    ).first()
+    total = int(stats["_b"] or 0)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -368,3 +368,25 @@ def test_cdc_apply_ambiguous_ties_are_deterministic(spark):
     assert (2, "keep") in outs[0]
     k1 = [v for k, v in outs[0] if k == 1]
     assert len(k1) == 1 and k1[0] in {"payload_a", "payload_b", "payload_c"}
+
+
+def test_compact_files_shrinks_file_count_preserving_rows(spark, tmp_path):
+    """50 tiny files -> a handful sized by target bytes; content
+    identical; file_stats sees the layout before and after."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.io import compact_files, file_stats
+
+    src = str(tmp_path / "tiny_files")
+    spark.range(10_000).selectExpr("id", "id % 13 AS v").repartition(50).write.parquet(src)
+    before = file_stats(spark, src)
+    n_before = before.count()
+    assert n_before == 50
+    total_bytes = before.agg(F.sum("file_bytes")).first()[0]
+    dst = str(tmp_path / "compacted")
+    n_out = compact_files(spark, src, dst, target_file_bytes=total_bytes // 4)
+    after = file_stats(spark, dst)
+    assert after.count() == n_out <= 5
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
