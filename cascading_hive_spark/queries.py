@@ -5883,20 +5883,19 @@ def q_ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
-# the only oracle-able queries without a driver CORRECTNESS row are
-# the ones registered DURING r8 (each already parity-green at
-# sf0.001/0.01, and at sf0.1 where noted in the commit log):
-#   sample_exact_quota  filter_by_group_percentile
-#   vocab_coverage_topk  streaming_sliding_counts
-#   incremental_agg_merge  decontaminate_docs_shuffle
-#   ann_ivf_append_probe
-#   (+ anything registered after this note — fill the r9 window from
-#   this LIST, not a remembered count)
-# bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
-# dedup_minhash_lsh / dedup_simhash stay rows-only by design (each has
-# a hash-matched portable/exact sibling in the window history). Fill
-# remaining slots with the oldest-verified greens as drift canaries,
-# keeping wordcount at slot 1.
+# EVERY oracle-able registered query has at least one driver
+# CORRECTNESS row — the 7 queries registered during r8
+# (sample_exact_quota, filter_by_group_percentile,
+# vocab_coverage_topk, streaming_sliding_counts,
+# incremental_agg_merge, decontaminate_docs_shuffle,
+# ann_ivf_append_probe) were swapped INTO this window in place of
+# seven repeatedly-verified canaries, so the staging queue is EMPTY.
+# Fill the r9 window with: (a) anything registered after this note
+# (fill from the actual list, not a remembered count), (b) the
+# oldest-verified greens as drift canaries, keeping wordcount at
+# slot 1. bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
+# dedup_minhash_lsh / dedup_simhash stay rows-only by design (each
+# has a hash-matched portable/exact sibling in the window history).
 # r8 WINDOW (rotated per VERDICT r7 #1): the 10 r7-registered queries
 # that have never had a driver CORRECTNESS row (judge-verified at
 # sf0.01, staged for this window), the 3 r8 registrations
@@ -5904,7 +5903,8 @@ def q_ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_extremes_per_customer), all_types_surface re-checked after its
 # float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
 # queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# then wordcount at slot 1 and 32 r1-r3-era greens as drift canaries.
+# the 7 queries registered later in r8 (all parity-green locally),
+# then wordcount at slot 1 and 25 r1-r3-era greens as drift canaries.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
@@ -5929,17 +5929,17 @@ _DRIVER_WINDOW: list[str] = [
     "ann_knn_join",
     # -- r1-r3-era greens (drift canaries, oldest-verified first):
     "join_inner",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
+    "sample_exact_quota",
+    "filter_by_group_percentile",
+    "vocab_coverage_topk",
     "join_null_safe",
     "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
+    "streaming_sliding_counts",
+    "incremental_agg_merge",
     "q7_volume_shipping",
     "q8_market_share",
     "q10_returned_items",
-    "q13_customer_distribution",
+    "decontaminate_docs_shuffle",
     "q15_top_supplier",
     "q17_small_quantity",
     "q21_sole_returned_supplier",
@@ -5950,7 +5950,7 @@ _DRIVER_WINDOW: list[str] = [
     "window_range_frame",
     "events_hourly",
     "events_sessionize",
-    "events_funnel",
+    "ann_ivf_append_probe",
     "events_daily_gapfill",
     "dedup_exact",
     "dedup_ngram_jaccard",
