@@ -5882,13 +5882,50 @@ def q_ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_from_disk(spark, path, query, k=10, nprobe=n_cells)
 
 
+# Quality-weighted dedup keeper selection — dedup_keep_first with a
+# POLICY: among copies of a text, keep the one from the most-trusted
+# source (priority list, unlisted sources last), ties by doc_id. The
+# real-pipeline form of keeper selection (a crawl dump and a curated
+# set carrying the same text should keep the curated copy). Same
+# 16-byte digest shuffle as dedup_keep_first; the policy is one CASE
+# expression in the window order.
+@register(
+    "dedup_keep_best_source",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CASE source WHEN 'src3' THEN 0 WHEN 'src7' THEN 1
+                                    WHEN 'src1' THEN 2 ELSE 99 END,
+                        doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang, source FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    priority = (
+        F.when(F.col("source") == "src3", 0)
+        .when(F.col("source") == "src7", 1)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(99)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(priority, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
-# CORRECTNESS row — the 7 queries registered during r8
+# CORRECTNESS row — the 8 queries registered during r8
 # (sample_exact_quota, filter_by_group_percentile,
 # vocab_coverage_topk, streaming_sliding_counts,
 # incremental_agg_merge, decontaminate_docs_shuffle,
-# ann_ivf_append_probe) were swapped INTO this window in place of
+# ann_ivf_append_probe, dedup_keep_best_source) were swapped INTO this window in place of
 # seven repeatedly-verified canaries, so the staging queue is EMPTY.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
@@ -5903,8 +5940,8 @@ def q_ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_extremes_per_customer), all_types_surface re-checked after its
 # float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
 # queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# the 7 queries registered later in r8 (all parity-green locally),
-# then wordcount at slot 1 and 25 r1-r3-era greens as drift canaries.
+# the 8 queries registered later in r8 (all parity-green locally),
+# then wordcount at slot 1 and 24 r1-r3-era greens as drift canaries.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
@@ -5958,7 +5995,7 @@ _DRIVER_WINDOW: list[str] = [
     "text_analyze",
     "pack_sequences",
     "upsert_orders",
-    "train_test_split",
+    "dedup_keep_best_source",
     "multimodal_meta",
     "q1_pricing_summary",  # the decimal-sum perf/correctness watch item
 ]
