@@ -239,3 +239,17 @@ def test_decontaminate_shuffle_avoids_broadcast_gram_join(spark, sf_dir):
     assert "shuffledhashjoin" in shuffle_plan.lower() or "sortmergejoin" in shuffle_plan.lower(), (
         shuffle_plan
     )
+
+
+def test_new_headliners_no_cartesian_and_single_key_shuffles(spark, sf_dir):
+    """The r8 bench headliners keep their intended scale shapes:
+    no CartesianProduct anywhere; cdc_apply is window + anti-join +
+    union (no full-outer widening); scd2 point-in-time is the asof
+    union+window plan (no join node for the lookup)."""
+    from cascading_hive_spark.plans import physical_plan
+
+    for name in ("dedup_tfidf_cosine", "cdc_apply_orders", "scd2_point_in_time"):
+        assert_no_cartesian(_q(spark, sf_dir, name))
+    cdc_plan = physical_plan(_q(spark, sf_dir, "cdc_apply_orders"))
+    assert "FullOuter" not in cdc_plan, cdc_plan
+    assert "Window" in cdc_plan and "LeftAnti" in cdc_plan, cdc_plan

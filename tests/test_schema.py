@@ -138,3 +138,33 @@ def test_schema_diff_ignores_column_order():
     a = parse_ddl("x int, y string")
     b = parse_ddl("y string, x int")
     assert schema_diff(a, b) == []
+
+
+def test_schema_diff_roundtrip_property():
+    """Property: for any generated schema, schema_diff(s, s) == [] and
+    parse_ddl(to_ddl(s)) is drift-free vs s (DDL round-trip loses
+    nothing schema_diff can see)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cascading_hive_spark.schema import parse_ddl, schema_diff, to_ddl
+
+    types = st.sampled_from(
+        ["int", "bigint", "string", "double", "date", "decimal(18,4)",
+         "array<string>", "map<string,int>", "struct<a:int,b:string>"]
+    )
+    names = st.lists(
+        st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+        min_size=1, max_size=6, unique=True,
+    )
+
+    @given(names=names, data=st.data())
+    @settings(max_examples=50, deadline=None)
+    def check(names, data):
+        cols = [(n, data.draw(types)) for n in names]
+        ddl = ", ".join(f"{n} {t}" for n, t in cols)
+        schema = parse_ddl(ddl)
+        assert schema_diff(schema, schema) == []
+        assert schema_diff(schema, parse_ddl(to_ddl(schema))) == []
+
+    check()
