@@ -5919,13 +5919,114 @@ def q_dedup_keep_best_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cohort retention — the canonical product-analytics matrix: users
+# grouped by first-seen day, counted per day-offset of later
+# activity. Two key shuffles (first-seen agg, then the join back is
+# co-partitioned on user_id) + a distinct on thin (user, cohort,
+# offset) rows; the 14-day offset cap bounds the output matrix.
+@register(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT cohort_day, day_offset, count(*) AS active_users
+    FROM activity WHERE day_offset <= 14
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .distinct()
+        .filter(F.col("day_offset") <= 14)
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+# RFM segmentation — recency/frequency/monetary quartiles per
+# customer, the classic CRM scoring query. ntile here is the SEMANTIC
+# (equal-count quartiles of the customer base with a deterministic
+# tiebreak so both engines cut identically); at 100 TB swap the
+# global-sort ntile for exact-percentile binning (the equiheight
+# pattern) — customers are small relative to facts, so the sort is
+# usually fine anyway.
+@register(
+    "orders_rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+      FROM per_cust)
+    SELECT o_custkey, frequency, monetary,
+           CAST(r_quartile AS BIGINT) AS r_quartile,
+           CAST(f_quartile AS BIGINT) AS f_quartile,
+           CAST(m_quartile AS BIGINT) AS m_quartile,
+           concat(r_quartile, '-', f_quartile, '-', m_quartile) AS segment
+    FROM scored
+    """,
+)
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = (
+        per_cust.withColumn("r_quartile", F.ntile(4).over(wr).cast("bigint"))
+        .withColumn("f_quartile", F.ntile(4).over(wf).cast("bigint"))
+        .withColumn("m_quartile", F.ntile(4).over(wm).cast("bigint"))
+    )
+    return scored.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+        F.concat_ws("-", "r_quartile", "f_quartile", "m_quartile").alias("segment"),
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
-# CORRECTNESS row — the 8 queries registered during r8
+# CORRECTNESS row — the 10 queries registered during r8
 # (sample_exact_quota, filter_by_group_percentile,
 # vocab_coverage_topk, streaming_sliding_counts,
 # incremental_agg_merge, decontaminate_docs_shuffle,
-# ann_ivf_append_probe, dedup_keep_best_source) were swapped INTO this window in place of
+# ann_ivf_append_probe, dedup_keep_best_source,
+# events_retention_cohorts, orders_rfm_segments) were swapped INTO
+# this window in place of
 # seven repeatedly-verified canaries, so the staging queue is EMPTY.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
@@ -5940,8 +6041,8 @@ def q_dedup_keep_best_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_extremes_per_customer), all_types_surface re-checked after its
 # float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
 # queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# the 8 queries registered later in r8 (all parity-green locally),
-# then wordcount at slot 1 and 24 r1-r3-era greens as drift canaries.
+# the 10 queries registered later in r8 (all parity-green locally),
+# then wordcount at slot 1 and 22 r1-r3-era greens as drift canaries.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
@@ -5982,7 +6083,7 @@ _DRIVER_WINDOW: list[str] = [
     "q21_sole_returned_supplier",
     "rollup_quantity",
     "grouping_sets",
-    "percentiles",
+    "orders_rfm_segments",
     "window_rank_orders",
     "window_range_frame",
     "events_hourly",
@@ -5994,7 +6095,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_embedding_cosine",
     "text_analyze",
     "pack_sequences",
-    "upsert_orders",
+    "events_retention_cohorts",
     "dedup_keep_best_source",
     "multimodal_meta",
     "q1_pricing_summary",  # the decimal-sum perf/correctness watch item
