@@ -6018,15 +6018,85 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Declarative data-quality constraint report (operators/constraints.
+# constraint_report — the Deequ/dbt-test role): row predicates
+# verified in ONE conditional aggregation over a single scan, one
+# key-shuffle per uniqueness rule, one anti-join per reference. The
+# rule set mixes clean constraints (unique key, FK to customer,
+# non-negative price) with genuinely-violated ones (price cap, date
+# cap, priority whitelist) so both zero and non-zero counts are
+# hash-checked. Oracle = the same counts as plain SQL aggregates.
+@register(
+    "dq_orders_constraints",
+    """
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+    SELECT 'price_non_negative' AS rule,
+           count(*) FILTER (WHERE NOT (o_totalprice >= 0)
+                            OR o_totalprice IS NULL) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'price_under_300k',
+           count(*) FILTER (WHERE NOT (o_totalprice <= 300000)
+                            OR o_totalprice IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_in_whitelist',
+           count(*) FILTER (WHERE o_orderpriority
+                            NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                            OR o_orderpriority IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'date_before_2001',
+           count(*) FILTER (WHERE NOT (CAST(o_orderdate AS DATE)
+                                       < DATE '2001-01-01')
+                            OR o_orderdate IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           coalesce((SELECT sum(c) FROM (
+               SELECT count(*) AS c FROM orders
+               GROUP BY o_orderkey HAVING count(*) > 1)), 0)
+    UNION ALL
+    SELECT 'references(o_custkey -> c_custkey)',
+           (SELECT count(*) FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)))
+    """,
+)
+def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.constraints import constraint_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return constraint_report(
+        o,
+        checks=[
+            ("price_non_negative", F.col("o_totalprice") >= 0),
+            ("price_under_300k", F.col("o_totalprice") <= 300000),
+            (
+                "priority_in_whitelist",
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"),
+            ),
+            (
+                "date_before_2001",
+                F.col("o_orderdate").cast("date") < F.lit("2001-01-01").cast("date"),
+            ),
+        ],
+        unique=[["o_orderkey"]],
+        references=[("o_custkey", c, "c_custkey")],
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
-# CORRECTNESS row — the 10 queries registered during r8
+# CORRECTNESS row — the 11 queries registered during r8
 # (sample_exact_quota, filter_by_group_percentile,
 # vocab_coverage_topk, streaming_sliding_counts,
 # incremental_agg_merge, decontaminate_docs_shuffle,
 # ann_ivf_append_probe, dedup_keep_best_source,
-# events_retention_cohorts, orders_rfm_segments) were swapped INTO
-# this window in place of
+# events_retention_cohorts, orders_rfm_segments,
+# dq_orders_constraints) were swapped INTO this window in place of
 # seven repeatedly-verified canaries, so the staging queue is EMPTY.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
@@ -6041,8 +6111,8 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_extremes_per_customer), all_types_surface re-checked after its
 # float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
 # queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# the 10 queries registered later in r8 (all parity-green locally),
-# then wordcount at slot 1 and 22 r1-r3-era greens as drift canaries.
+# the 11 queries registered later in r8 (all parity-green locally),
+# then wordcount at slot 1 and 21 r1-r3-era greens as drift canaries.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
@@ -6081,7 +6151,7 @@ _DRIVER_WINDOW: list[str] = [
     "q15_top_supplier",
     "q17_small_quantity",
     "q21_sole_returned_supplier",
-    "rollup_quantity",
+    "dq_orders_constraints",
     "grouping_sets",
     "orders_rfm_segments",
     "window_rank_orders",

@@ -390,3 +390,51 @@ def test_compact_files_shrinks_file_count_preserving_rows(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_constraint_report_counts_all_rule_kinds(spark):
+    """Crafted violations for every rule kind: null handling on row
+    predicates (nulls violate), duplicate-key row counting, and FK
+    semantics (nulls never violate a reference)."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.constraints import constraint_report
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "A"),      # violates non_negative
+            (2, None, "B"),      # dup key 2 + null price violates non_negative
+            (3, 7.0, None),      # null category -> violates whitelist
+            (4, 8.0, "Z"),       # bad category
+        ],
+        "k int, price double, cat string",
+    )
+    parent = spark.createDataFrame([("A",), ("B",)], "cat string")
+    rep = {
+        r.rule: r.n_violations
+        for r in constraint_report(
+            df,
+            checks=[
+                ("non_negative", F.col("price") >= 0),
+                ("cat_whitelist", F.col("cat").isin("A", "B", "Z")),
+            ],
+            unique=[["k"]],
+            references=[("cat", parent, "cat")],
+        ).collect()
+    }
+    assert rep == {
+        "non_negative": 2,          # -5.0 and the NULL price
+        "cat_whitelist": 1,         # only the NULL category
+        "unique(k)": 2,             # both rows of key 2
+        "references(cat -> cat)": 1,  # 'Z' orphan; NULL cat not counted
+    }
+
+
+def test_constraint_report_empty_rules(spark):
+    from cascading_hive_spark.operators.constraints import constraint_report
+
+    df = spark.range(3)
+    out = constraint_report(df)
+    assert out.count() == 0
+    assert out.columns == ["rule", "n_violations"]
