@@ -6088,15 +6088,70 @@ def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Robust per-group anomaly detection — median/MAD outlier flagging
+# (the robust twin of z-scores: median and MAD are insensitive to the
+# outliers being hunted, mean/stddev are not). Two exact-percentile
+# group passes (median, then MAD over residuals) produce a
+# group-sized stats table that broadcasts back over the fact scan;
+# both engines share the percentile_cont interpolation (the
+# filter_by_group_percentile precedent).
+@register(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type),
+    stats AS (
+      SELECT e.event_type, any_value(m.med) AS med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           round(s.med, 6) AS grp_median,
+           round(s.mad, 6) AS grp_mad
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(e.value - s.med) > 3 * s.mad
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    stats = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            ),
+        )
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.round("med", 6).alias("grp_median"),
+            F.round("mad", 6).alias("grp_mad"),
+        )
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
-# CORRECTNESS row — the 11 queries registered during r8
+# CORRECTNESS row — the 12 queries registered during r8
 # (sample_exact_quota, filter_by_group_percentile,
 # vocab_coverage_topk, streaming_sliding_counts,
 # incremental_agg_merge, decontaminate_docs_shuffle,
 # ann_ivf_append_probe, dedup_keep_best_source,
 # events_retention_cohorts, orders_rfm_segments,
-# dq_orders_constraints) were swapped INTO this window in place of
+# dq_orders_constraints, events_anomaly_mad) were swapped INTO this
+# window in place of
 # seven repeatedly-verified canaries, so the staging queue is EMPTY.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
@@ -6111,8 +6166,8 @@ def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_extremes_per_customer), all_types_surface re-checked after its
 # float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
 # queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# the 11 queries registered later in r8 (all parity-green locally),
-# then wordcount at slot 1 and 21 r1-r3-era greens as drift canaries.
+# the 12 queries registered later in r8 (all parity-green locally),
+# then wordcount at slot 1 and 20 r1-r3-era greens as drift canaries.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
@@ -6152,7 +6207,7 @@ _DRIVER_WINDOW: list[str] = [
     "q17_small_quantity",
     "q21_sole_returned_supplier",
     "dq_orders_constraints",
-    "grouping_sets",
+    "events_anomaly_mad",
     "orders_rfm_segments",
     "window_rank_orders",
     "window_range_frame",
