@@ -6142,15 +6142,116 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Native session_window in BATCH — the same operator the streaming
+# twin uses (streaming_session_windows), planned as a session-merging
+# aggregate over one user_id shuffle, no self-join and no
+# gaps-and-islands window cascade. The oracle IS the gaps-and-islands
+# formulation, making the two formulations' equivalence the checked
+# property (same >=-boundary session-merge rule as the streaming
+# twin's oracle).
+@register(
+    "events_session_windows_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       >= 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_events_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Time-weighted average (TWAP) — the time-series aggregate a plain
+# AVG gets wrong on irregular samples: each value is weighted by how
+# long it was current (lead(ts) delta). Weights are integer
+# microseconds and values 2-decimal, so the weighted sum is EXACT in
+# decimal(38,6) x bigint arithmetic — order-independent, no float
+# reassociation; only the final quotient is a double (rounded on both
+# sides). The last sample per key has no successor and drops out,
+# matching the standard TWAP-over-interval definition.
+@register(
+    "events_twap",
+    """
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+      FROM events)
+    SELECT user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)) * (nxt_us - t_us))
+                      AS DOUBLE)
+                 / CAST(sum(nxt_us - t_us) AS DOUBLE), 6) AS twap,
+           count(*) AS n_segments
+    FROM seg WHERE nxt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    seg = ev.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    dur = F.col("nxt_us") - F.col("t_us")
+    return seg.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * dur).cast("double")
+            / F.sum(dur).cast("double"),
+            6,
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
-# CORRECTNESS row — the 12 queries registered during r8
+# CORRECTNESS row — the 14 queries registered during r8
 # (sample_exact_quota, filter_by_group_percentile,
 # vocab_coverage_topk, streaming_sliding_counts,
 # incremental_agg_merge, decontaminate_docs_shuffle,
 # ann_ivf_append_probe, dedup_keep_best_source,
 # events_retention_cohorts, orders_rfm_segments,
-# dq_orders_constraints, events_anomaly_mad) were swapped INTO this
+# dq_orders_constraints, events_anomaly_mad,
+# events_session_windows_batch, events_twap) were swapped INTO this
 # window in place of
 # seven repeatedly-verified canaries, so the staging queue is EMPTY.
 # Fill the r9 window with: (a) anything registered after this note
@@ -6166,8 +6267,8 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_extremes_per_customer), all_types_surface re-checked after its
 # float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
 # queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# the 12 queries registered later in r8 (all parity-green locally),
-# then wordcount at slot 1 and 20 r1-r3-era greens as drift canaries.
+# the 14 queries registered later in r8 (all parity-green locally),
+# then wordcount at slot 1 and 18 r1-r3-era greens as drift canaries.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
@@ -6210,8 +6311,8 @@ _DRIVER_WINDOW: list[str] = [
     "events_anomaly_mad",
     "orders_rfm_segments",
     "window_rank_orders",
-    "window_range_frame",
-    "events_hourly",
+    "events_twap",
+    "events_session_windows_batch",
     "events_sessionize",
     "ann_ivf_append_probe",
     "events_daily_gapfill",
