@@ -3500,7 +3500,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
                   WHEN epoch_us(CAST(ts AS TIMESTAMP))
                        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       >= 1800000000 THEN 1
+                       > 1800000000 THEN 1
                   ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -3521,9 +3521,10 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Native session_window streaming run END-TO-END: one row per
     # closed session (start, end = last event + gap, count, sum)
     # against the batch gaps-and-islands SQL as oracle. Session merge
-    # rule is Spark's: same session iff the gap to the previous event
-    # is STRICTLY under 30 min (an event exactly at the open window's
-    # end starts a new session — hence >= in the oracle's flag).
+    # rule is Spark's: a gap of EXACTLY the duration still merges (an
+    # event at the open window's end extends it — probed empirically,
+    # r8); a new session starts only when the gap STRICTLY exceeds
+    # 30 min, hence > in the oracle's flag.
     import uuid
 
     from cascading_hive_spark.streaming.jobs import session_windows_stream, stream_events
@@ -6147,8 +6148,9 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate over one user_id shuffle, no self-join and no
 # gaps-and-islands window cascade. The oracle IS the gaps-and-islands
 # formulation, making the two formulations' equivalence the checked
-# property (same >=-boundary session-merge rule as the streaming
-# twin's oracle).
+# property. Boundary rule (probed empirically, r8): a gap of EXACTLY
+# the duration still merges; only a strictly-greater gap starts a new
+# session — hence > in the oracle's flag.
 @register(
     "events_session_windows_batch",
     """
@@ -6157,7 +6159,7 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
                   WHEN epoch_us(CAST(ts AS TIMESTAMP))
                        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       >= 1800000000 THEN 1
+                       > 1800000000 THEN 1
                   ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -22,6 +22,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     catalog10k [n_parts=10000] [rows_per=10]
     ivfpq_disk [n=1000000]
     decontaminate [n=1000000]
+    sessions  [n=10000000]
 
 Each prints one JSON line per measurement.
 """
@@ -735,6 +736,64 @@ def smoke_pq(n: int = 1_000_000) -> None:
                           "rerank_recall_at_10": len(got & truth) / 10}))
 
 
+def smoke_sessions(n: int = 10_000_000) -> None:
+    """Native session_window (batch) vs the gaps-and-islands window
+    cascade at scale — same sessions, different plans: the native
+    operator is ONE session-merging aggregate over the key shuffle;
+    the cascade pays two window passes (lag flag + running sum) plus
+    the final aggregate on the same shuffle. Equality of session
+    counts is asserted; the wall ratio is the point."""
+    from pyspark.sql import Window
+
+    spark = _spark()
+    span_s = 30 * 24 * 3600
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 100_000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.xxhash64(F.col("id")) % span_s + span_s) % span_s
+        ).alias("ts"),
+    ).localCheckpoint()
+
+    t0 = time.monotonic()
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    n_native = native.count()
+    wall_native = round(time.monotonic() - t0, 1)
+
+    t0 = time.monotonic()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > 1_800_000_000,
+            1,
+        )
+        .otherwise(0),
+    )
+    cascade = (
+        flagged.withColumn(
+            "sid", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    n_cascade = cascade.count()
+    wall_cascade = round(time.monotonic() - t0, 1)
+    assert n_native == n_cascade, (n_native, n_cascade)
+    print(json.dumps({
+        "smoke": "sessions", "n_events": n,
+        "n_sessions": n_native,
+        "native_session_window_sec": wall_native,
+        "gaps_and_islands_sec": wall_cascade,
+    }))
+
+
 def smoke_decontaminate(n: int = 1_000_000) -> None:
     """Decontamination at corpus scale, broadcast vs shuffle strategy
     (text.decontaminate): n training docs vs a 1%-of-n eval corpus
@@ -883,6 +942,7 @@ if __name__ == "__main__":
         "catalog10k": smoke_catalog10k,
         "ivfpq_disk": smoke_ivfpq_disk,
         "decontaminate": smoke_decontaminate,
+        "sessions": smoke_sessions,
         "shuffle": smoke_shuffle,
         "scd2": smoke_scd2,
         "span": smoke_span,
