@@ -301,3 +301,28 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert out.count() == 1000  # no duplicates
     assert out.select("event_id").distinct().count() == 1000
     assert out.filter(F.col("doubled") != F.col("event_id") * 2).count() == 0
+
+
+def test_session_window_merges_exact_gap_boundary(spark):
+    """Pins the session-merge rule both session_window oracles depend
+    on (probed in r8): an event arriving at EXACTLY the gap duration
+    after the previous one still merges into the session; a
+    microsecond beyond starts a new one. If a Spark upgrade flips
+    this, the oracles' strictly-greater flag must flip with it."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:30:00"),          # exactly the 30-min gap
+            (1, "2024-01-01 11:00:00.000001"),   # 1 us beyond the gap
+        ],
+        "u int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        (r["session_window"]["start"].isoformat(), r["count"])
+        for r in df.groupBy(F.session_window("ts", "30 minutes"), "u")
+        .count()
+        .collect()
+    )
+    assert out == [("2024-01-01T10:00:00", 2), ("2024-01-01T11:00:00.000001", 1)]
