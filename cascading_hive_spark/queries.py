@@ -6244,17 +6244,130 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Market-basket co-occurrence with lift — frequent-itemset pair
+# mining: parts bought together in one order, support-filtered, with
+# lift = n·n_ab / (n_a·n_b) as the association strength. The
+# self-join is keyed on the order and bounded by per-order item
+# counts (TPC-H orders hold <=7 lines — in-basket pair work is
+# quadratic in BASKET size, never corpus size); part marginals are a
+# part-sized table joined back. Lift arithmetic is integer
+# cross-multiplication until one final rounded double.
+@register(
+    "orders_basket_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    marg AS (
+      SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) * (SELECT n FROM n_orders)
+                 / (ma.n_part * mb.n_part), 6) AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.l_partkey = p.part_a
+    JOIN marg mb ON mb.l_partkey = p.part_b
+    """,
+)
+def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("_na"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("_nb"))
+    return (
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.lit(n_orders)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# First-order Markov transition counts over per-user event sequences
+# — the sequence-analytics twin of text_bigram_lm (there over token
+# streams, here over event-type streams): one lead() per user window,
+# then a transition-matrix aggregate with integer permille shares.
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+      FROM events),
+    counts AS (
+      SELECT event_type, next_type, count(*) AS cnt
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type)
+    SELECT event_type, next_type, cnt,
+           CAST(floor(1000 * cnt / sum(cnt) OVER (PARTITION BY event_type))
+                AS BIGINT) AS permille
+    FROM counts
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "cnt",
+        # floor explicitly: DuckDB's double->BIGINT cast ROUNDS while
+        # Spark's truncates — floor on both sides is engine-stable
+        # (exact-integer quotients divide exactly in IEEE, so floor
+        # cannot straddle them)
+        F.floor(F.lit(1000) * F.col("cnt") / F.sum("cnt").over(w_tot))
+        .cast("bigint")
+        .alias("permille"),
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
-# CORRECTNESS row — the 14 queries registered during r8
+# CORRECTNESS row — the 16 queries registered during r8
 # (sample_exact_quota, filter_by_group_percentile,
 # vocab_coverage_topk, streaming_sliding_counts,
 # incremental_agg_merge, decontaminate_docs_shuffle,
 # ann_ivf_append_probe, dedup_keep_best_source,
 # events_retention_cohorts, orders_rfm_segments,
 # dq_orders_constraints, events_anomaly_mad,
-# events_session_windows_batch, events_twap) were swapped INTO this
-# window in place of
+# events_session_windows_batch, events_twap, orders_basket_lift,
+# events_markov_transitions) were swapped INTO this window in place of
 # seven repeatedly-verified canaries, so the staging queue is EMPTY.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
@@ -6269,8 +6382,8 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_extremes_per_customer), all_types_surface re-checked after its
 # float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
 # queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# the 14 queries registered later in r8 (all parity-green locally),
-# then wordcount at slot 1 and 18 r1-r3-era greens as drift canaries.
+# the 16 queries registered later in r8 (all parity-green locally),
+# then wordcount at slot 1 and 16 r1-r3-era greens as drift canaries.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
@@ -6317,9 +6430,9 @@ _DRIVER_WINDOW: list[str] = [
     "events_session_windows_batch",
     "events_sessionize",
     "ann_ivf_append_probe",
-    "events_daily_gapfill",
+    "orders_basket_lift",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    "events_markov_transitions",
     "dedup_embedding_cosine",
     "text_analyze",
     "pack_sequences",
