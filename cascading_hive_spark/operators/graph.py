@@ -347,3 +347,42 @@ def pagerank_portable(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle (and ordered-wedge) count over the UNDIRECTED
+    simple graph of ``edges`` — the numerator of the global clustering
+    coefficient. One-row result: (n_wedges, n_triangles).
+
+    Algorithm: canonicalize every edge to (u < v) and dedupe, join
+    E(u,v) x E(v,w) into ordered wedges u < v < w, then left-semi the
+    closing edge E(u,w). Each triangle {a,b,c} is counted EXACTLY once
+    (only the ordering a<b<c survives the canonical joins) — the
+    edge-iterator scheme whose join fan-out is bounded by per-vertex
+    degree, not vertex count; a skewed hub makes one join key hot
+    (AQE's problem), never a quadratic blow-up.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    wedges = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b")
+    )
+    closed = wedges.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    return wedges.agg(F.count(F.lit(1)).alias("n_wedges")).crossJoin(
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -6357,9 +6357,63 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Triangle counting (graph.triangle_count) over the same per-nation
+# ring+hub customer graph as graph_pagerank_hubs: canonical u<v
+# edges, ordered-wedge join, closing-edge semi-join — every triangle
+# counted once, join fan-out bounded by vertex degree. The oracle
+# replays edge construction and both joins in SQL; counts are
+# integers, so the hash check is exact by construction.
+@register(
+    "graph_triangle_count",
+    """
+    WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+    ring AS (
+      SELECT c_custkey AS src,
+             lead(c_custkey) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_custkey) AS dst
+      FROM c),
+    hub AS (
+      SELECT c_custkey AS src,
+             min(c_custkey) OVER (PARTITION BY c_nationkey) AS dst
+      FROM c),
+    raw_edges AS (
+      SELECT src, dst FROM ring WHERE dst IS NOT NULL AND src <> dst
+      UNION ALL
+      SELECT src, dst FROM hub WHERE dst IS NOT NULL AND src <> dst),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw_edges),
+    wedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u)
+    SELECT (SELECT count(*) FROM wedges) AS n_wedges,
+           (SELECT count(*) FROM wedges w
+            WHERE EXISTS (SELECT 1 FROM e
+                          WHERE e.u = w.a AND e.v = w.c)) AS n_triangles
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.graph import triangle_count
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w_ring = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    ring = c.select(
+        F.col("c_custkey").alias("src"),
+        F.lead("c_custkey").over(w_ring).alias("dst"),
+    )
+    hub = c.select(
+        F.col("c_custkey").alias("src"),
+        F.min("c_custkey").over(Window.partitionBy("c_nationkey")).alias("dst"),
+    )
+    edges = ring.unionByName(hub).filter(
+        F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+    return triangle_count(edges)
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
-# CORRECTNESS row — the 16 queries registered during r8
+# CORRECTNESS row — the 17 queries registered during r8
 # (sample_exact_quota, filter_by_group_percentile,
 # vocab_coverage_topk, streaming_sliding_counts,
 # incremental_agg_merge, decontaminate_docs_shuffle,
@@ -6367,7 +6421,8 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_retention_cohorts, orders_rfm_segments,
 # dq_orders_constraints, events_anomaly_mad,
 # events_session_windows_batch, events_twap, orders_basket_lift,
-# events_markov_transitions) were swapped INTO this window in place of
+# events_markov_transitions, graph_triangle_count) were swapped INTO
+# this window in place of
 # seven repeatedly-verified canaries, so the staging queue is EMPTY.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
@@ -6382,8 +6437,8 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order_extremes_per_customer), all_types_surface re-checked after its
 # float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
 # queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# the 16 queries registered later in r8 (all parity-green locally),
-# then wordcount at slot 1 and 16 r1-r3-era greens as drift canaries.
+# the 17 queries registered later in r8 (all parity-green locally),
+# then wordcount at slot 1 and 15 r1-r3-era greens as drift canaries.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
@@ -6431,7 +6486,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_sessionize",
     "ann_ivf_append_probe",
     "orders_basket_lift",
-    "dedup_exact",
+    "graph_triangle_count",
     "events_markov_transitions",
     "dedup_embedding_cosine",
     "text_analyze",

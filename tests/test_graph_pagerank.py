@@ -90,3 +90,23 @@ def test_pagerank_portable_matches_plain_and_is_deterministic(spark):
     for n in plain:
         assert abs(plain[n] - port1[n]) < 1e-9
     assert abs(sum(port1.values()) - 1.0) < 1e-6  # still a distribution
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles (4 ordered wedges a<b<c, all closed); a
+    4-cycle has none; duplicate/reversed/self edges are canonicalized
+    away."""
+    from cascading_hive_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(1, 0), (2, 2)],  # reversed duplicate + self loop: ignored
+        "src int, dst int",
+    )
+    row = triangle_count(k4).first()
+    assert (row.n_wedges, row.n_triangles) == (4, 4)
+    cycle = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src int, dst int"
+    )
+    row = triangle_count(cycle).first()
+    assert row.n_triangles == 0
