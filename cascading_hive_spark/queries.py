@@ -6411,6 +6411,105 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+# Distribution-drift monitoring — PSI (population stability index)
+# between two periods of the value distribution: decile edges from
+# the BASELINE period (exact interpolated percentiles, engine-shared
+# arithmetic), both periods bucketed against those edges (bucket =
+# count of edges strictly below the value, an array fold — boundary
+# values compare against identical doubles on both engines), then
+# per-bucket share shift (pa-pb)*ln(pa/pb). The one transcendental
+# (ln) is rounded at 6 decimals on both sides. Empty-on-one-side
+# buckets contribute NULL rather than infinity.
+@register(
+    "events_psi_drift",
+    """
+    WITH a AS (SELECT value FROM events
+               WHERE CAST(ts AS DATE) < DATE '2024-01-16'),
+    b AS (SELECT value FROM events
+          WHERE CAST(ts AS DATE) >= DATE '2024-01-16'),
+    edges AS (
+      SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS e
+      FROM a),
+    buck AS (
+      SELECT 'a' AS period,
+             list_sum(list_transform(e, x -> CASE WHEN value > x
+                                             THEN 1 ELSE 0 END)) AS bucket
+      FROM a, edges
+      UNION ALL
+      SELECT 'b',
+             list_sum(list_transform(e, x -> CASE WHEN value > x
+                                             THEN 1 ELSE 0 END))
+      FROM b, edges),
+    counts AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE period = 'a') AS cnt_a,
+             count(*) FILTER (WHERE period = 'b') AS cnt_b
+      FROM buck GROUP BY bucket),
+    totals AS (
+      SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM counts)
+    SELECT CAST(bucket AS BIGINT) AS bucket, cnt_a, cnt_b,
+           CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN
+             round((CAST(cnt_a AS DOUBLE) / tot_a
+                    - CAST(cnt_b AS DOUBLE) / tot_b)
+                   * ln((CAST(cnt_a AS DOUBLE) / tot_a)
+                        / (CAST(cnt_b AS DOUBLE) / tot_b)), 6)
+           END AS psi_contrib
+    FROM counts, totals
+    """,
+)
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value"), F.col("ts").cast("date").alias("d")
+    )
+    cut = F.lit("2024-01-16").cast("date")
+    a = ev.filter(F.col("d") < cut).select("value")
+    b = ev.filter(F.col("d") >= cut).select("value")
+    edges = a.agg(
+        F.percentile(
+            "value", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+        ).alias("e")
+    )
+
+    def bucketed(df: DataFrame, period: str) -> DataFrame:
+        return df.crossJoin(F.broadcast(edges)).select(
+            F.lit(period).alias("period"),
+            F.aggregate(
+                F.col("e"),
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(F.col("value") > x, F.lit(1)).otherwise(F.lit(0)),
+            ).alias("bucket"),
+        )
+
+    counts = (
+        bucketed(a, "a")
+        .unionByName(bucketed(b, "b"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("period") == "a", 1)).alias("cnt_a"),
+            F.count(F.when(F.col("period") == "b", 1)).alias("cnt_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    pa = F.col("cnt_a").cast("double") / F.col("tot_a")
+    pb = F.col("cnt_b").cast("double") / F.col("tot_b")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "cnt_a",
+            "cnt_b",
+            F.when(
+                (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0),
+                F.round((pa - pb) * F.log(pa / pb), 6),
+            ).alias("psi_contrib"),
+        )
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
 # CORRECTNESS row — the 17 queries registered during r8
@@ -6423,7 +6522,8 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_session_windows_batch, events_twap, orders_basket_lift,
 # events_markov_transitions, graph_triangle_count) were swapped INTO
 # this window in place of
-# seven repeatedly-verified canaries, so the staging queue is EMPTY.
+# repeatedly-verified canaries. STAGED FOR r9 (registered after the
+# window settled, parity-green at 3 SFs): events_psi_drift.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
 # oldest-verified greens as drift canaries, keeping wordcount at
