@@ -6510,6 +6510,50 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted sampling without replacement — Efraimidis-Spirakis A-ES:
+# each row draws a deterministic uniform u from md5 (seeded, engine-
+# portable: first 12 hex digits / 2^48 — exact in double) and ranks
+# by priority ln(u)/w (monotone in u^(1/w)); the top-k by priority IS
+# a weighted sample without replacement, here weight = document
+# length. One TakeOrderedAndProject, no shuffle beyond it; the
+# ranking rounds the one transcendental at 9 decimals on both sides
+# (the kNN rounded-rank rule).
+@register(
+    "sample_weighted_aes",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln(CAST(concat('0x',
+                       substr(md5(concat('aes42|', CAST(doc_id AS VARCHAR))),
+                              1, 12)) AS UBIGINT)
+                      / 281474976710656.0) / n_chars, 9) AS priority
+      FROM documents)
+    SELECT doc_id, lang, n_chars, priority
+    FROM scored ORDER BY priority DESC, doc_id LIMIT 50
+    """,
+)
+def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aes42|"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**48))
+    )
+    prio = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", prio.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
 # CORRECTNESS row — the 17 queries registered during r8
@@ -6523,7 +6567,8 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_markov_transitions, graph_triangle_count) were swapped INTO
 # this window in place of
 # repeatedly-verified canaries. STAGED FOR r9 (registered after the
-# window settled, parity-green at 3 SFs): events_psi_drift.
+# window settled, parity-green at 3 SFs): events_psi_drift,
+# sample_weighted_aes.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
 # oldest-verified greens as drift canaries, keeping wordcount at
