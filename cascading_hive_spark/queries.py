@@ -6554,6 +6554,32 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Heavy hitters — exact keys above a phi traffic share via two-pass
+# Misra-Gries (operators/sketches.py): map-only per-partition sketch
+# (k = ceil(1/phi) counters, Arrow-batched) -> broadcast candidate
+# semi-join -> exact recount -> threshold. The sketch pass never
+# shuffles and emits <= k rows per partition; only candidate-matching
+# rows reach the recount shuffle. The oracle is the plain exact
+# definition — the two-pass result equals it exactly (pigeonhole
+# argument in the module docstring), which is the point: sketch-sized
+# intermediate state, exact answer.
+@register(
+    "heavy_hitters_events",
+    """
+    WITH t AS (SELECT count(*) AS n FROM events),
+    c AS (SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type, CAST(cnt AS BIGINT) AS cnt
+    FROM c, t WHERE cnt > 0.0015 * n
+    """,
+)
+def q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["user_id", "event_type"], phi=0.0015)
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
 # CORRECTNESS row — the 17 queries registered during r8
@@ -6568,7 +6594,8 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this window in place of
 # repeatedly-verified canaries. STAGED FOR r9 (registered after the
 # window settled, parity-green at 3 SFs): events_psi_drift,
-# sample_weighted_aes.
+# sample_weighted_aes, heavy_hitters_events, embedding_centroids,
+# embedding_centroid_confusion, part_pareto_frontier.
 # Fill the r9 window with: (a) anything registered after this note
 # (fill from the actual list, not a remembered count), (b) the
 # oldest-verified greens as drift canaries, keeping wordcount at
