@@ -38,17 +38,25 @@ def constraint_report(
     spark = df.sparkSession
     parts: list[DataFrame] = []
     if checks:
+        names = [name for name, _ in checks]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(f"duplicate rule names: {dupes}")
         # when(pred, 0).otherwise(1): a NULL predicate falls through to
         # otherwise — nulls violate, as documented (when(~pred, 1)
         # would silently skip nulls: NOT NULL is NULL, not true)
+        #
+        # aggregates are aliased POSITIONALLY (_chk_i), never by the
+        # user-supplied rule name: re-resolving F.col(name) would parse
+        # dots/backticks in a rule name as nested-field access
         aggs = [
-            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(name)
-            for name, pred in checks
+            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(f"_chk_{i}")
+            for i, (_, pred) in enumerate(checks)
         ]
         one = df.agg(*aggs)
         stack_args: list[Column] = []
-        for name, _ in checks:
-            stack_args += [F.lit(name), F.coalesce(F.col(name), F.lit(0))]
+        for i, (name, _) in enumerate(checks):
+            stack_args += [F.lit(name), F.coalesce(F.col(f"_chk_{i}"), F.lit(0))]
         parts.append(
             one.select(
                 F.stack(F.lit(len(checks)), *stack_args).alias("rule", "n_violations")

@@ -319,16 +319,32 @@ def partial_agg(
     )
 
 
-def merge_partial_aggs(*partials: DataFrame) -> DataFrame:
+def merge_partial_aggs(*partials: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Merge ``partial_agg`` states: union + re-aggregate. Counts add;
     decimal-image sums add exactly (no float reassociation), so
     merge(partial(A), partial(B)) == partial(A ∪ B) bit-for-bit —
     the law pinned in tests/test_scale_patterns.py. The merge input
-    is state-sized (one row per key per partial), not data-sized."""
+    is state-sized (one row per key per partial), not data-sized.
+
+    ``keys`` mirrors ``partial_agg``'s signature; when omitted it is
+    inferred as every column except the state columns (cnt/sum_img) —
+    which would silently mis-merge a grouping key NAMED cnt/sum_img,
+    so pass it explicitly in that case (ADVICE r8). Partials with
+    mismatched column sets raise instead of null-filling."""
+    cols = set(partials[0].columns)
+    for p in partials[1:]:
+        if set(p.columns) != cols:
+            raise ValueError(
+                f"partials disagree on columns: {sorted(cols)} vs {sorted(p.columns)}"
+            )
+    if keys is None:
+        keys = [c for c in partials[0].columns if c not in ("cnt", "sum_img")]
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"keys not present in partials: {missing}")
     out = partials[0]
     for p in partials[1:]:
         out = out.unionByName(p)
-    keys = [c for c in out.columns if c not in ("cnt", "sum_img")]
     return out.groupBy(*keys).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum_img").alias("sum_img"),

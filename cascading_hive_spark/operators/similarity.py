@@ -1033,7 +1033,10 @@ def ivf_append(
     partitions. Probes see the new vectors immediately; cost ∝ the
     increment, never the corpus. Centroids drift as the distribution
     shifts — re-run ivf_build/ivf_write when recall degrades (the
-    standard reindex cadence), exactly as FAISS add() vs retrain."""
+    standard reindex cadence), exactly as FAISS add() vs retrain.
+    An empty increment is a legitimate daily arrival: no-op."""
+    if new_vectors.isEmpty():
+        return
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = _assign_cells(new_vectors, centroids, id_col, vec_col)
     assigned.select(id_col, vec_col, "cell").write.mode("append").partitionBy(
@@ -1055,7 +1058,10 @@ def ivfpq_append(
     append 8-byte codes into the matching cell partitions. Increment-
     sized work end-to-end; codebooks are frozen (appendors never
     retrain — quantization error for drifted data grows until the
-    scheduled rebuild, the deployed IVF-PQ contract)."""
+    scheduled rebuild, the deployed IVF-PQ contract). An empty
+    increment is a legitimate daily arrival: no-op."""
+    if new_vectors.isEmpty():
+        return
     coarse = spark.read.parquet(f"{path}/coarse")
     pq_cent = spark.read.parquet(f"{path}/pq")
     assigned = _assign_cells(new_vectors, coarse, id_col, vec_col)

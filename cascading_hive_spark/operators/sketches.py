@@ -27,6 +27,7 @@ full key domain.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import reduce
 
 import pandas as pd
 
@@ -69,24 +70,38 @@ def heavy_hitters(
     keyed = df.select(*keys)  # column pruning reaches the scan
     schema = keyed.schema
 
+    def _norm_key(key: object) -> tuple:
+        # NULL keys arrive from pandas as NaN/NaT, and NaN != NaN would
+        # split one logical key across counters — breaking the
+        # pigeonhole retention bound for that key. Canonicalize every
+        # null-ish element to None so the counter dict merges them.
+        parts = key if isinstance(key, tuple) else (key,)
+        return tuple(None if pd.isna(p) else p for p in parts)
+
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         cols = None
         for pdf in batches:
             cols = list(pdf.columns)
             grouped = pdf.groupby(cols, sort=False, dropna=False).size()
-            counters = _mg_merge(counters, grouped.to_dict(), k)
+            add = {_norm_key(key): cnt for key, cnt in grouped.to_dict().items()}
+            counters = _mg_merge(counters, add, k)
         if counters:
-            rows = list(counters.keys())
-            if len(cols) == 1:
-                # single-key groupby yields scalar index entries
-                rows = [(r,) if not isinstance(r, tuple) else r for r in rows]
-            yield pd.DataFrame(rows, columns=cols)
+            # object dtype + None (never NaN): a NaN in an int64 key
+            # column would fail the Arrow cast back to the key schema
+            out = pd.DataFrame(list(counters.keys()), columns=cols, dtype=object)
+            yield out.where(pd.notna(out), None)
 
     candidates = keyed.mapInPandas(mg_partition, schema=schema).dropDuplicates()
     total = df.groupBy().agg(F.count(F.lit(1)).alias("_hh_total"))
+    # eqNullSafe per key: a plain equality semi-join would drop
+    # NULL-keyed candidates that pass 1 deliberately kept (ADVICE r8)
+    cand = candidates.select(*[F.col(k).alias(f"_hh_{k}") for k in keys])
+    cond = reduce(
+        lambda a, b: a & b, [F.col(k).eqNullSafe(F.col(f"_hh_{k}")) for k in keys]
+    )
     return (
-        df.join(F.broadcast(candidates), on=keys, how="left_semi")
+        df.join(F.broadcast(cand), cond, "left_semi")
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(count_name))
         .crossJoin(F.broadcast(total))

@@ -6570,7 +6570,7 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT user_id, event_type, count(*) AS cnt
           FROM events GROUP BY user_id, event_type)
     SELECT user_id, event_type, CAST(cnt AS BIGINT) AS cnt
-    FROM c, t WHERE cnt > 0.0015 * n
+    FROM c, t WHERE cnt > CAST(0.0015 AS DOUBLE) * n
     """,
 )
 def q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -177,3 +177,23 @@ def test_bucket_pruning_on_point_lookup(spark, sf_dir):
             spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_merge_partial_aggs_explicit_keys_and_validation(spark):
+    """Keys can be passed explicitly (mirroring partial_agg) so a
+    grouping key named cnt/sum_img can't be silently folded into the
+    state columns; partials with mismatched column sets raise instead
+    of null-filling (ADVICE r8)."""
+    a = spark.createDataFrame([("x", 1.0), ("y", 2.0)], "k string, v double")
+    b = spark.createDataFrame([("x", 3.0)], "k string, v double")
+    pa = R.partial_agg(a, ["k"], "v")
+    pb = R.partial_agg(b, ["k"], "v")
+    got = {
+        r.k: (r.cnt, str(r.sum_img))
+        for r in R.merge_partial_aggs(pa, pb, keys=["k"]).collect()
+    }
+    assert got == {"x": (2, "4.000000"), "y": (1, "2.000000")}
+    with pytest.raises(ValueError, match="disagree on columns"):
+        R.merge_partial_aggs(pa, pb.withColumnRenamed("k", "kk"))
+    with pytest.raises(ValueError, match="keys not present"):
+        R.merge_partial_aggs(pa, pb, keys=["nope"])

@@ -467,3 +467,24 @@ def test_ivfpq_append_codes_layout_and_probe(spark, emb, tmp_path):
         spark, path, qv, m=8, nprobe=8, topk=5, shortlist=emb.count(), vectors=emb
     ).collect()
     assert hits[0].vec_id == 3 and hits[0].dist <= 1e-9
+
+
+def test_ivf_append_empty_increment_is_noop(spark, emb, tmp_path):
+    """An empty daily arrival is legitimate: appending zero vectors
+    must not crash in _dim_of/.first() (ADVICE r8) and must leave the
+    on-disk index byte-identical in content."""
+    path = str(tmp_path / "ivf_empty_idx")
+    assignments, centroids = S.ivf_build(emb, n_cells=8)
+    S.ivf_write(assignments, centroids, path)
+    before = spark.read.parquet(f"{path}/vectors").count()
+    S.ivf_append(spark, path, emb.filter(F.col("vec_id") < 0))
+    assert spark.read.parquet(f"{path}/vectors").count() == before
+
+
+def test_ivfpq_append_empty_increment_is_noop(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq_empty_idx")
+    index, coarse, pqc = S.ivfpq_build_portable(emb, n_cells=8, m=8, k=16)
+    S.ivfpq_write(index, coarse, pqc, path)
+    before = spark.read.parquet(f"{path}/codes").count()
+    S.ivfpq_append(spark, path, emb.filter(F.col("vec_id") < 0), m=8)
+    assert spark.read.parquet(f"{path}/codes").count() == before

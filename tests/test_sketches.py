@@ -104,3 +104,39 @@ def test_mg_merge_never_overcounts():
     assert counters.get("a", 0) <= 5
     assert all(c > 0 for c in counters.values())
     assert len(counters) <= 2
+
+
+def test_heavy_hitters_keeps_null_keys(spark):
+    """NULL-keyed groups are first-class heavy hitters: pass 1 keeps
+    them (dropna=False) and pass 2's recount join must be null-safe —
+    a plain equality semi-join would silently drop them (ADVICE r8).
+    Also exercises the NaN->None canonicalization: a null in a bigint
+    key column must survive the Arrow round-trip of mapInPandas."""
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 400, F.lit(None).cast("bigint"))
+        .otherwise(F.col("id") % 200)
+        .alias("k")
+    ).repartition(7)
+    got = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters(df, ["k"], phi=0.1).collect()
+    }
+    assert got == {(None, 400)}
+
+
+def test_heavy_hitters_null_key_split_across_partitions(spark):
+    """The null key must merge into ONE Misra-Gries counter per
+    partition even when it arrives across many Arrow batches — NaN's
+    self-inequality would otherwise split it and break the retention
+    bound. Composite (bigint, string) keys with nulls on both sides."""
+    df = spark.createDataFrame(
+        [(None, None)] * 300
+        + [(1, "x")] * 250
+        + [(i, "t") for i in range(450)],
+        "a bigint, b string",
+    ).repartition(11)
+    got = {
+        (r["a"], r["b"], r["cnt"])
+        for r in heavy_hitters(df, ["a", "b"], phi=0.2).collect()
+    }
+    assert got == {(None, None, 300), (1, "x", 250)}

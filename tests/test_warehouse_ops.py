@@ -438,3 +438,32 @@ def test_constraint_report_empty_rules(spark):
     out = constraint_report(df)
     assert out.count() == 0
     assert out.columns == ["rule", "n_violations"]
+
+
+def test_constraint_report_odd_rule_names_and_duplicates(spark):
+    """Rule names are display labels, not column references: a name
+    containing a dot (or backtick) must not be parsed as nested-field
+    access when the report re-references its aggregate (ADVICE r8 —
+    aliases are now positional _chk_i). Duplicate names raise."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.constraints import constraint_report
+
+    df = spark.createDataFrame([(1,), (-2,), (3,)], "v int")
+    rep = {
+        r.rule: r.n_violations
+        for r in constraint_report(
+            df,
+            checks=[
+                ("v.is.positive", F.col("v") > 0),
+                ("weird `name`", F.col("v") < 100),
+            ],
+        ).collect()
+    }
+    assert rep == {"v.is.positive": 1, "weird `name`": 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate rule names"):
+        constraint_report(
+            df, checks=[("r", F.col("v") > 0), ("r", F.col("v") < 0)]
+        )
