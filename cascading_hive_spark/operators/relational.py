@@ -349,3 +349,84 @@ def merge_partial_aggs(*partials: DataFrame, keys: list[str] | None = None) -> D
         F.sum("cnt").alias("cnt"),
         F.sum("sum_img").alias("sum_img"),
     )
+
+
+def skyline(
+    df: DataFrame,
+    minimize: list[str] | None = None,
+    maximize: list[str] | None = None,
+) -> DataFrame:
+    """Pareto frontier (skyline): rows not DOMINATED by any other row.
+    Row s dominates row r when s is <= r on every minimize column and
+    >= r on every maximize column, with at least one strict inequality
+    — equal rows never dominate each other, so exact ties all stay on
+    the frontier (the SQL NOT EXISTS definition, Börzsönyi et al.,
+    ICDE'01).
+
+    Two-phase distributed plan: a per-partition local skyline first
+    (mapInPandas, incremental per Arrow batch so memory is bounded by
+    |local frontier| + batch), then a global skyline over the
+    survivors. Local pruning is sound because dominance is transitive:
+    any row dominated globally is dominated by some global-frontier
+    row, and every global-frontier row survives its local pass — so
+    the second pass sees every witness it needs. The reduction to one
+    partition touches only local frontiers (typically orders of
+    magnitude smaller than the data); a frontier that is itself huge
+    is the signal the criteria don't discriminate, not a plan problem.
+
+    Rows with NULL in any criterion column are excluded up front
+    (three-valued dominance is undefined). Criteria must be numeric;
+    int64 beyond 2^53 would lose exactness in the float compare, so
+    such columns should be pre-scaled."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    min_cols = list(minimize or [])
+    max_cols = list(maximize or [])
+    crit = min_cols + max_cols
+    if not crit:
+        raise ValueError("skyline needs at least one minimize/maximize column")
+    missing = [c for c in crit if c not in df.columns]
+    if missing:
+        raise ValueError(f"criteria not in schema: {missing}")
+    clean = df.na.drop(subset=crit)
+    schema = clean.schema
+
+    def _vals(pdf: pd.DataFrame) -> np.ndarray:
+        # canonical orientation: minimize everywhere (negate max cols)
+        cols = [pdf[c].to_numpy(dtype="float64") for c in min_cols]
+        cols += [-pdf[c].to_numpy(dtype="float64") for c in max_cols]
+        return np.column_stack(cols)
+
+    def _local_skyline(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf
+        vals = _vals(pdf)
+        # lexicographic order: a dominator always precedes what it
+        # dominates (first differing coordinate is strictly smaller),
+        # so one forward scan against the kept set is exact
+        order = np.lexsort(tuple(vals.T[::-1]))
+        kept_rows: list[int] = []
+        kept = np.empty((0, vals.shape[1]))
+        for i in order:
+            v = vals[i]
+            if kept.shape[0]:
+                le = (kept <= v).all(axis=1)
+                lt = (kept < v).any(axis=1)
+                if (le & lt).any():
+                    continue
+            kept_rows.append(i)
+            kept = np.vstack([kept, v[None, :]])
+        return pdf.iloc[sorted(kept_rows)]
+
+    def part_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frontier: pd.DataFrame | None = None
+        for pdf in batches:
+            pool = pdf if frontier is None else pd.concat([frontier, pdf])
+            frontier = _local_skyline(pool)
+        if frontier is not None and not frontier.empty:
+            yield frontier
+
+    local = clean.mapInPandas(part_skyline, schema=schema)
+    return local.repartition(1).mapInPandas(part_skyline, schema=schema)

@@ -1075,3 +1075,97 @@ def ivfpq_append(
     codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
     index = residuals.select(id_col, "cell").join(codes, id_col)
     index.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    sum_scale: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-label mean vector (the k-means M-step) in LONG FORM:
+    one row per (label, dim) with the member count and the rounded
+    centroid coordinate — (label, dim, n, centroid).
+
+    posexplode + groupBy(label, dim): the partial aggregation runs
+    map-side per partition and the shuffle carries only
+    n_labels * dim grouped rows per map task — never vectors — so the
+    plan is a single narrow agg at any corpus size. Coordinate sums go
+    through a decimal image (round to ``sum_scale``, sum exactly) so
+    the mean is order-independent: a float sum would drift with
+    partitioning and break engine parity (the q1 discipline)."""
+    ex = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("_val").cast("double"), sum_scale).cast(
+                    f"decimal(38,{sum_scale})"
+                )
+            ).alias("_s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.round(F.col("_s").cast("double") / F.col("n"), out_scale).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def centroid_confusion(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dist_scale: int = 9,
+) -> DataFrame:
+    """k-means E-step + confusion matrix: assign every vector to its
+    nearest centroid by squared L2 and cross-tabulate the true label
+    against the assignment — (label, assigned_label, n).
+
+    ``centroids`` is ``label_centroids`` long-form output (label, dim,
+    centroid) — metadata-sized (k * dim rows), so it broadcasts. The
+    assignment is fully relational: explode each vector to (id, dim,
+    val), broadcast-join the centroid table on dim (fan-out k per
+    coordinate, k small by construction), partial-agg the per-(id,
+    candidate) squared distance map-side, and pick the argmin with a
+    per-id window. Distances accumulate through a decimal image
+    (round((val-c)^2, dist_scale), exact sum) so the argmin is
+    order-independent and engine-portable; ties break on the lower
+    candidate label. No Python in the loop, no driver collect — at
+    100 TB this is one explode + one broadcast join + two key shuffles
+    (id for the argmin, label pair for the final count)."""
+    cent = centroids.select(
+        F.col("label").alias("_clabel"),
+        "dim",
+        F.col("centroid").alias("_cval"),
+    )
+    ex = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
+    )
+    diff = F.col("_val").cast("double") - F.col("_cval")
+    d2 = ex.join(F.broadcast(cent), "dim").groupBy("_id", "label", "_clabel").agg(
+        F.sum(F.round(diff * diff, dist_scale).cast(f"decimal(38,{dist_scale})")).alias(
+            "_d2"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("_clabel").asc())
+    return (
+        d2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("label", F.col("_clabel").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -6580,6 +6580,92 @@ def q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, ["user_id", "event_type"], phi=0.0015)
 
 
+# Shared oracle CTE: per-label mean centroid in long form, decimal-
+# image coordinate sums (order-independent) divided by the member
+# count, rounded to 6 — exactly similarity.label_centroids.
+_CENTROID_CTE = """
+  SELECT label, CAST(i - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CAST(round(embedding[i]::DOUBLE, 7)
+                             AS DECIMAL(38,7))) AS DOUBLE)
+               / count(*), 6) AS centroid
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY label, i
+"""
+
+
+# k-means M-step as a pure relational aggregate: per-label mean
+# embedding, long form (label, dim, n, centroid) so the driver's
+# atomic-column canonicalizer can hash it. The decimal-image sum makes
+# the mean independent of partitioning AND engine (the q1 discipline).
+@register("embedding_centroids", _CENTROID_CTE)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# k-means E-step + confusion matrix: assign every vector to the
+# nearest per-label centroid (squared L2, decimal-image distance sums,
+# ties to the lower label) and cross-tabulate true vs assigned label.
+# The oracle replays centroid build, assignment, and argmin window
+# bit-for-bit; counts are integers so the hash check is exact.
+@register(
+    "embedding_centroid_confusion",
+    f"""
+    WITH cent AS ({_CENTROID_CTE}),
+    ex AS (
+      SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+             embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    d AS (
+      SELECT vec_id, ex.label AS label, cent.label AS clabel,
+             sum(CAST(round((val - centroid) * (val - centroid), 9)
+                      AS DECIMAL(38,9))) AS d2
+      FROM ex JOIN cent USING (dim)
+      GROUP BY vec_id, ex.label, cent.label),
+    pick AS (
+      SELECT label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, clabel) AS rn
+      FROM d)
+    SELECT label, clabel AS assigned_label, CAST(count(*) AS BIGINT) AS n
+    FROM pick WHERE rn = 1 GROUP BY label, clabel
+    """,
+)
+def q_embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import (
+        centroid_confusion,
+        label_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_confusion(e, label_centroids(e))
+
+
+# Pareto frontier (skyline) over part: cheapest-for-the-size parts —
+# rows no other part beats on (price down, size up) with one strict
+# inequality. Spark side is the two-phase distributed skyline
+# (relational.skyline); the oracle is the NOT EXISTS definition, which
+# the two-phase plan provably equals (dominance transitivity — see the
+# operator docstring).
+@register(
+    "part_pareto_frontier",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def q_part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import skyline
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return skyline(p, minimize=["p_retailprice"], maximize=["p_size"])
+
+
 # r9 ROTATION NOTE: after the r8 driver run checks the window below,
 # EVERY oracle-able registered query has at least one driver
 # CORRECTNESS row — the 17 queries registered during r8
