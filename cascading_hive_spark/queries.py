@@ -6666,42 +6666,37 @@ def q_part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(p, minimize=["p_retailprice"], maximize=["p_size"])
 
 
-# r9 ROTATION NOTE: after the r8 driver run checks the window below,
-# EVERY oracle-able registered query has at least one driver
-# CORRECTNESS row — the 17 queries registered during r8
-# (sample_exact_quota, filter_by_group_percentile,
-# vocab_coverage_topk, streaming_sliding_counts,
-# incremental_agg_merge, decontaminate_docs_shuffle,
-# ann_ivf_append_probe, dedup_keep_best_source,
-# events_retention_cohorts, orders_rfm_segments,
-# dq_orders_constraints, events_anomaly_mad,
-# events_session_windows_batch, events_twap, orders_basket_lift,
-# events_markov_transitions, graph_triangle_count) were swapped INTO
-# this window in place of
-# repeatedly-verified canaries. STAGED FOR r9 (registered after the
-# window settled, parity-green at 3 SFs): events_psi_drift,
-# sample_weighted_aes, heavy_hitters_events, embedding_centroids,
-# embedding_centroid_confusion, part_pareto_frontier.
-# Fill the r9 window with: (a) anything registered after this note
-# (fill from the actual list, not a remembered count), (b) the
-# oldest-verified greens as drift canaries, keeping wordcount at
-# slot 1. bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
+# r10 ROTATION NOTE (supersedes the r9 note, which wrongly claimed
+# full driver coverage before this rotation landed): the r10 window
+# below swaps IN the 6 oracle-able queries that had never had a driver
+# CORRECTNESS row — events_psi_drift, sample_weighted_aes,
+# heavy_hitters_events (late-r8 registrations), embedding_centroids,
+# embedding_centroid_confusion, part_pareto_frontier (late-r9
+# registrations) — in place of 6 repeatedly-driver-verified r1-r3-era
+# canaries (join_inner, join_null_safe, q3_shipping_priority,
+# q7_volume_shipping, q8_market_share, q10_returned_items; each has
+# 2+ green rows across r1-r9). After the r10 driver run, every
+# oracle-able registered query has at least one driver CORRECTNESS
+# row. Future rotations: fill from (a) queries registered after this
+# note (enumerate the actual registry, not a remembered count), then
+# (b) oldest-verified greens as drift canaries; keep wordcount at
+# slot 1 and q1_pricing_summary (the decimal-sum watch item).
+# bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
 # dedup_minhash_lsh / dedup_simhash stay rows-only by design (each
 # has a hash-matched portable/exact sibling in the window history).
-# r8 WINDOW (rotated per VERDICT r7 #1): the 10 r7-registered queries
-# that have never had a driver CORRECTNESS row (judge-verified at
-# sf0.01, staged for this window), the 3 r8 registrations
-# (ann_ivfpq_disk / events_sliding_window_counts /
-# order_extremes_per_customer), all_types_surface re-checked after its
-# float32/decimal canonical-surfacing fix (VERDICT r7 #2), the two kNN
-# queries whose oracles gained the rounded-rank tiebreak (ADVICE r7),
-# the 17 queries registered later in r8 (all parity-green locally),
-# then wordcount at slot 1 and 15 r1-r3-era greens as drift canaries.
+# test_registry_hygiene.py::test_rotation_note_names_resolve asserts
+# every query name cited in this note resolves in _REGISTRY.
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
-    # -- the r7 weak row, re-checked after the f32/dec surfacing fix:
+    # -- never driver-checked until r10 (swapped in per VERDICT r9 #1):
+    "events_psi_drift",
+    "sample_weighted_aes",
+    "heavy_hitters_events",
+    "embedding_centroids",
+    "embedding_centroid_confusion",
+    "part_pareto_frontier",
+    # -- r7-r9 greens kept one more round (recent code paths):
     "all_types_surface",
-    # -- never driver-checked (registered during r7):
     "ann_ivf_portable",
     "ann_pq_portable",
     "ann_ivfpq_portable",
@@ -6712,25 +6707,17 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_dedup",
     "streaming_hourly_counts",
     "streaming_enrich",
-    # -- new in r8:
     "ann_ivfpq_disk",  # full-probe disk round-trip == brute force
     "events_sliding_window_counts",
     "order_extremes_per_customer",
-    # -- oracles changed this round (ADVICE r7: rounded-rank tiebreak):
     "ann_cosine_topk",
     "ann_knn_join",
-    # -- r1-r3-era greens (drift canaries, oldest-verified first):
-    "join_inner",
+    # -- drift canaries (older greens):
     "sample_exact_quota",
     "filter_by_group_percentile",
     "vocab_coverage_topk",
-    "join_null_safe",
-    "q3_shipping_priority",
     "streaming_sliding_counts",
     "incremental_agg_merge",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
     "decontaminate_docs_shuffle",
     "q15_top_supplier",
     "q17_small_quantity",

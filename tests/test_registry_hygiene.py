@@ -79,6 +79,37 @@ def test_window_output_schemas_are_atomic(spark, sf_dir):
     )
 
 
+def test_rotation_note_names_resolve():
+    """Every query name cited in the rotation-note comment block above
+    ``_DRIVER_WINDOW`` must resolve in ``_REGISTRY`` — two rounds of
+    stale-note incidents (r8/r9) came from notes naming queries that
+    were renamed or never registered. Query names are the
+    underscore-joined snake_case tokens in the note; file paths and
+    test identifiers are excluded."""
+    import pathlib
+    import re
+
+    src = pathlib.Path(q.__file__).read_text()
+    m = re.search(
+        r"# r\d+ ROTATION NOTE.*?_DRIVER_WINDOW: list\[str\]", src, re.S
+    )
+    assert m, "rotation note block not found above _DRIVER_WINDOW"
+    note = m.group(0)
+    tokens = set(re.findall(r"(?<![\w/.:])[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", note))
+    cited = {
+        t
+        for t in tokens
+        if not t.startswith("test_") and t != "list_str"
+    }
+    unresolved = sorted(t for t in cited if t not in q._REGISTRY)
+    assert not unresolved, (
+        f"rotation note cites query names not in _REGISTRY: {unresolved}"
+    )
+    # the note must cite at least the current swap-ins, as a guard that
+    # the regex extraction is actually finding names
+    assert len(cited) >= 6, cited
+
+
 def test_entry_module_imports_cleanly():
     """The driver's very first step is ``import __spark_entry__`` — a
     loader crash there costs a whole round's bench + correctness
