@@ -342,6 +342,15 @@ def merge_partial_aggs(*partials: DataFrame, keys: list[str] | None = None) -> D
     missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(f"keys not present in partials: {missing}")
+    dropped = sorted(cols - set(keys) - {"cnt", "sum_img"})
+    if dropped:
+        # an accidentally-omitted key must not vanish silently from the
+        # merged output (ADVICE r9) — mirror the other validations
+        raise ValueError(
+            f"partials carry columns that are neither keys nor state "
+            f"(cnt/sum_img) and would be dropped by the merge: {dropped}; "
+            "list them in keys= or project them away first"
+        )
     out = partials[0]
     for p in partials[1:]:
         out = out.unionByName(p)
@@ -355,6 +364,8 @@ def skyline(
     df: DataFrame,
     minimize: list[str] | None = None,
     maximize: list[str] | None = None,
+    max_frontier: int | None = 1_000_000,
+    reduce_partitions: int = 16,
 ) -> DataFrame:
     """Pareto frontier (skyline): rows not DOMINATED by any other row.
     Row s dominates row r when s is <= r on every minimize column and
@@ -363,16 +374,25 @@ def skyline(
     the frontier (the SQL NOT EXISTS definition, Börzsönyi et al.,
     ICDE'01).
 
-    Two-phase distributed plan: a per-partition local skyline first
+    Three-phase distributed plan: a per-partition local skyline first
     (mapInPandas, incremental per Arrow batch so memory is bounded by
-    |local frontier| + batch), then a global skyline over the
-    survivors. Local pruning is sound because dominance is transitive:
-    any row dominated globally is dominated by some global-frontier
-    row, and every global-frontier row survives its local pass — so
-    the second pass sees every witness it needs. The reduction to one
-    partition touches only local frontiers (typically orders of
-    magnitude smaller than the data); a frontier that is itself huge
-    is the signal the criteria don't discriminate, not a plan problem.
+    |local frontier| + batch), then a tree-reduction pass over the
+    survivors on ``reduce_partitions`` tasks, then the global skyline
+    on one task. Local pruning is sound because dominance is
+    transitive: any row dominated globally is dominated by some
+    global-frontier row, and every global-frontier row survives every
+    earlier pass — so each later pass sees every witness it needs.
+    Both reduction passes touch only frontier rows (typically orders
+    of magnitude smaller than the data); the intermediate pass prunes
+    cross-partition dominated rows before anything is gathered onto a
+    single task.
+
+    ``max_frontier`` (house-style guard, like dedup's max_bucket):
+    every reduction task raises as soon as ITS running frontier
+    exceeds the bound, so a weakly-discriminating criteria set (e.g.
+    anti-correlated columns where the frontier is a constant fraction
+    of the data) fails fast with a diagnosis instead of silently
+    funneling the dataset through one task. None disables the guard.
 
     Rows with NULL in any criterion column are excluded up front
     (three-valued dominance is undefined). Criteria must be numeric;
@@ -390,6 +410,8 @@ def skyline(
     missing = [c for c in crit if c not in df.columns]
     if missing:
         raise ValueError(f"criteria not in schema: {missing}")
+    if max_frontier is not None and max_frontier < 1:
+        raise ValueError(f"max_frontier must be >= 1, got {max_frontier}")
     clean = df.na.drop(subset=crit)
     schema = clean.schema
 
@@ -408,16 +430,29 @@ def skyline(
         # so one forward scan against the kept set is exact
         order = np.lexsort(tuple(vals.T[::-1]))
         kept_rows: list[int] = []
-        kept = np.empty((0, vals.shape[1]))
+        # geometric-growth buffer: append into preallocated rows and
+        # double capacity when full (the per-row np.vstack this
+        # replaces copied the whole frontier each keep — O(f²·d) on
+        # tie-heavy criteria; ADVICE r9)
+        cap = 64
+        kept = np.empty((cap, vals.shape[1]))
+        n_kept = 0
         for i in order:
             v = vals[i]
-            if kept.shape[0]:
-                le = (kept <= v).all(axis=1)
-                lt = (kept < v).any(axis=1)
+            if n_kept:
+                view = kept[:n_kept]
+                le = (view <= v).all(axis=1)
+                lt = (view < v).any(axis=1)
                 if (le & lt).any():
                     continue
+            if n_kept == cap:
+                cap *= 2
+                grown = np.empty((cap, vals.shape[1]))
+                grown[:n_kept] = kept[:n_kept]
+                kept = grown
+            kept[n_kept] = v
+            n_kept += 1
             kept_rows.append(i)
-            kept = np.vstack([kept, v[None, :]])
         return pdf.iloc[sorted(kept_rows)]
 
     def part_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -425,8 +460,22 @@ def skyline(
         for pdf in batches:
             pool = pdf if frontier is None else pd.concat([frontier, pdf])
             frontier = _local_skyline(pool)
+            if max_frontier is not None and len(frontier) > max_frontier:
+                raise ValueError(
+                    f"skyline frontier exceeded max_frontier={max_frontier} "
+                    f"on one task ({len(frontier)} rows kept and growing): "
+                    "the criteria do not discriminate (anti-correlated or "
+                    "near-tied columns). Add criteria, pre-aggregate, or "
+                    "raise/disable max_frontier if a huge frontier is "
+                    "genuinely wanted."
+                )
         if frontier is not None and not frontier.empty:
             yield frontier
 
     local = clean.mapInPandas(part_skyline, schema=schema)
-    return local.repartition(1).mapInPandas(part_skyline, schema=schema)
+    # tree reduction: prune cross-partition dominated rows on a few
+    # tasks before the single-task global pass sees anything
+    reduced = local.repartition(reduce_partitions).mapInPandas(
+        part_skyline, schema=schema
+    )
+    return reduced.repartition(1).mapInPandas(part_skyline, schema=schema)

@@ -1034,14 +1034,23 @@ def ivf_append(
     increment, never the corpus. Centroids drift as the distribution
     shifts — re-run ivf_build/ivf_write when recall degrades (the
     standard reindex cadence), exactly as FAISS add() vs retrain.
-    An empty increment is a legitimate daily arrival: no-op."""
-    if new_vectors.isEmpty():
-        return
-    centroids = spark.read.parquet(f"{path}/centroids")
-    assigned = _assign_cells(new_vectors, centroids, id_col, vec_col)
-    assigned.select(id_col, vec_col, "cell").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{path}/vectors")
+    An empty increment is a legitimate daily arrival: no-op (the
+    increment is cached around the emptiness probe so an expensive
+    upstream plan is not evaluated twice — ADVICE r9)."""
+    owned_cache = not new_vectors.is_cached
+    if owned_cache:
+        new_vectors.persist()
+    try:
+        if new_vectors.isEmpty():
+            return
+        centroids = spark.read.parquet(f"{path}/centroids")
+        assigned = _assign_cells(new_vectors, centroids, id_col, vec_col)
+        assigned.select(id_col, vec_col, "cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{path}/vectors")
+    finally:
+        if owned_cache:
+            new_vectors.unpersist()
 
 
 def ivfpq_append(
@@ -1059,22 +1068,30 @@ def ivfpq_append(
     sized work end-to-end; codebooks are frozen (appendors never
     retrain — quantization error for drifted data grows until the
     scheduled rebuild, the deployed IVF-PQ contract). An empty
-    increment is a legitimate daily arrival: no-op."""
-    if new_vectors.isEmpty():
-        return
-    coarse = spark.read.parquet(f"{path}/coarse")
-    pq_cent = spark.read.parquet(f"{path}/pq")
-    assigned = _assign_cells(new_vectors, coarse, id_col, vec_col)
-    residuals = assigned.join(F.broadcast(coarse), "cell").select(
-        F.col(id_col),
-        "cell",
-        F.zip_with(
-            F.col(vec_col), "centroid", lambda a, b: (a.cast("double") - b)
-        ).alias(vec_col),
-    )
-    codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
-    index = residuals.select(id_col, "cell").join(codes, id_col)
-    index.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    increment is a legitimate daily arrival: no-op (increment cached
+    around the emptiness probe, as in ``ivf_append``)."""
+    owned_cache = not new_vectors.is_cached
+    if owned_cache:
+        new_vectors.persist()
+    try:
+        if new_vectors.isEmpty():
+            return
+        coarse = spark.read.parquet(f"{path}/coarse")
+        pq_cent = spark.read.parquet(f"{path}/pq")
+        assigned = _assign_cells(new_vectors, coarse, id_col, vec_col)
+        residuals = assigned.join(F.broadcast(coarse), "cell").select(
+            F.col(id_col),
+            "cell",
+            F.zip_with(
+                F.col(vec_col), "centroid", lambda a, b: (a.cast("double") - b)
+            ).alias(vec_col),
+        )
+        codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
+        index = residuals.select(id_col, "cell").join(codes, id_col)
+        index.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    finally:
+        if owned_cache:
+            new_vectors.unpersist()
 
 
 def label_centroids(

@@ -197,3 +197,85 @@ def test_merge_partial_aggs_explicit_keys_and_validation(spark):
         R.merge_partial_aggs(pa, pb.withColumnRenamed("k", "kk"))
     with pytest.raises(ValueError, match="keys not present"):
         R.merge_partial_aggs(pa, pb, keys=["nope"])
+
+
+def test_merge_partial_aggs_raises_on_dropped_columns(spark):
+    """Explicit keys that omit a column present in the partials must
+    raise, not silently drop it from the merged output (ADVICE r9)."""
+    a = spark.createDataFrame(
+        [("x", "u", 1.0), ("y", "v", 2.0)], "k string, k2 string, v double"
+    )
+    pa = R.partial_agg(a, ["k", "k2"], "v")
+    with pytest.raises(ValueError, match="would be dropped"):
+        R.merge_partial_aggs(pa, pa, keys=["k"])
+    # projecting the extra key away first is the documented escape
+    ok = R.merge_partial_aggs(
+        pa.drop("k2"), pa.drop("k2"), keys=["k"]
+    ).collect()
+    assert {r.k for r in ok} == {"x", "y"}
+
+
+def _brute_skyline(rows, n_min, n_max):
+    """O(n²) NOT-EXISTS reference: r survives iff no s dominates it."""
+    out = []
+    for r in rows:
+        dominated = False
+        for s in rows:
+            le = all(s[i] <= r[i] for i in range(n_min)) and all(
+                s[n_min + j] >= r[n_min + j] for j in range(n_max)
+            )
+            lt = any(s[i] < r[i] for i in range(n_min)) or any(
+                s[n_min + j] > r[n_min + j] for j in range(n_max)
+            )
+            if le and lt:
+                dominated = True
+                break
+        if not dominated:
+            out.append(r)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_skyline_matches_bruteforce_randomized(spark, seed):
+    """Randomized differential vs the O(n²) NOT-EXISTS definition,
+    with heavy ties (small integer domain) so the tie-keeping rule and
+    the geometric kept-buffer growth path are both exercised."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 8), rng.randint(0, 8), rng.randint(0, 4))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    got = sorted(
+        (r.a, r.b, r.c)
+        for r in R.skyline(df, minimize=["a", "b"], maximize=["c"]).collect()
+    )
+    want = _brute_skyline([(a, b, c) for _, a, b, c in rows], 2, 1)
+    assert got == want and len(got) > 0
+
+
+def test_skyline_single_criterion_all_ties(spark):
+    """1-criterion, all-tied input: the frontier is EVERY row (ties
+    never dominate) — the worst case for the kept-buffer (ADVICE r9:
+    the old per-keep vstack was quadratic here)."""
+    df = spark.range(3000).select(
+        F.col("id"), F.lit(5).cast("long").alias("a")
+    )
+    assert R.skyline(df, minimize=["a"]).count() == 3000
+
+
+def test_skyline_max_frontier_guard_raises(spark):
+    """Anti-correlated criteria (a + b == const) keep every row on the
+    frontier; the per-task guard must fail fast with a diagnosis
+    instead of funneling the dataset through one task (VERDICT r9)."""
+    df = spark.range(5000).select(
+        F.col("id").alias("a"), (5000 - F.col("id")).alias("b")
+    )
+    with pytest.raises(Exception, match="max_frontier"):
+        R.skyline(df, minimize=["a", "b"], max_frontier=500).count()
+    # disabled guard completes and keeps everything
+    assert (
+        R.skyline(df, minimize=["a", "b"], max_frontier=None).count() == 5000
+    )
