@@ -364,7 +364,7 @@ def skyline(
     df: DataFrame,
     minimize: list[str] | None = None,
     maximize: list[str] | None = None,
-    max_frontier: int | None = 1_000_000,
+    max_frontier: int | None = 100_000,
     reduce_partitions: int = 16,
 ) -> DataFrame:
     """Pareto frontier (skyline): rows not DOMINATED by any other row.
@@ -388,11 +388,16 @@ def skyline(
     single task.
 
     ``max_frontier`` (house-style guard, like dedup's max_bucket):
-    every reduction task raises as soon as ITS running frontier
-    exceeds the bound, so a weakly-discriminating criteria set (e.g.
-    anti-correlated columns where the frontier is a constant fraction
-    of the data) fails fast with a diagnosis instead of silently
-    funneling the dataset through one task. None disables the guard.
+    every task — local AND reduction — raises as soon as ITS running
+    frontier exceeds the bound, so a weakly-discriminating criteria
+    set (e.g. anti-correlated columns where the frontier is a
+    constant fraction of the data) fails fast with a diagnosis
+    instead of silently funneling the dataset through one task. The
+    default is deliberately modest: the dominance scan is
+    O(frontier²·dims) compares per task (chunk-vectorized, but still
+    quadratic — ~10¹⁰ numpy element-ops at 100k), so a frontier much
+    beyond it is unaffordable wherever it is computed, not just on
+    the final single task. None disables the guard.
 
     Rows with NULL in any criterion column are excluded up front
     (three-valued dominance is undefined). Criteria must be numeric;
@@ -421,39 +426,53 @@ def skyline(
         cols += [-pdf[c].to_numpy(dtype="float64") for c in max_cols]
         return np.column_stack(cols)
 
+    def _dominated_within(block: np.ndarray) -> np.ndarray:
+        """Boolean mask: block rows dominated by an EARLIER block row
+        (block is in lexicographic order, so a dominator always
+        precedes what it dominates — the first differing coordinate is
+        strictly smaller). One O(b²·d) broadcast, no Python loop."""
+        le = (block[:, None, :] <= block[None, :, :]).all(axis=2)
+        lt = (block[:, None, :] < block[None, :, :]).any(axis=2)
+        dom = le & lt
+        # only earlier rows count; lex order makes later-row dominance
+        # impossible anyway, but ties (equal rows) satisfy neither
+        return dom.any(axis=0)
+
     def _local_skyline(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pdf
         vals = _vals(pdf)
-        # lexicographic order: a dominator always precedes what it
-        # dominates (first differing coordinate is strictly smaller),
-        # so one forward scan against the kept set is exact
         order = np.lexsort(tuple(vals.T[::-1]))
-        kept_rows: list[int] = []
-        # geometric-growth buffer: append into preallocated rows and
-        # double capacity when full (the per-row np.vstack this
-        # replaces copied the whole frontier each keep — O(f²·d) on
-        # tie-heavy criteria; ADVICE r9)
-        cap = 64
-        kept = np.empty((cap, vals.shape[1]))
+        svals = vals[order]
+        kept_idx: list[np.ndarray] = []  # chunks of surviving positions
         n_kept = 0
-        for i in order:
-            v = vals[i]
+        # chunked vectorized scan (replaces the per-row Python loop,
+        # which was itself quadratic with per-keep vstack copies —
+        # ADVICE r9): each chunk is screened against the kept frontier
+        # in one (f × b × d) broadcast, then intra-chunk dominance in
+        # one (b × b × d) broadcast. Chunk size balances broadcast
+        # temp memory (f·b·d bools per comparison) against loop
+        # overhead: at the 100k max_frontier default, b=256, d=3 the
+        # screening temps peak ~150 MB per task.
+        b = 256
+        for lo in range(0, len(svals), b):
+            chunk = svals[lo : lo + b]
+            alive = ~_dominated_within(chunk)
             if n_kept:
-                view = kept[:n_kept]
-                le = (view <= v).all(axis=1)
-                lt = (view < v).any(axis=1)
-                if (le & lt).any():
-                    continue
-            if n_kept == cap:
-                cap *= 2
-                grown = np.empty((cap, vals.shape[1]))
-                grown[:n_kept] = kept[:n_kept]
-                kept = grown
-            kept[n_kept] = v
-            n_kept += 1
-            kept_rows.append(i)
-        return pdf.iloc[sorted(kept_rows)]
+                kept = np.concatenate(kept_idx) if len(kept_idx) > 1 else kept_idx[0]
+                kept_idx = [kept]
+                front = svals[kept]
+                le = (front[:, None, :] <= chunk[None, :, :]).all(axis=2)
+                lt = (front[:, None, :] < chunk[None, :, :]).any(axis=2)
+                alive &= ~(le & lt).any(axis=0)
+            pos = np.flatnonzero(alive) + lo
+            if len(pos):
+                kept_idx.append(pos)
+                n_kept += len(pos)
+        if not kept_idx:
+            return pdf.iloc[:0]
+        surviving = np.concatenate(kept_idx)
+        return pdf.iloc[np.sort(order[surviving])]
 
     def part_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frontier: pd.DataFrame | None = None

@@ -6252,11 +6252,23 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quadratic in BASKET size, never corpus size); part marginals are a
 # part-sized table joined back. Lift arithmetic is integer
 # cross-multiplication until one final rounded double.
+# max_basket guard (VERDICT r9 #5): baskets over 1000 items are
+# excluded UP FRONT (before n_orders/marginals, identically in both
+# engines) — one pathological 10k-item basket would otherwise
+# generate 50M pairs inside the single join task owning that order
+# key (quadratic in basket size; priced in scale_smoke.py basket).
+# Degenerate mega-baskets carry no association signal anyway — every
+# pair in them co-occurs once. No TPC-H basket exceeds 7 items, so
+# the guard is invisible to the driver tables.
 @register(
     "orders_basket_lift",
     """
     WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               count(*) OVER (PARTITION BY l_orderkey) AS _bs
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+      WHERE _bs <= 1000),
     n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
     marg AS (
       SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
@@ -6277,7 +6289,13 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    distinct_items = li.select("l_orderkey", "l_partkey").distinct()
+    w_basket = Window.partitionBy("l_orderkey")
+    items = (
+        distinct_items.withColumn("_bs", F.count(F.lit(1)).over(w_basket))
+        .filter(F.col("_bs") <= 1000)
+        .drop("_bs")
+    )
     n_orders = items.select("l_orderkey").distinct().count()
     marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     a = items.select(

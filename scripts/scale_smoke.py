@@ -23,6 +23,11 @@ Usage: python scripts/scale_smoke.py <name> [args]
     ivfpq_disk [n=1000000]
     decontaminate [n=1000000]
     sessions  [n=10000000]
+    skyline   [n=10000000]
+    triangles [n_edges=10000000] [hub_deg=100000]
+    heavy_hitters [n=100000000] [phi_permille=1]
+    basket    [n_orders=2000000] [hub_items=10000]
+    markov_retention [n=10000000] [n_users=100000]
 
 Each prints one JSON line per measurement.
 """
@@ -63,6 +68,228 @@ def _timed(df) -> tuple[float, int]:
     return round(time.monotonic() - t0, 1), n
 
 
+def smoke_skyline(n: int = 10_000_000) -> None:
+    """Skyline at 10M rows, three regimes (VERDICT r9 #2):
+    (a) correlated criteria — tiny frontier, the common case; wall
+        must be scan-dominated (near-linear);
+    (b) DISCRETIZED anti-correlated criteria (a + b ~ const over a
+        1001-value domain) — frontier bounded by the domain, the
+        tree-reduction pass prunes cross-partition dominated ties
+        before the single task sees anything;
+    (c) continuous anti-correlated (every row on the frontier) with
+        the default max_frontier guard — must FAIL FAST with the
+        diagnosis, not funnel 10M rows through one task."""
+    from cascading_hive_spark.operators.relational import skyline
+
+    spark = _spark()
+    base = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.abs(F.xxhash64("id")), F.lit(1_000_000)).alias("h"),
+        F.pmod(F.abs(F.xxhash64(F.col("id") + 3)), F.lit(1000)).alias("j"),
+    )
+    # (a) correlated: b grows with a plus small jitter -> small frontier
+    corr = base.select(
+        F.col("id"),
+        F.col("h").cast("double").alias("a"),
+        (F.col("h") + F.col("j")).cast("double").alias("b"),
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    n_corr = skyline(corr, minimize=["a", "b"]).count()
+    w_corr = round(time.monotonic() - t0, 1)
+    print(json.dumps({"smoke": "skyline", "regime": "correlated", "n": n,
+                      "frontier": n_corr, "wall_sec": w_corr}), flush=True)
+    # (b) discretized anti-correlated: a in 0..1000, b = 1000 - a + jitter%7
+    disc = base.select(
+        F.col("id"),
+        F.pmod(F.col("h"), F.lit(1001)).cast("double").alias("a"),
+        (F.lit(1000) - F.pmod(F.col("h"), F.lit(1001))
+         + F.pmod(F.col("j"), F.lit(7))).cast("double").alias("b"),
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    n_disc = skyline(disc, minimize=["a", "b"]).count()
+    w_disc = round(time.monotonic() - t0, 1)
+    print(json.dumps({"smoke": "skyline", "regime": "anti_discretized",
+                      "n": n, "frontier": n_disc, "wall_sec": w_disc}), flush=True)
+    # (c) continuous anti-correlated: frontier == n -> guard must raise
+    anti = spark.range(n).select(
+        F.col("id").cast("double").alias("a"),
+        (F.lit(n) - F.col("id")).cast("double").alias("b"),
+    )
+    t0 = time.monotonic()
+    try:
+        skyline(anti, minimize=["a", "b"]).count()
+        raised = False
+    except Exception as exc:  # guard raise surfaces as PythonException
+        raised = "max_frontier" in str(exc)
+    w_guard = round(time.monotonic() - t0, 1)
+    print(json.dumps({"smoke": "skyline", "regime": "anti_guard", "n": n,
+                      "guard_raised": raised, "wall_sec": w_guard}), flush=True)
+
+
+def smoke_triangles(n_edges: int = 10_000_000, hub_deg: int = 100_000) -> None:
+    """Degree-ordered triangle count on a Zipf-hub graph (VERDICT r9
+    #3): a ring (i, i+1) for local triangles' base, a planted hub with
+    degree ``hub_deg`` (every step-th node links to node 0), and a
+    random-offset edge per node so real triangles exist. The r8
+    id-ordered plan paired the hub's neighbors quadratically
+    (hub_deg² wedges ~ 10^10 at 1e5); the degree-ordered orientation
+    must keep wall near-linear in edges instead."""
+    from cascading_hive_spark.operators.graph import triangle_count
+
+    spark = _spark()
+    n_nodes = max(4, n_edges // 3)
+    step = max(1, n_nodes // hub_deg)
+    base = spark.range(1, n_nodes)
+    ring = base.select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") + 1, F.lit(n_nodes)).alias("dst"),
+    )
+    hub = base.filter(F.pmod(F.col("id"), F.lit(step)) == 0).select(
+        F.col("id").alias("src"), F.lit(0).alias("dst")
+    )
+    rand = base.select(
+        F.col("id").alias("src"),
+        F.pmod(
+            F.col("id") + 2 + F.pmod(F.abs(F.xxhash64("id")), F.lit(97)),
+            F.lit(n_nodes),
+        ).alias("dst"),
+    )
+    edges = ring.union(hub).union(rand).localCheckpoint()
+    t0 = time.monotonic()
+    row = triangle_count(edges).collect()[0]
+    wall = round(time.monotonic() - t0, 1)
+    print(json.dumps({"smoke": "triangles", "n_edges": n_edges,
+                      "hub_degree": hub.count(), "wall_sec": wall,
+                      "n_wedges": row["n_wedges"],
+                      "n_triangles": row["n_triangles"]}), flush=True)
+
+
+def smoke_heavy_hitters(n: int = 100_000_000, phi_permille: int = 1) -> None:
+    """Misra-Gries heavy hitters over Zipf-skewed keys (VERDICT r9
+    #4): key = nested-pmod power-law over ~1M distinct values, phi =
+    phi_permille/1000. Pass 1 is map-only (plan-gated in test_plans);
+    this records the wall and that the final answer agrees with an
+    exact groupBy at the same threshold."""
+    from cascading_hive_spark.operators.sketches import heavy_hitters
+
+    spark = _spark()
+    phi = phi_permille / 1000.0
+    df = spark.range(n).select(
+        F.pmod(
+            F.pmod(F.abs(F.xxhash64("id")), F.lit(1_000_000)),
+            F.pmod(F.abs(F.xxhash64(F.col("id") + 11)), F.lit(997)) + 1,
+        ).alias("key")
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    hh = {(r.key, r.cnt) for r in heavy_hitters(df, ["key"], phi).collect()}
+    wall = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    exact = {
+        (r.key, r.cnt)
+        for r in df.groupBy("key").count()
+        .withColumnRenamed("count", "cnt")
+        .filter(F.col("cnt") > phi * n)
+        .collect()
+    }
+    wall_exact = round(time.monotonic() - t0, 1)
+    print(json.dumps({"smoke": "heavy_hitters", "n": n, "phi": phi,
+                      "k_bound": int(1 / phi) + 1, "n_hitters": len(hh),
+                      "matches_exact": hh == exact,
+                      "wall_sec": wall, "wall_exact_groupby_sec": wall_exact}), flush=True)
+
+
+def smoke_basket(n_orders: int = 2_000_000, hub_items: int = 10_000) -> None:
+    """Basket-lift pair mining with a pathological basket (VERDICT r9
+    #5): ~5-item baskets (TPC-H shape) plus ONE planted ``hub_items``-
+    item order. In-basket pair work is quadratic in basket size by
+    design — the hub alone contributes hub_items²/2 = 50M pairs, all
+    generated in the single join task owning that order key. Measured
+    with and without the hub to price that skew; the max_basket guard
+    (registered query) excludes oversized baskets up front."""
+    spark = _spark()
+    items = spark.range(n_orders * 5).select(
+        (F.col("id") % n_orders).alias("l_orderkey"),
+        F.pmod(F.abs(F.xxhash64("id")), F.lit(50_000)).alias("l_partkey"),
+    ).distinct()
+    hub = spark.range(hub_items).select(
+        F.lit(n_orders + 1).alias("l_orderkey"),
+        F.col("id").alias("l_partkey"),
+    )
+
+    def _lift(it, tag):
+        marg = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+        a = it.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        b = it.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+        pairs = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .filter(F.col("n_ab") >= 2)
+        )
+        t0 = time.monotonic()
+        n_pairs = pairs.count()
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "basket", "variant": tag,
+                          "n_items": it.count(), "n_pairs": n_pairs,
+                          "wall_sec": wall, "n_marg": marg.count()}), flush=True)
+
+    clean = items.localCheckpoint()
+    _lift(clean, "no_hub")
+    with_hub = items.union(hub).localCheckpoint()
+    _lift(with_hub, "hub_10k")
+    # guarded: drop baskets over 1000 items before pairing
+    sizes = with_hub.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_bs")
+    ).filter(F.col("_bs") <= 1000)
+    guarded = with_hub.join(sizes.select("l_orderkey"), "l_orderkey", "left_semi")
+    _lift(guarded.localCheckpoint(), "guarded_max1000")
+
+
+def smoke_markov_retention(n: int = 10_000_000, n_users: int = 100_000) -> None:
+    """events_markov_transitions + events_retention_cohorts shapes at
+    10M synthetic events (VERDICT r9 #5): per-user sequence windows
+    (one user-keyed shuffle each) must stay linear."""
+    spark = _spark()
+    from pyspark.sql import Window
+
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.abs(F.xxhash64("id")), F.lit(n_users)).alias("user_id"),
+        F.pmod(F.abs(F.xxhash64(F.col("id") + 5)), F.lit(8)).alias("etype"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.abs(F.xxhash64(F.col("id") + 9)),
+                                          F.lit(90 * 86400))
+        ).alias("ts"),
+    ).localCheckpoint()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("etype", F.lead("etype").over(w).alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    t0 = time.monotonic()
+    n_trans = seq.groupBy("etype", "nxt").count().count()
+    w_markov = round(time.monotonic() - t0, 1)
+    first = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    cohorts = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .join(first, "user_id")
+        .select(
+            F.date_trunc("week", "d0").alias("cohort"),
+            F.floor(F.datediff("d", "d0") / 7).alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_n")
+        .agg(F.countDistinct("user_id").alias("active"))
+    )
+    t0 = time.monotonic()
+    n_cohort = cohorts.count()
+    w_ret = round(time.monotonic() - t0, 1)
+    print(json.dumps({"smoke": "markov_retention", "n": n,
+                      "n_users": n_users, "n_transitions": n_trans,
+                      "markov_wall_sec": w_markov, "n_cohort_cells": n_cohort,
+                      "retention_wall_sec": w_ret}), flush=True)
+
+
 def smoke_ivf_knn(n: int = 100_000, n_queries: int = 200, n_cells: int = 64) -> None:
     """Batched IVF ANN join: recall vs brute-force knn_join and wall
     time as nprobe scales — cost should track nprobe/n_cells."""
@@ -83,14 +310,14 @@ def smoke_ivf_knn(n: int = 100_000, n_queries: int = 200, n_cells: int = 64) -> 
     for r in truth_rows:
         truth.setdefault(r.query_id, set()).add(r.vec_id)
     print(json.dumps({"smoke": "ivf_knn", "stage": "brute_force", "n": n,
-                      "n_queries": n_queries, "wall_sec": brute_wall}))
+                      "n_queries": n_queries, "wall_sec": brute_wall}), flush=True)
 
     t0 = time.monotonic()
     assignments, centroids = ivf_build(emb, n_cells=n_cells)
     assignments = assignments.localCheckpoint()
     build_wall = round(time.monotonic() - t0, 1)
     print(json.dumps({"smoke": "ivf_knn", "stage": "build", "n_cells": n_cells,
-                      "wall_sec": build_wall}))
+                      "wall_sec": build_wall}), flush=True)
 
     for nprobe in (2, 8, 32):
         t0 = time.monotonic()
@@ -107,7 +334,7 @@ def smoke_ivf_knn(n: int = 100_000, n_queries: int = 200, n_cells: int = 64) -> 
             "smoke": "ivf_knn", "stage": "probe", "nprobe": nprobe,
             "n_cells": n_cells, "wall_sec": wall,
             "recall": round(hits / total, 4),
-        }))
+        }), flush=True)
 
 
 def smoke_simhash(n: int = 500_000) -> None:
@@ -120,7 +347,7 @@ def smoke_simhash(n: int = 500_000) -> None:
     docs = synthetic_documents(spark, n=n, dup_rate=0.02, n_vocab=5000).localCheckpoint()
     wall, n_pairs = _timed(simhash_pairs(docs, "doc_id", "text", max_hamming=3))
     print(json.dumps({"smoke": "simhash", "n_docs": n, "wall_sec": wall,
-                      "n_pairs": n_pairs}))
+                      "n_pairs": n_pairs}), flush=True)
 
 
 def smoke_tfidf(n: int = 1_000_000) -> None:
@@ -141,7 +368,7 @@ def smoke_tfidf(n: int = 1_000_000) -> None:
             tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.8)
         )
         print(json.dumps({"smoke": "tfidf", "n_docs": size, "wall_sec": wall,
-                          "n_pairs": n_pairs, "planted": int(size * 0.02)}))
+                          "n_pairs": n_pairs, "planted": int(size * 0.02)}), flush=True)
 
 
 def smoke_cc(n_edges: int = 100_000) -> None:
@@ -166,7 +393,7 @@ def smoke_cc(n_edges: int = 100_000) -> None:
     wall = round(time.monotonic() - t0, 1)
     print(json.dumps({"smoke": "cc", "shape": "dedup_clusters",
                       "n_edges": n_edges, "n_components": n_comp,
-                      "wall_sec": wall}))
+                      "wall_sec": wall}), flush=True)
 
     chain = spark.range(0, 10_000).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
@@ -176,7 +403,7 @@ def smoke_cc(n_edges: int = 100_000) -> None:
     n_comp = labels.select("component").distinct().count()
     wall = round(time.monotonic() - t0, 1)
     print(json.dumps({"smoke": "cc", "shape": "chain_10k_star",
-                      "n_components": n_comp, "wall_sec": wall}))
+                      "n_components": n_comp, "wall_sec": wall}), flush=True)
 
 
 def smoke_cdc(n: int = 10_000_000, change_rate: int = 20) -> None:
@@ -217,7 +444,7 @@ def smoke_cdc(n: int = 10_000_000, change_rate: int = 20) -> None:
         print(json.dumps({"smoke": "cdc", "n_target": size,
                           "n_changes": changes.count(), "n_after": n_new,
                           "n_diff": n_diff, "apply_sec": wall_apply,
-                          "diff_sec": wall_diff}))
+                          "diff_sec": wall_diff}), flush=True)
 
 
 def smoke_pagerank(n_edges: int = 10_000_000, iterations: int = 5) -> None:
@@ -255,7 +482,7 @@ def smoke_pagerank(n_edges: int = 10_000_000, iterations: int = 5) -> None:
     print(json.dumps({"smoke": "pagerank", "n_edges": n_edges,
                       "n_nodes": n_nodes, "iterations": iterations,
                       "wall_sec": wall,
-                      "top_rank": round(top[0]["rank"], 6)}))
+                      "top_rank": round(top[0]["rank"], 6)}), flush=True)
 
 
 def smoke_elsh_auto(n: int = 1_000_000) -> None:
@@ -277,7 +504,7 @@ def smoke_elsh_auto(n: int = 1_000_000) -> None:
         wall = round(time.monotonic() - t0, 1)
         print(json.dumps({"smoke": "elsh_auto", "n_vectors": size,
                           "wall_sec": wall, "n_pairs": n_pairs,
-                          "planted": int(size * 0.02)}))
+                          "planted": int(size * 0.02)}), flush=True)
 
 
 def smoke_packing(n: int = 1_000_000) -> None:
@@ -301,7 +528,7 @@ def smoke_packing(n: int = 1_000_000) -> None:
         wall = round(time.monotonic() - t0, 1)
         print(json.dumps({"smoke": "packing", "n_docs": size, "wall_sec": wall,
                           "n_sequences": row["n_seqs"],
-                          "avg_utilization": row["avg_util"]}))
+                          "avg_utilization": row["avg_util"]}), flush=True)
 
 
 def smoke_asof(n_left: int = 10_000_000, n_right: int = 1_000_000) -> None:
@@ -337,7 +564,7 @@ def smoke_asof(n_left: int = 10_000_000, n_right: int = 1_000_000) -> None:
         print(json.dumps({"smoke": "asof", "direction": direction,
                           "n_left": n_left, "n_right": n_right,
                           "hot_key_share": 0.2, "matched": n,
-                          "wall_sec": wall}))
+                          "wall_sec": wall}), flush=True)
 
 
 def smoke_packing_skewed(n: int = 1_000_000) -> None:
@@ -373,7 +600,7 @@ def smoke_packing_skewed(n: int = 1_000_000) -> None:
                           "wall_sec": wall, "n_sequences": row["n_seqs"],
                           "avg_utilization": row["avg_util"],
                           "largest_group_docs": top["count"],
-                          "uniform_share_docs": size // 512}))
+                          "uniform_share_docs": size // 512}), flush=True)
 
 
 def smoke_q1_decimal(tile: int = 10) -> None:
@@ -438,7 +665,7 @@ def smoke_q1_decimal(tile: int = 10) -> None:
             runs.append(round(time.monotonic() - t0, 2))
         print(json.dumps({"smoke": "q1_decimal", "variant": label,
                           "n_rows": n_rows, "runs": runs,
-                          "median_sec": sorted(runs)[1]}))
+                          "median_sec": sorted(runs)[1]}), flush=True)
 
 
 def smoke_shuffle(n: int = 10_000_000) -> None:
@@ -460,7 +687,7 @@ def smoke_shuffle(n: int = 10_000_000) -> None:
         wall = round(time.monotonic() - t0, 1)
         assert row["mn"] == 0 and row["mx"] == size - 1 and row["nd"] == size
         print(json.dumps({"smoke": "shuffle", "n_rows": size, "wall_sec": wall,
-                          "dense_permutation": True}))
+                          "dense_permutation": True}), flush=True)
 
 
 def smoke_scd2(n: int = 10_000_000, n_keys: int = 1_000_000) -> None:
@@ -487,7 +714,7 @@ def smoke_scd2(n: int = 10_000_000, n_keys: int = 1_000_000) -> None:
         wall = round(time.monotonic() - t0, 1)
         print(json.dumps({"smoke": "scd2", "n_changes": size,
                           "hot_key_share": 0.1, "history_rows": n_rows,
-                          "current_rows": n_current, "wall_sec": wall}))
+                          "current_rows": n_current, "wall_sec": wall}), flush=True)
 
 
 def smoke_catalog10k(n_parts: int = 10_000, rows_per: int = 10) -> None:
@@ -671,7 +898,7 @@ def smoke_span(n: int = 1_000_000) -> None:
         wall = round(time.monotonic() - t0, 1)
         print(json.dumps({"smoke": "span", "n_docs": size, "wall_sec": wall,
                           "docs_with_dup_spans": row["docs_hit"],
-                          "planted_dups": int(size * 0.02)}))
+                          "planted_dups": int(size * 0.02)}), flush=True)
 
 
 def smoke_bpe(n: int = 1_000_000, n_merges: int = 10) -> None:
@@ -690,7 +917,7 @@ def smoke_bpe(n: int = 1_000_000, n_merges: int = 10) -> None:
         wall = round(time.monotonic() - t0, 1)
         print(json.dumps({"smoke": "bpe", "n_docs": size, "n_merges": len(merges),
                           "wall_sec": wall,
-                          "top_merge": list(merges[0][1:3]) if merges else None}))
+                          "top_merge": list(merges[0][1:3]) if merges else None}), flush=True)
 
 
 def smoke_pq(n: int = 1_000_000) -> None:
@@ -733,7 +960,7 @@ def smoke_pq(n: int = 1_000_000) -> None:
         print(json.dumps({"smoke": "pq", "n_vectors": size,
                           "train_sec": train_wall, "encode_sec": encode_wall,
                           "adc_search_sec": adc_wall, "shortlist": shortlist,
-                          "rerank_recall_at_10": len(got & truth) / 10}))
+                          "rerank_recall_at_10": len(got & truth) / 10}), flush=True)
 
 
 def smoke_sessions(n: int = 10_000_000) -> None:
@@ -791,7 +1018,7 @@ def smoke_sessions(n: int = 10_000_000) -> None:
         "n_sessions": n_native,
         "native_session_window_sec": wall_native,
         "gaps_and_islands_sec": wall_cascade,
-    }))
+    }), flush=True)
 
 
 def smoke_decontaminate(n: int = 1_000_000) -> None:
@@ -824,7 +1051,7 @@ def smoke_decontaminate(n: int = 1_000_000) -> None:
         "smoke": "decontaminate", "n_train": train.count(),
         "n_eval": eval_df.count(), "n_contaminated": outs["broadcast"],
         "broadcast_sec": walls["broadcast"], "shuffle_sec": walls["shuffle"],
-    }))
+    }), flush=True)
 
 
 def smoke_ivfpq_disk(n: int = 1_000_000) -> None:
@@ -891,7 +1118,7 @@ def smoke_ivfpq_disk(n: int = 1_000_000) -> None:
             "probe_sec": probe_wall,
             "files_probed": n_files_probed,
             "files_total": n_files_total,
-        }))
+        }), flush=True)
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -920,7 +1147,7 @@ def smoke_fuzzy(n: int = 1_000_000) -> None:
         wall = round(time.monotonic() - t0, 1)
         print(json.dumps({"smoke": "fuzzy", "n_rows": size, "n_blocks": size // 50,
                           "wall_sec": wall, "n_pairs": n_pairs,
-                          "exact_pair_floor": (size // 3) * 3}))
+                          "exact_pair_floor": (size // 3) * 3}), flush=True)
 
 
 if __name__ == "__main__":
@@ -928,6 +1155,11 @@ if __name__ == "__main__":
     args = [int(a) for a in sys.argv[2:]]
     {
         "ivf_knn": smoke_ivf_knn,
+        "skyline": smoke_skyline,
+        "triangles": smoke_triangles,
+        "heavy_hitters": smoke_heavy_hitters,
+        "basket": smoke_basket,
+        "markov_retention": smoke_markov_retention,
         "simhash": smoke_simhash,
         "cc": smoke_cc,
         "pagerank": smoke_pagerank,

@@ -253,3 +253,30 @@ def test_new_headliners_no_cartesian_and_single_key_shuffles(spark, sf_dir):
     cdc_plan = physical_plan(_q(spark, sf_dir, "cdc_apply_orders"))
     assert "FullOuter" not in cdc_plan, cdc_plan
     assert "Window" in cdc_plan and "LeftAnti" in cdc_plan, cdc_plan
+
+
+def test_heavy_hitters_sketch_pass_no_shuffle(spark, sf_dir):
+    """Misra-Gries pass 1 is MAP-ONLY: no Exchange may sit between the
+    events scan and the mapInPandas sketch — the whole point is that
+    the only rows ever shuffled are the <=k-per-partition candidates
+    and the candidate-filtered recount (VERDICT r8 #4 plan gate)."""
+    from cascading_hive_spark.operators.sketches import heavy_hitters
+    from cascading_hive_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    hh = heavy_hitters(ev, ["event_type"], phi=0.05)
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    sketch_idx = [
+        i for i, ln in enumerate(lines) if "MapInPandas" in ln
+    ]
+    assert sketch_idx, plan
+    # the sketch operator's subtree (everything printed BELOW it at
+    # greater indent) must be exchange-free: scan -> project -> sketch
+    i = sketch_idx[-1]  # deepest/first pass in the printed tree
+    indent = len(lines[i]) - len(lines[i].lstrip(" :+-*"))
+    for ln in lines[i + 1:]:
+        cur = len(ln) - len(ln.lstrip(" :+-*"))
+        if cur <= indent:
+            break
+        assert "Exchange" not in ln, f"shuffle below the MG sketch: {ln}"
