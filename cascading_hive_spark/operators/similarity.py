@@ -1186,3 +1186,107 @@ def centroid_confusion(
         .groupBy("label", F.col("_clabel").alias("assigned_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sum_scale: int = 7,
+    out_scale: int = 6,
+    dist_scale: int = 9,
+) -> DataFrame:
+    """Iterated Lloyd k-means trainer, ENGINE-PORTABLE: ``iters``
+    full E/M rounds from a deterministic hash seeding, returning the
+    trained centroids in LONG FORM — (cid, dim, n, centroid) with n =
+    final cluster size. Pairs with the ANN index builders: run this
+    to convergence, then feed the centroids to ``ivf_write`` /
+    ``ivfpq_build`` as curated coarse cells.
+
+    Portability discipline (the ``ivf_build_portable`` /
+    ``label_centroids`` trade): seeding is the Knuth multiplicative
+    hash of the id (pmod algebra, identical in any engine); every
+    mean goes through a decimal image (round coordinates to
+    ``sum_scale``, sum exactly, divide, round to ``out_scale``) so
+    each round's centroids are bit-identical regardless of
+    partitioning or engine; every distance accumulates through
+    ``dist_scale`` decimals with argmin ties to the lower cid. A
+    plain SQL engine can replay the whole training run as unrolled
+    CTEs and hash-match the result (queries.py: embedding_kmeans_fit).
+
+    Scale shape per round: one broadcast of the k*dim centroid table
+    onto the exploded corpus (narrow), one id-key shuffle for the
+    argmin window, one id-key shuffle to join assignments back, one
+    (cid, dim) aggregation whose map-side partials are k*dim rows per
+    task — vectors themselves never shuffle. Lineage hygiene: the
+    centroid table (k*dim rows) is localCheckpoint-ed every round (the
+    pagerank pattern), so round N's plan reads the parquet scan + one
+    tiny checkpoint instead of N nested E/M graphs. Empty clusters
+    keep their previous centroid with n = 0 (left join + coalesce —
+    portable, no reseeding randomness).
+    """
+    from pyspark.sql import Window
+
+    from cascading_hive_spark.operators.sampling import hash_order
+
+    dec_sum = f"decimal(38,{sum_scale})"
+    ex = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
+    ).select("_id", "dim", F.col("_val").cast("double").alias("_val"))
+
+    def _means(pts: DataFrame) -> DataFrame:
+        return (
+            pts.groupBy("cid", "dim")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("_val"), sum_scale).cast(dec_sum)).alias("_s"),
+            )
+            .select(
+                "cid",
+                "dim",
+                F.col("n").cast("bigint").alias("n"),
+                F.round(F.col("_s").cast("double") / F.col("n"), out_scale).alias(
+                    "centroid"
+                ),
+            )
+        )
+
+    centroids = _means(
+        ex.withColumn("cid", F.pmod(hash_order(F.col("_id")), F.lit(k)))
+    ).localCheckpoint()
+    for _ in range(iters):
+        cent = centroids.select(
+            F.col("cid").alias("_ccid"), "dim", F.col("centroid").alias("_cval")
+        )
+        diff = F.col("_val") - F.col("_cval")
+        d2 = (
+            ex.join(F.broadcast(cent), "dim")
+            .groupBy("_id", "_ccid")
+            .agg(
+                F.sum(
+                    F.round(diff * diff, dist_scale).cast(f"decimal(38,{dist_scale})")
+                ).alias("_d2")
+            )
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("_ccid").asc())
+        assign = (
+            d2.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", F.col("_ccid").alias("cid"))
+        )
+        means = _means(ex.join(assign, "_id"))
+        prior = centroids.select("cid", "dim", F.col("centroid").alias("_prev"))
+        centroids = (
+            prior.join(means, ["cid", "dim"], "left")
+            .select(
+                "cid",
+                "dim",
+                F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+                F.coalesce(F.col("centroid"), F.col("_prev")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return centroids

@@ -6684,6 +6684,76 @@ def q_part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(p, minimize=["p_retailprice"], maximize=["p_size"])
 
 
+_KMEANS_MEAN = (
+    "CAST(count(*) AS BIGINT) AS n, "
+    "round(CAST(sum(CAST(round(val, 7) AS DECIMAL(38,7))) AS DOUBLE)"
+    " / count(*), 6) AS centroid"
+)
+
+
+def _kmeans_unrolled_sql(k: int, iters: int) -> str:
+    """Unrolled-CTE oracle twin of similarity.kmeans_fit(k, iters):
+    Knuth-hash seed means, then per iteration an E-step (decimal-image
+    squared-L2 argmin, ties to the lower cid) and an M-step (decimal-
+    image means, empty clusters keep the prior centroid via LEFT JOIN
+    + COALESCE) — every arithmetic step identical to the Spark
+    operator, so the trained centroids hash-match cross-engine."""
+    parts = [
+        f"""
+    WITH ex AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS dim,
+             embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    c0 AS (
+      SELECT ((id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761) % 1000000007 % {k} AS cid, dim, {_KMEANS_MEAN}
+      FROM ex GROUP BY 1, dim)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    d{i} AS (
+      SELECT id, cid,
+             sum(CAST(round((val - centroid) * (val - centroid), 9)
+                      AS DECIMAL(38,9))) AS d2
+      FROM ex JOIN {prev} USING (dim) GROUP BY id, cid),
+    a{i} AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+        FROM d{i}) WHERE rn = 1),
+    m{i} AS (
+      SELECT cid, dim, {_KMEANS_MEAN}
+      FROM ex JOIN a{i} USING (id) GROUP BY cid, dim),
+    c{i} AS (
+      SELECT p.cid, p.dim, COALESCE(m{i}.n, 0) AS n,
+             COALESCE(m{i}.centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN m{i} ON p.cid = m{i}.cid AND p.dim = m{i}.dim)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS INT) AS dim,
+           CAST(n AS BIGINT) AS n, CAST(centroid AS DOUBLE) AS centroid
+    FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+# Iterated k-means trainer (VERDICT r9 #8): 2 full Lloyd E/M rounds
+# from a deterministic Knuth-hash seeding, centroids in long form.
+# The oracle replays the ENTIRE training run — seeding, both argmin
+# assignments, both decimal-image mean updates, empty-cluster
+# retention — as unrolled CTEs; integer n plus 6-decimal centroids
+# make the hash check exact.
+@register("embedding_kmeans_fit", _kmeans_unrolled_sql(4, 2))
+def q_embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+
+    return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
 # r10 ROTATION NOTE (supersedes the r9 note, which wrongly claimed
 # full driver coverage before this rotation landed): the r10 window
 # below swaps IN the 6 oracle-able queries that had never had a driver
@@ -6695,8 +6765,12 @@ def q_part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q7_volume_shipping, q8_market_share, q10_returned_items; each has
 # 2+ green rows across r1-r9). After the r10 driver run, every
 # oracle-able registered query has at least one driver CORRECTNESS
-# row. Future rotations: fill from (a) queries registered after this
-# note (enumerate the actual registry, not a remembered count), then
+# row. embedding_kmeans_fit (registered mid-r10, the iterated
+# trainer) is swapped in the same round it was registered — in place
+# of filter_by_group_percentile (green r4+r8) — so it does not join
+# the never-checked backlog. Future rotations: fill from (a) queries
+# registered after this note (enumerate the actual registry, not a
+# remembered count), then
 # (b) oldest-verified greens as drift canaries; keep wordcount at
 # slot 1 and q1_pricing_summary (the decimal-sum watch item).
 # bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
@@ -6732,7 +6806,7 @@ _DRIVER_WINDOW: list[str] = [
     "ann_knn_join",
     # -- drift canaries (older greens):
     "sample_exact_quota",
-    "filter_by_group_percentile",
+    "embedding_kmeans_fit",  # registered mid-r10, checked same round
     "vocab_coverage_topk",
     "streaming_sliding_counts",
     "incremental_agg_merge",

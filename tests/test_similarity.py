@@ -488,3 +488,46 @@ def test_ivfpq_append_empty_increment_is_noop(spark, emb, tmp_path):
     before = spark.read.parquet(f"{path}/codes").count()
     S.ivfpq_append(spark, path, emb.filter(F.col("vec_id") < 0), m=8)
     assert spark.read.parquet(f"{path}/codes").count() == before
+
+
+def test_kmeans_fit_separates_planted_blobs(spark):
+    """Two tight, well-separated 2-D blobs with k=2: after 2 Lloyd
+    rounds each trained centroid must sit inside one blob (hash
+    seeding mixes the blobs; the E/M rounds must unmix them), and the
+    cluster sizes must equal the blob sizes."""
+    pts = [(i, [float(10 + (i % 3)), float(10 - (i % 3))]) for i in range(30)]
+    pts += [(100 + i, [float(-10 - (i % 3)), float(-10 + (i % 3))]) for i in range(20)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cent = S.kmeans_fit(df, k=2, iters=2)
+    rows = cent.collect()
+    assert {r.dim for r in rows} == {0, 1}
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, {})[r.dim] = (r.n, r.centroid)
+    assert len(by_cid) == 2
+    sizes = sorted(v[0][0] for v in by_cid.values())
+    assert sizes == [20, 30]
+    for dims in by_cid.values():
+        x = dims[0][1]
+        assert abs(abs(x) - 11) < 1.5, dims  # blob means are ±(11, 9)-ish
+
+
+def test_kmeans_fit_empty_cluster_keeps_prior_centroid(spark):
+    """k far above the distinct-point count: clusters that lose every
+    member must survive with n=0 and their previous centroid (the
+    portable no-reseed contract), and occupied clusters must carry the
+    full population."""
+    pts = [(i, [0.0, 0.0]) for i in range(8)]  # all identical points
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cent = S.kmeans_fit(df, k=4, iters=2)
+    rows = cent.collect()
+    per_cid = {}
+    for r in rows:
+        per_cid.setdefault(r.cid, []).append(r)
+    # every point lands on ONE cid (ties to the lowest cid among those
+    # at distance 0 from (0,0) — all centroids equal the origin)
+    ns = sorted({rs[0].n for rs in per_cid.values()}, reverse=True)
+    assert ns[0] == 8 and all(n == 0 for n in ns[1:])
+    for rs in per_cid.values():
+        for r in rs:
+            assert r.centroid == 0.0  # retained prior == origin
