@@ -354,3 +354,81 @@ def bpe_segment(df: DataFrame, text_col: str, merges, out_col: str = "tokens") -
         .select("*", F.split(F.trim(seg), " ").alias(out_col))
         .drop("_w")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 top-k retrieval for one bag-of-words query — the relevance
+    primitive a curation pipeline uses to pull topic-targeted training
+    slices out of a crawl (and the classic lexical baseline next to
+    the ANN embedding path in operators/similarity.py).
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Robertson/Lucene).
+
+    Hash-stable ranking (the repo's float discipline): each per-term
+    contribution is a deterministic double expression over integers
+    (tf, df, dl, N, total_len) rounded to 7 decimals, summed EXACTLY
+    as decimal(38,7) — so the score, and therefore the (score DESC,
+    id ASC) order, is reproducible bit-for-bit on any engine and any
+    partitioning; a plain float sum would tie-break differently run
+    to run.
+
+    Scale shape: one narrow tokenize scan with the IN-list filter on
+    the exploded term (only query-term rows survive — the scan output
+    is ~|q| rows per matching doc, not the corpus token stream); tf is
+    a map-side-combined (id, term) agg; df and the corpus stats are
+    broadcast 1-row/|q|-row tables; the final order-by-limit compiles
+    to TakeOrderedAndProject (no global sort). No driver collect.
+    """
+    words = F.filter(_word_array(F.col(text_col)), lambda x: x != F.lit(""))
+    stats = docs.select(F.size(words).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("bigint")).alias("total_len"),
+    )
+    toks = docs.select(
+        F.col(id_col), F.size(words).alias("dl"), F.explode(words).alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_td = (
+        idf
+        * (F.col("tf") * (F.lit(k1) + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum(F.round(w_td, 7).cast("decimal(38,7)")).alias("_s"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_s").desc(), F.col(id_col).asc())
+        .limit(topk)
+        .select(
+            id_col,
+            "n_terms_matched",
+            # the decimal sum is an EXACT 7-decimal value; cast once to
+            # double (nearest-double is deterministic) and do NOT
+            # re-round — a second round(., 6) sits on a half-up
+            # boundary whenever the 7th decimal is 5, where the
+            # engines' double-vs-decimal rounding paths disagree
+            F.col("_s").cast("double").alias("bm25"),
+        )
+    )

@@ -6754,6 +6754,57 @@ def q_embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
 
 
+# BM25 top-k retrieval (corpus.bm25_topk): one bag-of-words query
+# over documents, Robertson/Lucene idf, decimal-image score sum so
+# the (score, id) ranking is bit-stable cross-engine. The oracle
+# replays tokenize, tf, df, corpus stats, and the full scoring
+# expression in the same operation order.
+@register(
+    "docs_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> x <> '')) AS dl,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_len FROM (
+        SELECT len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               x -> x <> '')) AS dl
+        FROM documents)),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'query', 'window') GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             sum(CAST(round(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (n_docs - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl
+                            / (CAST(total_len AS DOUBLE) / n_docs))), 7)
+               AS DECIMAL(38,7))) AS s
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+           CAST(s AS DOUBLE) AS bm25
+    FROM w ORDER BY s DESC, doc_id LIMIT 20
+    """,
+)
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "query", "window"], topk=20
+    )
+
+
 # r10 ROTATION NOTE (supersedes the r9 note, which wrongly claimed
 # full driver coverage before this rotation landed): the r10 window
 # below swaps IN the 6 oracle-able queries that had never had a driver
@@ -6765,10 +6816,11 @@ def q_embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q7_volume_shipping, q8_market_share, q10_returned_items; each has
 # 2+ green rows across r1-r9). After the r10 driver run, every
 # oracle-able registered query has at least one driver CORRECTNESS
-# row. embedding_kmeans_fit (registered mid-r10, the iterated
-# trainer) is swapped in the same round it was registered — in place
-# of filter_by_group_percentile (green r4+r8) — so it does not join
-# the never-checked backlog. Future rotations: fill from (a) queries
+# row. embedding_kmeans_fit and docs_bm25_topk (registered mid-r10:
+# the iterated trainer and the BM25 retrieval primitive) are swapped
+# in the same round they were registered — in place of
+# filter_by_group_percentile (green r4+r8) and vocab_coverage_topk
+# (green r6+r8) — so they do not join the never-checked backlog. Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
 # (b) oldest-verified greens as drift canaries; keep wordcount at
@@ -6807,7 +6859,7 @@ _DRIVER_WINDOW: list[str] = [
     # -- drift canaries (older greens):
     "sample_exact_quota",
     "embedding_kmeans_fit",  # registered mid-r10, checked same round
-    "vocab_coverage_topk",
+    "docs_bm25_topk",  # registered mid-r10, checked same round
     "streaming_sliding_counts",
     "incremental_agg_merge",
     "decontaminate_docs_shuffle",

@@ -73,9 +73,12 @@ def smoke_skyline(n: int = 10_000_000) -> None:
     (a) correlated criteria — tiny frontier, the common case; wall
         must be scan-dominated (near-linear);
     (b) DISCRETIZED anti-correlated criteria (a + b ~ const over a
-        1001-value domain) — frontier bounded by the domain, the
-        tree-reduction pass prunes cross-partition dominated ties
-        before the single task sees anything;
+        1001-value domain, per-row jitter in 0..999 so frontier rows
+        are mostly unique — ties ALL survive Pareto dominance, so a
+        coarse jitter would multiply every frontier point by its
+        duplicate count and trip the guard) — frontier ~ domain-sized
+        (tens of thousands), the tree-reduction pass prunes cross-
+        partition dominated rows before the single task sees anything;
     (c) continuous anti-correlated (every row on the frontier) with
         the default max_frontier guard — must FAIL FAST with the
         diagnosis, not funnel 10M rows through one task."""
@@ -98,12 +101,14 @@ def smoke_skyline(n: int = 10_000_000) -> None:
     w_corr = round(time.monotonic() - t0, 1)
     print(json.dumps({"smoke": "skyline", "regime": "correlated", "n": n,
                       "frontier": n_corr, "wall_sec": w_corr}), flush=True)
-    # (b) discretized anti-correlated: a in 0..1000, b = 1000 - a + jitter%7
+    # (b) discretized anti-correlated: a in 0..1000, b = 1000 - a + j,
+    # j in 0..999 (fine-grained: per (a, min-j) only the ~10 rows
+    # hitting the min survive -> frontier ~10k, inside the guard)
     disc = base.select(
         F.col("id"),
         F.pmod(F.col("h"), F.lit(1001)).cast("double").alias("a"),
         (F.lit(1000) - F.pmod(F.col("h"), F.lit(1001))
-         + F.pmod(F.col("j"), F.lit(7))).cast("double").alias("b"),
+         + F.col("j")).cast("double").alias("b"),
     ).localCheckpoint()
     t0 = time.monotonic()
     n_disc = skyline(disc, minimize=["a", "b"]).count()

@@ -248,3 +248,52 @@ def test_bpe_quote_helpers_cover_quote_edge_cases():
     assert _re_quote("ab") == "\\Qab\\E"
     assert _re_quote("a\\Eb") == "\\Qa\\E\\\\E\\Qb\\E"
     assert _repl_quote("a$1\\n") == "a\\$1\\\\n"
+
+
+def test_bm25_manual(spark):
+    """BM25 against a hand-computed value: 4 tiny docs, query
+    {apple, pear}. doc 0 matches both terms, doc 3 matches apple
+    twice in a shorter doc; scores must equal the textbook formula
+    evaluated in plain Python (to the 7-decimal image)."""
+    import math
+
+    from cascading_hive_spark.operators.corpus import bm25_topk
+
+    rows = [
+        (0, "apple pear plum"),
+        (1, "plum plum plum plum"),
+        (2, "pear plum plum plum"),
+        (3, "apple apple plum"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_terms_matched, r.bm25) for r in
+           bm25_topk(df, ["apple", "pear"], topk=10).collect()}
+    n, total = 4, 3 + 4 + 4 + 3
+    avgdl = total / n
+    k1, b = 1.2, 0.75
+
+    def w(tf, dfr, dl):
+        idf = math.log(1.0 + (n - dfr + 0.5) / (dfr + 0.5))
+        return round(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)), 7)
+
+    assert got[0] == (2, round(w(1, 2, 3) + w(1, 2, 3), 7))
+    assert got[3] == (1, w(2, 2, 3))
+    assert got[2] == (1, w(1, 2, 4))
+    assert 1 not in got  # no query term -> not retrieved
+    # ranking: doc 0 (two terms) first
+    top = bm25_topk(df, ["apple", "pear"], topk=1).collect()
+    assert top[0].doc_id == 0
+
+
+def test_bm25_plan_is_topk_with_broadcasts(spark, sf_dir):
+    """The order-by-limit must compile to TakeOrderedAndProject (no
+    global sort) and the df/stats joins must be broadcasts."""
+    from cascading_hive_spark.operators.corpus import bm25_topk
+    from cascading_hive_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = bm25_topk(docs, ["spark", "query"], topk=20)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
