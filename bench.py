@@ -32,6 +32,7 @@ HEADLINE = [
     "text_analyze",
     "multimodal_meta",
     "graph_pagerank_hubs",
+    "graph_triangle_count",  # r10: promoted after the degree-ordered rewrite
     "dedup_tfidf_cosine",
     "cdc_apply_orders",
     "scd2_point_in_time",

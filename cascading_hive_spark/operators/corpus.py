@@ -432,3 +432,64 @@ def bm25_topk(
             F.col("_s").cast("double").alias("bm25"),
         )
     )
+
+
+def take_token_budget(
+    docs: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection — the data-mixing step that fills
+    a training run's token quota with the best documents first: order
+    docs by (``quality_col`` DESC, ``id_col`` ASC) within each ``by``
+    group and keep the strict prefix whose running ``tokens_col`` sum
+    stays <= ``budget``.
+
+    The naive plan is a GLOBAL sort + running sum over the whole
+    corpus — a single-ordered-partition scan at 100 TB. This instead
+    decomposes by quality bucket (``quality_col`` must be integer-
+    graded, e.g. a permille score — domain-sized, not corpus-sized):
+
+    1. aggregate tokens per (by, quality) — map-side-combined, output
+       is domain-sized;
+    2. running-sum that TINY table with a window to find, per group,
+       the buckets that fit whole and the single threshold bucket that
+       straddles the budget;
+    3. whole buckets: broadcast semi-join (no sort, no shuffle of doc
+       rows beyond the scan);
+    4. threshold bucket only: per-doc running sum over just that
+       bucket's docs — the only per-doc window, bounded by one
+       bucket's population, not the corpus.
+
+    Exactly equal to the global-sort definition (the oracle runs that
+    definition directly): full buckets satisfy cum <= budget row by
+    row, the threshold prefix continues the same cum, and every later
+    bucket's first row already exceeds the budget.
+    """
+    keys = list(by or [])
+    bq = keys + [quality_col]
+    b = docs.groupBy(*bq).agg(F.sum(F.col(tokens_col)).alias("_btok"))
+    wq = (
+        Window.partitionBy(*keys).orderBy(F.col(quality_col).desc())
+        if keys
+        else Window.orderBy(F.col(quality_col).desc())
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cum = b.withColumn("_before", F.coalesce(F.sum("_btok").over(wq), F.lit(0)))
+    full = cum.filter(F.col("_before") + F.col("_btok") <= budget)
+    thresh = cum.filter(
+        (F.col("_before") < budget) & (F.col("_before") + F.col("_btok") > budget)
+    )
+    whole = docs.join(F.broadcast(full.select(*bq)), bq, "left_semi")
+    wid = Window.partitionBy(*bq).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    part_sel = (
+        docs.join(F.broadcast(thresh.select(*bq, "_before")), bq)
+        .withColumn("_cum", F.col("_before") + F.sum(F.col(tokens_col)).over(wid))
+        .filter(F.col("_cum") <= budget)
+        .drop("_before", "_cum")
+    )
+    return whole.unionByName(part_sel)

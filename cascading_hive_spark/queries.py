@@ -6805,6 +6805,57 @@ def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget data mixing (corpus.take_token_budget): per source,
+# keep the strict best-quality-first prefix of documents whose
+# running token count fits a 5000-token budget. Quality is an
+# integer-graded permille of chars-per-token (pure integer division —
+# hash-stable), so the operator's quality-bucket decomposition (no
+# global sort) must equal this oracle's direct global-sort cumsum
+# definition row for row.
+@register(
+    "docs_token_budget_mix",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             n_chars
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, n_tokens,
+             (1000 * n_chars) // n_tokens AS quality FROM d),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY quality DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q)
+    SELECT doc_id, source, CAST(quality AS BIGINT) AS quality,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= 5000
+    """,
+)
+def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import take_token_budget
+    from cascading_hive_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    q = d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        # exact integer division on BOTH sides (Spark `div`, DuckDB
+        # `//`): a double-division-then-truncate could round across an
+        # integer boundary and disagree
+        F.expr("(1000 * n_chars) div n_tokens").cast("bigint").alias("quality"),
+    )
+    sel = take_token_budget(q, budget=5000, by=["source"])
+    return sel.select("doc_id", "source", "quality", "n_tokens")
+
+
 # r10 ROTATION NOTE (supersedes the r9 note, which wrongly claimed
 # full driver coverage before this rotation landed): the r10 window
 # below swaps IN the 6 oracle-able queries that had never had a driver
@@ -6820,7 +6871,9 @@ def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the iterated trainer and the BM25 retrieval primitive) are swapped
 # in the same round they were registered — in place of
 # filter_by_group_percentile (green r4+r8) and vocab_coverage_topk
-# (green r6+r8) — so they do not join the never-checked backlog. Future rotations: fill from (a) queries
+# (green r6+r8) — so they do not join the never-checked backlog;
+# likewise docs_token_budget_mix replaces events_twap (green r8+r9).
+# Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
 # (b) oldest-verified greens as drift canaries; keep wordcount at
@@ -6870,7 +6923,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_anomaly_mad",
     "orders_rfm_segments",
     "window_rank_orders",
-    "events_twap",
+    "docs_token_budget_mix",  # registered mid-r10, checked same round
     "events_session_windows_batch",
     "events_sessionize",
     "ann_ivf_append_probe",

@@ -297,3 +297,51 @@ def test_bm25_plan_is_topk_with_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_take_token_budget_equals_global_sort_definition(spark):
+    """Randomized: the bucket decomposition must equal the direct
+    global-sort running-sum definition row for row, across budgets
+    that land inside, exactly on, and past bucket boundaries."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from cascading_hive_spark.operators.corpus import take_token_budget
+
+    rng = random.Random(7)
+    rows = [
+        (i, "s%d" % (i % 2), rng.randint(0, 9), rng.randint(1, 50))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, quality long, n_tokens long"
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    for budget in (0, 1, 37, 500, 800, 10_000):
+        got = {
+            r.doc_id
+            for r in take_token_budget(df, budget, by=["source"]).collect()
+        }
+        want = {
+            r.doc_id
+            for r in df.withColumn("cum", F.sum("n_tokens").over(w))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        assert got == want, (budget, got ^ want)
+
+
+def test_take_token_budget_exact_bucket_boundary(spark):
+    """A bucket whose cumulative total lands EXACTLY on the budget is
+    taken whole, and the next bucket contributes nothing."""
+    from cascading_hive_spark.operators.corpus import take_token_budget
+
+    rows = [(1, 5, 60), (2, 5, 40), (3, 4, 1)]  # quality-5 bucket == 100
+    df = spark.createDataFrame(rows, "doc_id long, quality long, n_tokens long")
+    got = sorted(r.doc_id for r in take_token_budget(df, 100).collect())
+    assert got == [1, 2]
