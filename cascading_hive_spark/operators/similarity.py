@@ -1290,3 +1290,45 @@ def kmeans_fit(
             .localCheckpoint()
         )
     return centroids
+
+
+def centroids_to_cells(centroids_long: DataFrame) -> DataFrame:
+    """Convert ``kmeans_fit``/``label_centroids`` LONG-form centroids
+    (cid|label, dim, centroid) into the (cell, centroid array) table
+    the IVF machinery consumes — array_agg ordered by dim (the table
+    is k*dim rows, so this is metadata-sized work)."""
+    key = "cid" if "cid" in centroids_long.columns else "label"
+    return (
+        centroids_long.groupBy(F.col(key).alias("cell"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+            ).alias("_dc")
+        )
+        .select(
+            "cell", F.col("_dc.centroid").cast("array<double>").alias("centroid")
+        )
+    )
+
+
+def ivf_build_from_kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index with kmeans_fit-trained coarse cells — the trained
+    alternative to ``ivf_build``'s single-Lloyd-step seeding: run the
+    iterated trainer, lift its long-form centroids into cell arrays,
+    and assign every vector to its nearest cell. Returns
+    (assignments, centroids) exactly like ``ivf_build``, so the
+    result feeds ``ivf_write`` / ``ivf_search`` / ``ivf_append``
+    unchanged. Tighter cells raise probe recall at equal nprobe; cost
+    is ``iters`` extra E/M rounds at build time (see kmeans_fit's
+    scale notes)."""
+    cents = centroids_to_cells(kmeans_fit(vectors, k=k, iters=iters,
+                                          id_col=id_col, vec_col=vec_col))
+    cents = cents.localCheckpoint()
+    assignments = _assign_cells(vectors, cents, id_col, vec_col)
+    return assignments, cents

@@ -531,3 +531,23 @@ def test_kmeans_fit_empty_cluster_keeps_prior_centroid(spark):
     for rs in per_cid.values():
         for r in rs:
             assert r.centroid == 0.0  # retained prior == origin
+
+
+def test_ivf_build_from_kmeans_roundtrip(spark, emb, tmp_path):
+    """Trained-cell IVF: kmeans_fit centroids lift into cell arrays,
+    assignments cover every vector exactly once, the index survives
+    ivf_write -> ivf_probe_from_disk, and a full-probe search finds
+    the query vector itself at distance ~0."""
+    path = str(tmp_path / "ivf_kmeans_idx")
+    assignments, cents = S.ivf_build_from_kmeans(emb, k=8, iters=1)
+    assert assignments.count() == emb.count()
+    assert assignments.select("vec_id").distinct().count() == emb.count()
+    crows = cents.collect()
+    assert len(crows) == 8
+    dim = len(emb.first()["embedding"])
+    assert all(len(r.centroid) == dim for r in crows)
+    S.ivf_write(assignments, cents, path)
+    query = emb.filter(F.col("vec_id") == 5).select("embedding")
+    hits = S.ivf_probe_from_disk(spark, path, query, k=3, nprobe=8)
+    top = hits.collect()[0]
+    assert top.vec_id == 5 and abs(top.cos_sim - 1.0) < 1e-6
