@@ -393,11 +393,13 @@ def skyline(
     set (e.g. anti-correlated columns where the frontier is a
     constant fraction of the data) fails fast with a diagnosis
     instead of silently funneling the dataset through one task. The
-    default is deliberately modest: the dominance scan is
-    O(frontier²·dims) compares per task (chunk-vectorized, but still
-    quadratic — ~10¹⁰ numpy element-ops at 100k), so a frontier much
-    beyond it is unaffordable wherever it is computed, not just on
-    the final single task. None disables the guard.
+    default is deliberately modest: frontier maintenance costs
+    O(frontier·batch·dims) compares per Arrow batch (incremental —
+    new rows screen against the standing frontier both ways, the
+    frontier is never rescanned against itself), so the total work to
+    REACH the bound is ~frontier²·dims/2 — ~10¹⁰ numpy element-ops at
+    100k, the most a single task should ever absorb before the
+    diagnosis. None disables the guard.
 
     Rows with NULL in any criterion column are excluded up front
     (three-valued dominance is undefined). Criteria must be numeric;
@@ -474,22 +476,61 @@ def skyline(
         surviving = np.concatenate(kept_idx)
         return pdf.iloc[np.sort(order[surviving])]
 
+    def _dominated_by(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Mask over b's rows: dominated by SOME row of a (no order
+        assumption). b is screened in 256-row chunks so the broadcast
+        temporaries stay ~|a|*256*d bools."""
+        out = np.zeros(len(b), dtype=bool)
+        if not len(a) or not len(b):
+            return out
+        for lo in range(0, len(b), 256):
+            blk = b[lo : lo + 256]
+            le = (a[:, None, :] <= blk[None, :, :]).all(axis=2)
+            lt = (a[:, None, :] < blk[None, :, :]).any(axis=2)
+            out[lo : lo + 256] = (le & lt).any(axis=0)
+        return out
+
     def part_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frontier: pd.DataFrame | None = None
+        # INCREMENTAL frontier maintenance: per Arrow batch, compute
+        # the batch's own skyline, then cross-screen new-vs-frontier
+        # BOTH ways — never rescan frontier-vs-frontier (the naive
+        # concat-and-rescan is O((f+b)²·d) per batch, which on a
+        # guard-bound frontier turned the fail-fast raise into minutes
+        # of quadratic churn). Sound by dominance transitivity: a new
+        # row eliminated by an old frontier row that is itself about
+        # to die to another new row would be dominated by that new row
+        # too — contradicting the batch skyline's mutual
+        # non-domination — so elimination order cannot lose rows.
+        fr_pdf: pd.DataFrame | None = None
+        fr_vals: np.ndarray | None = None
         for pdf in batches:
-            pool = pdf if frontier is None else pd.concat([frontier, pdf])
-            frontier = _local_skyline(pool)
-            if max_frontier is not None and len(frontier) > max_frontier:
+            if pdf.empty:
+                continue
+            cand = _local_skyline(pdf)
+            cv = _vals(cand)
+            if fr_pdf is None:
+                fr_pdf, fr_vals = cand, cv
+            else:
+                alive_new = ~_dominated_by(fr_vals, cv)
+                if alive_new.any():
+                    cand = cand.iloc[np.flatnonzero(alive_new)]
+                    cv = cv[alive_new]
+                    alive_old = ~_dominated_by(cv, fr_vals)
+                    fr_pdf = pd.concat(
+                        [fr_pdf.iloc[np.flatnonzero(alive_old)], cand]
+                    )
+                    fr_vals = np.concatenate([fr_vals[alive_old], cv])
+            if max_frontier is not None and len(fr_vals) > max_frontier:
                 raise ValueError(
                     f"skyline frontier exceeded max_frontier={max_frontier} "
-                    f"on one task ({len(frontier)} rows kept and growing): "
+                    f"on one task ({len(fr_vals)} rows kept and growing): "
                     "the criteria do not discriminate (anti-correlated or "
                     "near-tied columns). Add criteria, pre-aggregate, or "
                     "raise/disable max_frontier if a huge frontier is "
                     "genuinely wanted."
                 )
-        if frontier is not None and not frontier.empty:
-            yield frontier
+        if fr_pdf is not None and not fr_pdf.empty:
+            yield fr_pdf
 
     local = clean.mapInPandas(part_skyline, schema=schema)
     # tree reduction: prune cross-partition dominated rows on a few

@@ -279,3 +279,32 @@ def test_skyline_max_frontier_guard_raises(spark):
     assert (
         R.skyline(df, minimize=["a", "b"], max_frontier=None).count() == 5000
     )
+
+
+@pytest.mark.parametrize("seed", [3, 23])
+def test_skyline_incremental_multibatch_matches_bruteforce(spark, seed):
+    """Force tiny Arrow batches so part_skyline's INCREMENTAL path
+    (batch-skyline -> cross-screen new-vs-frontier both ways, old
+    frontier rows evicted by new dominators) runs for real — at test
+    scale everything otherwise fits one batch and the increment never
+    executes. Differential vs the O(n²) NOT-EXISTS definition with
+    heavy ties, including cross-batch duplicate frontier rows."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 6), rng.randint(0, 6), rng.randint(0, 3))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long").repartition(2)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got = sorted(
+            (r.a, r.b, r.c)
+            for r in R.skyline(df, minimize=["a", "b"], maximize=["c"]).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = _brute_skyline([(a, b, c) for _, a, b, c in rows], 2, 1)
+    assert got == want and len(got) > 0
