@@ -1332,3 +1332,53 @@ def ivf_build_from_kmeans(
     cents = cents.localCheckpoint()
     assignments = _assign_cells(vectors, cents, id_col, vec_col)
     return assignments, cents
+
+
+def kmeans_inertia(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 9,
+) -> DataFrame:
+    """Per-cluster inertia (within-cluster sum of squared L2 distance
+    to the assigned centroid) — the k-means training loss, the number
+    an elbow plot or convergence check reads after ``kmeans_fit``.
+    ``centroids`` is long-form (cid, dim, centroid). Returns
+    (cid, n, inertia); clusters that win no vectors are absent.
+
+    Same E-step machinery as the trainer (broadcast centroid join,
+    decimal-image d2, argmin ties to the lower cid), then one (cid)
+    aggregation of the EXACT decimal distances, reported as the
+    deterministic nearest-double of the 9-decimal sum — no second
+    rounding (the bm25 lesson: re-rounding a decimal through double
+    sits on half-up boundaries where engines disagree)."""
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        F.col("cid").alias("_ccid"), "dim", F.col("centroid").alias("_cval")
+    )
+    ex = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
+    ).select("_id", "dim", F.col("_val").cast("double").alias("_val"))
+    diff = F.col("_val") - F.col("_cval")
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("_id", "_ccid")
+        .agg(
+            F.sum(
+                F.round(diff * diff, dist_scale).cast(f"decimal(38,{dist_scale})")
+            ).alias("_d2")
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("_ccid").asc())
+    return (
+        d2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(F.col("_ccid").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_d2").cast("double").alias("inertia"),
+        )
+    )

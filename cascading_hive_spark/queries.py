@@ -6741,6 +6741,32 @@ def _kmeans_unrolled_sql(k: int, iters: int) -> str:
     return "".join(parts)
 
 
+def _kmeans_inertia_sql(k: int, iters: int) -> str:
+    """Oracle for similarity.kmeans_inertia over kmeans_fit(k, iters)
+    centroids: reuse the training CTE chain, run one more E-step
+    against the FINAL centroids, and aggregate each vector's exact
+    decimal d2 into its assigned cluster."""
+    fit = _kmeans_unrolled_sql(k, iters)
+    ctes = fit[: fit.rindex("SELECT CAST(cid")]
+    last = f"c{iters}"
+    return (
+        ctes
+        + f""",
+    df_ AS (
+      SELECT id, cid,
+             sum(CAST(round((val - centroid) * (val - centroid), 9)
+                      AS DECIMAL(38,9))) AS d2
+      FROM ex JOIN {last} USING (dim) GROUP BY id, cid),
+    pick_ AS (
+      SELECT id, cid, d2,
+             row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+      FROM df_)
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d2) AS DOUBLE) AS inertia
+    FROM pick_ WHERE rn = 1 GROUP BY cid"""
+    )
+
+
 # Iterated k-means trainer (VERDICT r9 #8): 2 full Lloyd E/M rounds
 # from a deterministic Knuth-hash seeding, centroids in long form.
 # The oracle replays the ENTIRE training run — seeding, both argmin
@@ -6752,6 +6778,18 @@ def q_embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.similarity import kmeans_fit
 
     return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+# k-means training loss: per-cluster inertia of the kmeans_fit(4, 2)
+# centroids — the convergence/elbow readout. The oracle reuses the
+# full unrolled training chain plus one more E-step; the inertia is
+# the exact decimal d2 sum cast once to double (no re-rounding).
+@register("embedding_kmeans_inertia", _kmeans_inertia_sql(4, 2))
+def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import kmeans_fit, kmeans_inertia
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_inertia(e, kmeans_fit(e, k=4, iters=2))
 
 
 # BM25 top-k retrieval (corpus.bm25_topk): one bag-of-words query
@@ -6872,7 +6910,9 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the same round they were registered — in place of
 # filter_by_group_percentile (green r4+r8) and vocab_coverage_topk
 # (green r6+r8) — so they do not join the never-checked backlog;
-# likewise docs_token_budget_mix replaces events_twap (green r8+r9).
+# likewise docs_token_budget_mix replaces events_twap (green r8+r9)
+# and embedding_kmeans_inertia replaces q15_top_supplier (green
+# r3+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -6916,7 +6956,7 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_sliding_counts",
     "incremental_agg_merge",
     "decontaminate_docs_shuffle",
-    "q15_top_supplier",
+    "embedding_kmeans_inertia",  # registered mid-r10, checked same round
     "q17_small_quantity",
     "q21_sole_returned_supplier",
     "dq_orders_constraints",
