@@ -6792,6 +6792,38 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_inertia(e, kmeans_fit(e, k=4, iters=2))
 
 
+# Trained-cell IVF end-to-end (similarity.ivf_build_from_kmeans):
+# kmeans_fit(8, 1) centroids lifted into coarse cells, persisted via
+# ivf_write, probed from disk at FULL PROBE — every cell probed means
+# the candidate set is the whole corpus, so the result must equal
+# brute-force kNN bit-for-bit, hash-verifying the trainer-to-index
+# glue (long-form -> cell arrays -> assignment -> partitioned layout)
+# without the oracle having to replay the training run.
+@register(
+    "ann_ivf_kmeans_probe",
+    f"""
+    SELECT e.vec_id, round({_QCOS}, 6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+    ORDER BY round({_QCOS}, 6) DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cascading_hive_spark.operators.similarity import (
+        ivf_build_from_kmeans,
+        ivf_probe_from_disk,
+        ivf_write,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_build_from_kmeans(e, k=8, iters=1)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_kmeans_")
+    ivf_write(assignments, centroids, path)
+    query = e.filter(F.col("vec_id") == 3).select("embedding")
+    return ivf_probe_from_disk(spark, path, query, k=10, nprobe=8)
+
+
 # BM25 top-k retrieval (corpus.bm25_topk): one bag-of-words query
 # over documents, Robertson/Lucene idf, decimal-image score sum so
 # the (score, id) ranking is bit-stable cross-engine. The oracle
@@ -6912,6 +6944,7 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (green r6+r8) — so they do not join the never-checked backlog;
 # likewise docs_token_budget_mix replaces events_twap (green r8+r9)
 # and embedding_kmeans_inertia replaces q15_top_supplier (green
+# r3+r9), ann_ivf_kmeans_probe replaces q17_small_quantity (green
 # r3+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
@@ -6957,7 +6990,7 @@ _DRIVER_WINDOW: list[str] = [
     "incremental_agg_merge",
     "decontaminate_docs_shuffle",
     "embedding_kmeans_inertia",  # registered mid-r10, checked same round
-    "q17_small_quantity",
+    "ann_ivf_kmeans_probe",  # registered mid-r10, checked same round
     "q21_sole_returned_supplier",
     "dq_orders_constraints",
     "events_anomaly_mad",
