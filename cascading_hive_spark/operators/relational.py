@@ -539,3 +539,65 @@ def skyline(
         part_skyline, schema=schema
     )
     return reduced.repartition(1).mapInPandas(part_skyline, schema=schema)
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    sum_scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Pearson correlation for every unordered pair of ``cols`` —
+    (col_a, col_b, corr) — the profiling step before feature selection
+    or leakage checks.
+
+    ONE aggregation pass computes every moment (n, per-column sums,
+    per-pair product sums): k + k(k+1)/2 aggregates, all map-side
+    partial, one 1-row result — at 100 TB this is a single scan, no
+    joins, no shuffle beyond the final 1-row combine. Moments
+    accumulate through decimal images (inputs and pairwise products
+    rounded to ``sum_scale``, summed exactly) so they are partition-
+    order independent and engine-portable; the correlation itself is
+    then a FIXED-ORDER double expression over those exact moments:
+    (n·Sab - Sa·Sb) / (sqrt(n·Saa - Sa·Sa) · sqrt(n·Sbb - Sb·Sb)).
+    The pair fan-out reads the broadcast 1-row aggregate — no
+    re-scan per pair.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in schema: {missing}")
+    dec = f"decimal(38,{sum_scale})"
+
+    def img(e):
+        return F.round(e, sum_scale).cast(dec)
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(img(F.col(c).cast("double"))).cast("double").alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(
+                    img(F.col(a).cast("double") * F.col(b).cast("double"))
+                ).cast("double").alias(f"_p_{a}_{b}")
+            )
+    row = df.agg(*aggs)
+    out = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = F.col("_n")
+            num = n * F.col(f"_p_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+            den = F.sqrt(
+                n * F.col(f"_p_{a}_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+            ) * F.sqrt(
+                n * F.col(f"_p_{b}_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+            )
+            pair = row.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / den, out_scale).alias("corr"),
+            )
+            out = pair if out is None else out.unionByName(pair)
+    return out

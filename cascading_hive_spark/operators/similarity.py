@@ -1382,3 +1382,45 @@ def kmeans_inertia(
             F.sum("_d2").cast("double").alias("inertia"),
         )
     )
+
+
+def standardize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sum_scale: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-dimension z-score normalization of an embedding column —
+    the feature-scaling pass before distance-based work (k-means, ANN
+    with L2, drift checks): (id, dim, z) with
+    z = (val - mean_dim) / std_dim, population std.
+
+    One aggregation computes per-dim moments (n, decimal-image sums of
+    val and val²) — the shuffle carries dim-count rows per map task,
+    never vectors — then the tiny moment table broadcasts back onto
+    the exploded scan. Moments are exact decimals (order-independent,
+    engine-portable); mean/var/z are fixed-order double expressions
+    over them, z rounded to ``out_scale`` as the reported image.
+    Dimensions with zero variance return NULL z (0/0), surfaced
+    rather than masked."""
+    ex = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
+    ).select("_id", "dim", F.col("_val").cast("double").alias("_val"))
+    dec = f"decimal(38,{sum_scale})"
+    mom = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.round(F.col("_val"), sum_scale).cast(dec)).cast("double").alias("_s"),
+        F.sum(
+            F.round(F.col("_val") * F.col("_val"), sum_scale).cast(dec)
+        ).cast("double").alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = F.col("_ss") / F.col("_n") - mean * mean
+    stats = mom.select("dim", mean.alias("_mean"), F.sqrt(var).alias("_std"))
+    return ex.join(F.broadcast(stats), "dim").select(
+        F.col("_id").alias(id_col),
+        "dim",
+        F.round((F.col("_val") - F.col("_mean")) / F.col("_std"), out_scale).alias("z"),
+    )

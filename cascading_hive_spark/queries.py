@@ -6792,6 +6792,82 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_inertia(e, kmeans_fit(e, k=4, iters=2))
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql(cols: list[str]) -> str:
+    """Oracle twin of relational.corr_matrix: one moment CTE (exact
+    decimal images of sums and pairwise product sums, cast once to
+    double), then one UNION ALL arm per unordered pair evaluating the
+    identical fixed-order correlation expression."""
+    img = lambda e: f"CAST(sum(CAST(round({e}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    terms = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        terms.append(f"{img(c + '::DOUBLE')} AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            terms.append(f"{img(a + '::DOUBLE * ' + b + '::DOUBLE')} AS p_{a}_{b}")
+    arms = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            arms.append(
+                f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           round((n * p_{a}_{b} - s_{a} * s_{b})
+                 / (sqrt(n * p_{a}_{a} - s_{a} * s_{a})
+                    * sqrt(n * p_{b}_{b} - s_{b} * s_{b})), 6) AS corr
+    FROM s"""
+            )
+    return (
+        "\n    WITH s AS (\n      SELECT "
+        + ",\n             ".join(terms)
+        + "\n      FROM lineitem)"
+        + "\n    UNION ALL".join(arms)
+    )
+
+
+# Pearson correlation matrix over lineitem's numeric measures
+# (relational.corr_matrix): one moment-scan aggregation, pair fan-out
+# reads the 1-row broadcast — no per-pair re-scan. TPC-H prices carry
+# <= 4 fractional digits, so the 6-decimal product images are exact
+# and the moments hash-match; the correlation is a fixed-order double
+# expression over them on both engines.
+@register("lineitem_corr_matrix", _corr_matrix_sql(_CORR_COLS))
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    return corr_matrix(li, _CORR_COLS)
+
+
+# Per-dimension z-score normalization (similarity.
+# standardize_embeddings): moment agg carries dim-count rows per map
+# task, broadcast back onto the exploded scan. The oracle replays
+# moments (decimal images) and the fixed-order mean/var/z arithmetic.
+@register(
+    "embedding_standardize",
+    """
+    WITH ex AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS dim,
+             embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    m AS (
+      SELECT dim, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(val, 7) AS DECIMAL(38,7))) AS DOUBLE) AS s,
+             CAST(sum(CAST(round(val * val, 7) AS DECIMAL(38,7))) AS DOUBLE)
+                 AS ss
+      FROM ex GROUP BY dim)
+    SELECT id AS vec_id, dim,
+           round((val - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6) AS z
+    FROM ex JOIN m USING (dim)
+    """,
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import standardize_embeddings
+
+    return standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 # Trained-cell IVF end-to-end (similarity.ivf_build_from_kmeans):
 # kmeans_fit(8, 1) centroids lifted into coarse cells, persisted via
 # ivf_write, probed from disk at FULL PROBE — every cell probed means
@@ -6945,7 +7021,9 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # likewise docs_token_budget_mix replaces events_twap (green r8+r9)
 # and embedding_kmeans_inertia replaces q15_top_supplier (green
 # r3+r9), ann_ivf_kmeans_probe replaces q17_small_quantity (green
-# r3+r9).
+# r3+r9), lineitem_corr_matrix replaces q21_sole_returned_supplier
+# (green r3+r9), embedding_standardize replaces window_rank_orders
+# (green r1-r9, the longest-verified canary).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -6991,11 +7069,11 @@ _DRIVER_WINDOW: list[str] = [
     "decontaminate_docs_shuffle",
     "embedding_kmeans_inertia",  # registered mid-r10, checked same round
     "ann_ivf_kmeans_probe",  # registered mid-r10, checked same round
-    "q21_sole_returned_supplier",
+    "lineitem_corr_matrix",  # registered mid-r10, checked same round
     "dq_orders_constraints",
     "events_anomaly_mad",
     "orders_rfm_segments",
-    "window_rank_orders",
+    "embedding_standardize",  # registered mid-r10, checked same round
     "docs_token_budget_mix",  # registered mid-r10, checked same round
     "events_session_windows_batch",
     "events_sessionize",
