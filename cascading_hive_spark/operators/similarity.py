@@ -1419,8 +1419,12 @@ def standardize_embeddings(
     mean = F.col("_s") / F.col("_n")
     var = F.col("_ss") / F.col("_n") - mean * mean
     stats = mom.select("dim", mean.alias("_mean"), F.sqrt(var).alias("_std"))
+    # explicit NULL for zero-variance dims: under ANSI mode a bare
+    # division would THROW on /0, and the oracle mirrors the CASE
+    z = F.when(
+        F.col("_std") > 0,
+        F.round((F.col("_val") - F.col("_mean")) / F.col("_std"), out_scale),
+    )
     return ex.join(F.broadcast(stats), "dim").select(
-        F.col("_id").alias(id_col),
-        "dim",
-        F.round((F.col("_val") - F.col("_mean")) / F.col("_std"), out_scale).alias("z"),
+        F.col("_id").alias(id_col), "dim", z.alias("z")
     )

@@ -6858,7 +6858,9 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS ss
       FROM ex GROUP BY dim)
     SELECT id AS vec_id, dim,
-           round((val - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6) AS z
+           CASE WHEN sqrt(ss / n - (s / n) * (s / n)) > 0 THEN
+             round((val - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6)
+           END AS z
     FROM ex JOIN m USING (dim)
     """,
 )

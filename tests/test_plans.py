@@ -280,3 +280,49 @@ def test_heavy_hitters_sketch_pass_no_shuffle(spark, sf_dir):
         if cur <= indent:
             break
         assert "Exchange" not in ln, f"shuffle below the MG sketch: {ln}"
+
+
+def test_corr_matrix_matches_numpy_and_single_scan(spark):
+    """corr_matrix vs numpy corrcoef on a 3-column frame, and the plan
+    must contain exactly ONE scan-side aggregate pass (the moment
+    scan), not one per pair."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.relational import corr_matrix
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(10, 2, 500).round(3)
+    y = (2 * x + rng.normal(0, 1, 500)).round(3)
+    z = rng.normal(0, 5, 500).round(3)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {(r.col_a, r.col_b): r.corr for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    ref = np.corrcoef(np.vstack([x, y, z]))
+    assert abs(got[("x", "y")] - ref[0, 1]) < 1e-4
+    assert abs(got[("x", "z")] - ref[0, 2]) < 1e-4
+    assert abs(got[("y", "z")] - ref[1, 2]) < 1e-4
+    assert got[("x", "y")] > 0.9
+
+
+def test_standardize_embeddings_zero_mean_unit_std(spark, sf_dir):
+    """Each dimension's z-scores must have ~0 mean and ~1 population
+    std; constant dimensions surface NULL rather than a fake 0."""
+    from cascading_hive_spark.operators.similarity import standardize_embeddings
+    from cascading_hive_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = standardize_embeddings(emb)
+    stats = z.groupBy("dim").agg(
+        F.avg("z").alias("m"), F.stddev_pop("z").alias("s")
+    ).collect()
+    assert len(stats) == len(emb.first()["embedding"])
+    for r in stats:
+        assert abs(r.m) < 1e-4 and abs(r.s - 1.0) < 1e-3
+    const = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0])], "vec_id long, embedding array<double>"
+    )
+    zc = {(r.vec_id, r.dim): r.z for r in standardize_embeddings(const).collect()}
+    assert zc[(1, 0)] is None and zc[(2, 0)] is None  # zero-variance dim
+    assert zc[(1, 1)] is not None
