@@ -361,3 +361,78 @@ def totals_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_HH_STATE = "keys ARRAY<STRING>, cnts ARRAY<LONG>, n LONG"
+_HH_OUT = "shard INT, key STRING, est LONG, n_shard LONG"
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key_expr: str = "concat_ws('|', user_id, event_type)",
+    phi: float = 0.01,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — the unbounded-stream twin
+    of operators/sketches.heavy_hitters: which keys exceed ``phi`` of
+    all traffic, with state FIXED at k = ceil(1/phi) counters per
+    shard no matter how many distinct keys flow past (a plain
+    streaming groupBy.count grows state with the key domain —
+    unbounded on a crawl/event firehose).
+
+    Keys are sharded by hash (all occurrences of a key land in ONE
+    shard, so the per-shard pigeonhole bound applies: any key with
+    global count > phi*n has shard count > phi*n >= phi*n_shard and
+    survives its shard's sketch — the union of shard candidate sets
+    is a SUPERSET of the true hitters, the same guarantee as the
+    batch pass 1). Each trigger emits every shard's current
+    candidates (key, est, n_shard) in update mode; ``est``
+    undercounts by at most n_shard/k (Misra-Gries bound). Downstream
+    either thresholds on est + n_shard/k (no false negatives) or runs
+    the batch exact recount over candidate keys, exactly like pass 2.
+
+    State per shard is three columns (keys array, counts array, row
+    total) — metadata-sized, RocksDB/HDFS-friendly. Shard count
+    spreads the sketch work; it does not affect the guarantee.
+    """
+    from cascading_hive_spark.operators.sketches import _mg_merge
+
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = int(1.0 / phi) + 1
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, cs, n = state.get
+            counters = dict(zip(list(ks), [int(c) for c in cs]))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            add = pdf.groupby("_key", sort=False, dropna=False).size().to_dict()
+            counters = _mg_merge(
+                counters,
+                {(None if pd.isna(kk) else kk): v for kk, v in add.items()},
+                k,
+            )
+        state.update(
+            (list(counters.keys()), [int(v) for v in counters.values()], int(n))
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "key": list(counters.keys()),
+                "est": [int(v) for v in counters.values()],
+                "n_shard": [int(n)] * len(counters),
+            }
+        )
+
+    keyed = events.selectExpr(f"CAST(({key_expr}) AS STRING) AS _key").select(
+        F.pmod(F.xxhash64("_key"), F.lit(n_shards)).cast("int").alias("shard"),
+        "_key",
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        fn, _HH_OUT, _HH_STATE, "update", GroupStateTimeout.NoTimeout
+    )

@@ -326,3 +326,64 @@ def test_session_window_merges_exact_gap_boundary(spark):
         .collect()
     )
     assert out == [("2024-01-01T10:00:00", 2), ("2024-01-01T11:00:00.000001", 1)]
+
+
+def test_heavy_hitters_stream_superset_and_bounded_state(spark, sf_dir):
+    """Streaming Misra-Gries: after an availableNow replay of the
+    events table, (1) every EXACT heavy hitter (count > phi * n) is in
+    the emitted candidate set — the per-shard pigeonhole superset
+    guarantee; (2) no shard ever emits more than k = ceil(1/phi)
+    candidates — the bounded-state contract; (3) every estimate
+    undercounts its true count by at most n_shard/k."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.streaming.jobs import (
+        heavy_hitters_stream,
+        run_available_now,
+        stream_events,
+    )
+    from cascading_hive_spark.tables import load_table
+
+    phi = 0.02
+    out = run_available_now(
+        heavy_hitters_stream(stream_events(spark, sf_dir), phi=phi),
+        "hh_stream_test",
+        "update",
+    )
+    rows = out.collect()
+    k = int(1 / phi) + 1
+    per_shard = {}
+    candidates = set()
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r)
+        candidates.add(r.key)
+    for shard, rs in per_shard.items():
+        assert len(rs) <= k, (shard, len(rs))
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    exact = {
+        r.key: r.cnt
+        for r in ev.selectExpr(
+            "concat_ws('|', user_id, event_type) AS key"
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > phi * total)
+        .collect()
+    }
+    assert exact, "test needs at least one true hitter at this phi"
+    missing = set(exact) - candidates
+    assert not missing, missing
+    # undercount bound per emitted candidate
+    true_cnt = {
+        r.key: r.cnt
+        for r in ev.selectExpr("concat_ws('|', user_id, event_type) AS key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        if r.key in true_cnt:
+            assert r.est <= true_cnt[r.key]
+            assert true_cnt[r.key] - r.est <= r.n_shard / k + 1
