@@ -601,3 +601,62 @@ def corr_matrix(
             )
             out = pair if out is None else out.unionByName(pair)
     return out
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each prefix of ``steps``, how many
+    users completed it IN ORDER — each step's event strictly after the
+    user's first completion of the previous step (first-touch
+    semantics, the standard product-analytics funnel). Returns
+    (step_idx, step, n_users, conv_permille) with conv_permille =
+    floor(1000 * n_users / first-step users), exact integer
+    arithmetic.
+
+    Per step: one filter + user-keyed min aggregation + one equi-join
+    to the previous step's completion times — all key shuffles on the
+    user column, no windows, no per-user event sorting (a
+    sort-per-user formulation pays an O(events log events) window
+    sort; this pays #steps thin aggregates and scales with the match
+    counts, which shrink monotonically down the funnel). Step counts
+    are integers, so the output is hash-exact cross-engine.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = None
+    counts = []
+    for i, s in enumerate(steps):
+        e = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if cur is None:
+            cur = e.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                e.join(cur.select("u", F.col("t").alias("_prev")), "u")
+                .filter(F.col("t") > F.col("_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step_idx"), F.lit(s).alias("step"), "n_users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    first = counts[0].select(F.col("n_users").alias("_n1"))
+    return out.crossJoin(F.broadcast(first)).select(
+        "step_idx",
+        "step",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.when(
+            F.col("_n1") > 0, F.expr("(1000 * n_users) div _n1")
+        ).cast("bigint").alias("conv_permille"),
+    )

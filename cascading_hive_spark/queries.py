@@ -6792,6 +6792,44 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_inertia(e, kmeans_fit(e, k=4, iters=2))
 
 
+# Ordered funnel over events (relational.funnel_conversion):
+# view -> click -> purchase with strictly-increasing first-completion
+# times. The oracle chains the same first-touch CTEs; integer counts
+# and permille shares make the hash exact.
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    n AS (
+      SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+    SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+           CAST(CASE WHEN (SELECT n_users FROM n WHERE step_idx = 1) > 0
+                THEN (1000 * n_users)
+                     // (SELECT n_users FROM n WHERE step_idx = 1)
+                END AS BIGINT) AS conv_permille
+    FROM n
+    """,
+)
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -7025,7 +7063,8 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r3+r9), ann_ivf_kmeans_probe replaces q17_small_quantity (green
 # r3+r9), lineitem_corr_matrix replaces q21_sole_returned_supplier
 # (green r3+r9), embedding_standardize replaces window_rank_orders
-# (green r1-r9, the longest-verified canary).
+# (green r1-r9, the longest-verified canary), and
+# events_funnel_conversion replaces events_anomaly_mad (green r8+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7073,7 +7112,7 @@ _DRIVER_WINDOW: list[str] = [
     "ann_ivf_kmeans_probe",  # registered mid-r10, checked same round
     "lineitem_corr_matrix",  # registered mid-r10, checked same round
     "dq_orders_constraints",
-    "events_anomaly_mad",
+    "events_funnel_conversion",  # registered mid-r10, checked same round
     "orders_rfm_segments",
     "embedding_standardize",  # registered mid-r10, checked same round
     "docs_token_budget_mix",  # registered mid-r10, checked same round
