@@ -660,3 +660,40 @@ def funnel_conversion(
             F.col("_n1") > 0, F.expr("(1000 * n_users) div _n1")
         ).cast("bigint").alias("conv_permille"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize: clip ``value_col`` into its per-group
+    [``lower``, ``upper``] interpolated-percentile band — the outlier
+    taming a metrics/feature pipeline runs before means and
+    regressions (a mean over raw crawl latencies is a measure of the
+    worst proxy, not the population).
+
+    One per-group exact-percentile aggregation (thresholds are a
+    group-sized table → broadcast back) + a narrow least/greatest
+    clip — no window over the data rows, no sort. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    percentile_cont interpolation (the filter_by_group_percentile
+    precedent), so the clip boundaries are engine-stable.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    keys = list(by or [])
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(lower)).alias("_lo"),
+        F.percentile(value_col, F.lit(upper)).alias("_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), keys)
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return joined.withColumn(out_col or f"{value_col}_w", clipped).drop("_lo", "_hi")

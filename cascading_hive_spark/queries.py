@@ -6792,6 +6792,42 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_inertia(e, kmeans_fit(e, k=4, iters=2))
 
 
+# Winsorized per-type value stats (relational.winsorize): clip
+# events.value into its per-type [p05, p95] band, then the
+# decimal-image mean of the clipped values next to the raw mean —
+# the before/after readout of outlier taming. Spark percentile() ==
+# DuckDB quantile_cont (the filter_by_group_percentile precedent).
+@register(
+    "events_winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_raw,
+           round(CAST(sum(CAST(round(least(greatest(value, lo), hi), 6)
+                               AS DECIMAL(38,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_w
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize(ev, "value", by=["event_type"], out_col="value_w")
+    img = lambda c: F.sum(F.round(F.col(c), 6).cast("decimal(38,6)"))
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(img("value").cast("double") / F.count(F.lit(1)), 6).alias("mean_raw"),
+        F.round(img("value_w").cast("double") / F.count(F.lit(1)), 6).alias("mean_w"),
+    )
+
+
 # Ordered funnel over events (relational.funnel_conversion):
 # view -> click -> purchase with strictly-increasing first-completion
 # times. The oracle chains the same first-touch CTEs; integer counts
@@ -7063,8 +7099,9 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r3+r9), ann_ivf_kmeans_probe replaces q17_small_quantity (green
 # r3+r9), lineitem_corr_matrix replaces q21_sole_returned_supplier
 # (green r3+r9), embedding_standardize replaces window_rank_orders
-# (green r1-r9, the longest-verified canary), and
-# events_funnel_conversion replaces events_anomaly_mad (green r8+r9).
+# (green r1-r9, the longest-verified canary), events_funnel_conversion
+# replaces events_anomaly_mad (green r8+r9), and
+# events_winsorized_stats replaces orders_rfm_segments (green r8+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7113,7 +7150,7 @@ _DRIVER_WINDOW: list[str] = [
     "lineitem_corr_matrix",  # registered mid-r10, checked same round
     "dq_orders_constraints",
     "events_funnel_conversion",  # registered mid-r10, checked same round
-    "orders_rfm_segments",
+    "events_winsorized_stats",  # registered mid-r10, checked same round
     "embedding_standardize",  # registered mid-r10, checked same round
     "docs_token_budget_mix",  # registered mid-r10, checked same round
     "events_session_windows_batch",
