@@ -326,3 +326,46 @@ def test_standardize_embeddings_zero_mean_unit_std(spark, sf_dir):
     zc = {(r.vec_id, r.dim): r.z for r in standardize_embeddings(const).collect()}
     assert zc[(1, 0)] is None and zc[(2, 0)] is None  # zero-variance dim
     assert zc[(1, 1)] is not None
+
+
+def test_funnel_strict_order_and_monotone(spark):
+    """First-touch funnel: a user whose 'click' lands at or before
+    their first 'view' does NOT convert (strict >); step counts are
+    monotone non-increasing; conv_permille is exact integer floor."""
+    from datetime import datetime
+
+    from cascading_hive_spark.operators.relational import funnel_conversion
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 converts fully: view@1 click@2 purchase@3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click BEFORE view -> stops at view
+        (2, t(5), "click"), (2, t(6), "view"),
+        # u3: click at the SAME ts as view -> strict > excludes it
+        (3, t(7), "view"), (3, t(7), "click"),
+        # u4: view then click, no purchase
+        (4, t(1), "view"), (4, t(9), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: (r.n_users, r.conv_permille) for r in
+           funnel_conversion(df, ["view", "click", "purchase"]).collect()}
+    assert got["view"] == (4, 1000)
+    assert got["click"] == (2, 500)
+    assert got["purchase"] == (1, 250)
+
+
+def test_winsorize_clips_to_group_band(spark):
+    """Winsorized values stay inside each group's [p05, p95] band, the
+    interior is untouched, and a one-row group degenerates to its own
+    value (lo == hi == the value)."""
+    from cascading_hive_spark.operators.relational import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 42.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = {(r.g, r.v): r.v_w for r in winsorize(df, "v", by=["g"]).collect()}
+    # group a: p05 of 1..100 (interpolated) = 5.95, p95 = 95.05
+    assert abs(w[("a", 1.0)] - 5.95) < 1e-9
+    assert abs(w[("a", 100.0)] - 95.05) < 1e-9
+    assert w[("a", 50.0)] == 50.0
+    assert w[("b", 42.0)] == 42.0
