@@ -697,3 +697,61 @@ def winsorize(
     )
     clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
     return joined.withColumn(out_col or f"{value_col}_w", clipped).drop("_lo", "_hi")
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    term_scale: int = 9,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the dependence probe where Pearson (corr_matrix) is meaningless:
+    MI = sum over joint cells of (n_ab/n) * ln(n * n_ab / (n_a * n_b)).
+    Returns one row (col_a, col_b, n, n_cells, mi).
+
+    Three map-side-combined aggregations (joint, two marginals — the
+    marginals are domain-sized, so both join back as broadcasts onto
+    the joint table, which is itself |A|x|B| cells, not data-sized),
+    then one exact decimal sum of per-cell terms rounded to
+    ``term_scale``: partition-order independent and engine-portable,
+    integer count ratios inside the log so the expression replays
+    bit-for-bit in SQL. Cells with NULL keys participate as ordinary
+    categories (groupBy keeps them, eqNullSafe-style) — NULL is a
+    real category in profiling.
+    """
+    joint = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_nab"))
+    ma = df.groupBy(F.col(col_a).alias("_a")).agg(F.count(F.lit(1)).alias("_na"))
+    mb = df.groupBy(F.col(col_b).alias("_b")).agg(F.count(F.lit(1)).alias("_nb"))
+    tot = df.agg(F.count(F.lit(1)).alias("_n"))
+    term = (
+        F.col("_nab").cast("double") / F.col("_n")
+    ) * F.log(
+        F.col("_n").cast("double")
+        * F.col("_nab")
+        / (F.col("_na").cast("double") * F.col("_nb"))
+    )
+    cells = (
+        joint.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return cells.agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(
+            F.sum(
+                F.round(term, term_scale).cast(f"decimal(38,{term_scale})")
+            ).cast("double"),
+            out_scale,
+        ).alias("mi"),
+    ).select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        "n",
+        "n_cells",
+        "mi",
+    )

@@ -6792,6 +6792,38 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_inertia(e, kmeans_fit(e, k=4, iters=2))
 
 
+# Mutual information between orders' status and priority
+# (relational.mutual_information): the categorical-dependence probe
+# next to lineitem_corr_matrix's numeric one. The oracle replays the
+# joint/marginal counts and the identical per-cell term expression
+# (integer ratios inside ln, decimal-image term sum).
+@register(
+    "orders_status_priority_mi",
+    """
+    WITH j AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS nab
+      FROM orders GROUP BY 1, 2),
+    ma AS (SELECT o_orderstatus AS a, count(*) AS na FROM orders GROUP BY 1),
+    mb AS (SELECT o_orderpriority AS b, count(*) AS nb FROM orders GROUP BY 1),
+    t AS (SELECT count(*) AS n FROM orders)
+    SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(CAST(round(
+             (CAST(nab AS DOUBLE) / n)
+             * ln(CAST(n AS DOUBLE) * nab / (CAST(na AS DOUBLE) * nb)), 9)
+             AS DECIMAL(38,9))) AS DOUBLE), 6) AS mi
+    FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+    """,
+)
+def q_orders_status_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import mutual_information
+
+    return mutual_information(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
 # Winsorized per-type value stats (relational.winsorize): clip
 # events.value into its per-type [p05, p95] band, then the
 # decimal-image mean of the clipped values next to the raw mean —
@@ -7101,7 +7133,9 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (green r3+r9), embedding_standardize replaces window_rank_orders
 # (green r1-r9, the longest-verified canary), events_funnel_conversion
 # replaces events_anomaly_mad (green r8+r9), and
-# events_winsorized_stats replaces orders_rfm_segments (green r8+r9).
+# events_winsorized_stats replaces orders_rfm_segments (green r8+r9),
+# and orders_status_priority_mi replaces decontaminate_docs_shuffle
+# (green r9 with a 1M-doc equality smoke).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7144,7 +7178,7 @@ _DRIVER_WINDOW: list[str] = [
     "docs_bm25_topk",  # registered mid-r10, checked same round
     "streaming_sliding_counts",
     "incremental_agg_merge",
-    "decontaminate_docs_shuffle",
+    "orders_status_priority_mi",  # registered mid-r10, checked same round
     "embedding_kmeans_inertia",  # registered mid-r10, checked same round
     "ann_ivf_kmeans_probe",  # registered mid-r10, checked same round
     "lineitem_corr_matrix",  # registered mid-r10, checked same round

@@ -369,3 +369,21 @@ def test_winsorize_clips_to_group_band(spark):
     assert abs(w[("a", 100.0)] - 95.05) < 1e-9
     assert w[("a", 50.0)] == 50.0
     assert w[("b", 42.0)] == 42.0
+
+
+def test_mutual_information_known_values(spark):
+    """MI sanity: independent uniform columns give ~0; a bijective
+    dependence gives ln(k)."""
+    import math
+
+    from cascading_hive_spark.operators.relational import mutual_information
+
+    n = 4000
+    rows = [(i % 4, (i // 4) % 4, i % 4) for i in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    indep = mutual_information(df, "x", "y").collect()[0]
+    assert indep.n == n and indep.n_cells == 16
+    assert abs(indep.mi) < 1e-6
+    dep = mutual_information(df, "x", "z").collect()[0]
+    assert dep.n_cells == 4
+    assert abs(dep.mi - math.log(4)) < 1e-6
