@@ -755,3 +755,50 @@ def mutual_information(
         "n_cells",
         "mi",
     )
+
+
+def resample_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    grain: str = "hour",
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Regular time-grid counts per key with GAPS FILLED: truncate
+    timestamps to ``grain``, count per (key, bucket), then left-join
+    the counts onto each key's full min..max bucket grid so silent
+    periods appear as explicit zeros — the resample step before any
+    moving-average / anomaly / seasonality pass (a window over a
+    gappy series silently averages the wrong neighbors).
+
+    One count aggregation + one per-key bounds aggregation; the grid
+    is built array-side (``sequence`` + explode — no driver loop, no
+    cross join against a calendar table) and the final join is keyed
+    on (key, bucket). Grid size is span/grain per key — data-sized
+    only for keys whose lifetime spans dwarf their traffic, which is
+    exactly what the explicit zeros are for.
+    """
+    steps = {
+        "hour": "interval 1 hour",
+        "day": "interval 1 day",
+        "week": "interval 1 week",
+        "minute": "interval 1 minute",
+    }
+    if grain not in steps:
+        raise ValueError(f"grain must be one of {sorted(steps)}, got {grain!r}")
+    t = F.date_trunc(grain, F.col(ts_col))
+    actual = df.groupBy(*key_cols, t.alias("bucket")).agg(
+        F.count(F.lit(1)).alias(count_name)
+    )
+    bounds = actual.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(F.expr(f"sequence(_lo, _hi, {steps[grain]})")).alias("bucket"),
+    )
+    return grid.join(actual, [*key_cols, "bucket"], "left").select(
+        *key_cols,
+        "bucket",
+        F.coalesce(F.col(count_name), F.lit(0)).cast("bigint").alias(count_name),
+    )

@@ -6792,6 +6792,35 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_inertia(e, kmeans_fit(e, k=4, iters=2))
 
 
+# Gap-filled daily counts per event type (relational.resample_counts):
+# each type's min..max day grid with explicit zeros — the resample
+# step before moving windows. The oracle builds the same grid with
+# generate_series; counts are integers so the hash is exact.
+@register(
+    "events_resample_daily",
+    """
+    WITH a AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM a GROUP BY 1),
+    g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM b)
+    SELECT g.event_type, g.bucket, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+    FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket
+    """,
+)
+def q_events_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import resample_counts
+
+    return resample_counts(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", grain="day"
+    )
+
+
 # Mutual information between orders' status and priority
 # (relational.mutual_information): the categorical-dependence probe
 # next to lineitem_corr_matrix's numeric one. The oracle replays the
@@ -7134,8 +7163,10 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (green r1-r9, the longest-verified canary), events_funnel_conversion
 # replaces events_anomaly_mad (green r8+r9), and
 # events_winsorized_stats replaces orders_rfm_segments (green r8+r9),
-# and orders_status_priority_mi replaces decontaminate_docs_shuffle
-# (green r9 with a 1M-doc equality smoke).
+# orders_status_priority_mi replaces decontaminate_docs_shuffle
+# (green r9 with a 1M-doc equality smoke), and events_resample_daily
+# replaces streaming_sliding_counts (green r8+r9; three other
+# streaming queries stay windowed).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7176,7 +7207,7 @@ _DRIVER_WINDOW: list[str] = [
     "sample_exact_quota",
     "embedding_kmeans_fit",  # registered mid-r10, checked same round
     "docs_bm25_topk",  # registered mid-r10, checked same round
-    "streaming_sliding_counts",
+    "events_resample_daily",  # registered mid-r10, checked same round
     "incremental_agg_merge",
     "orders_status_priority_mi",  # registered mid-r10, checked same round
     "embedding_kmeans_inertia",  # registered mid-r10, checked same round

@@ -23,6 +23,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     ivfpq_disk [n=1000000]
     decontaminate [n=1000000]
     sessions  [n=10000000]
+    kmeans    [n=1000000] [dim=32] [k=16] [iters=2]
     skyline   [n=10000000]
     triangles [n_edges=10000000] [hub_deg=100000]
     heavy_hitters [n=100000000] [phi_permille=1]
@@ -1155,6 +1156,42 @@ def smoke_fuzzy(n: int = 1_000_000) -> None:
                           "exact_pair_floor": (size // 3) * 3}), flush=True)
 
 
+
+def smoke_kmeans(n: int = 1_000_000, dim: int = 32, k: int = 16,
+                 iters: int = 2) -> None:
+    """Iterated kmeans_fit at n/10 and n (planted k-cluster structure):
+    per round, the E-step fans the exploded corpus out k ways through
+    a broadcast join (n*dim*k grouped rows) and the M-step is one
+    (cid, dim) agg — wall must scale ~linearly in n, and the trained
+    assignment must recover the planted clusters (inertia far below
+    the seed-only baseline is implied by centroid separation)."""
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+
+    spark = _spark()
+    for size in (n // 10, n):
+        vecs = spark.range(size).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (F.pmod(F.abs(F.xxhash64(F.col("id") + i)), F.lit(1000)) / 100.0
+                 + F.pmod(F.col("id"), F.lit(k)) * 50.0)
+                for i in range(dim)
+            ]).alias("embedding"),
+        ).localCheckpoint()
+        t0 = time.monotonic()
+        cents = kmeans_fit(vecs, k=k, iters=iters)
+        nrows = cents.count()
+        wall = round(time.monotonic() - t0, 1)
+        # planted recovery: distinct per-dim centroid levels must span
+        # the k offsets (each trained centroid sits near one plateau)
+        lvls = cents.filter(F.col("dim") == 0).select(
+            F.round((F.col("centroid") - 5.0) / 50.0).alias("lvl")
+        ).distinct().count()
+        print(json.dumps({"smoke": "kmeans", "n": size, "dim": dim, "k": k,
+                          "iters": iters, "centroid_rows": nrows,
+                          "distinct_levels_dim0": lvls,
+                          "wall_sec": wall}), flush=True)
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -1165,6 +1202,7 @@ if __name__ == "__main__":
         "heavy_hitters": smoke_heavy_hitters,
         "basket": smoke_basket,
         "markov_retention": smoke_markov_retention,
+        "kmeans": smoke_kmeans,
         "simhash": smoke_simhash,
         "cc": smoke_cc,
         "pagerank": smoke_pagerank,
