@@ -293,6 +293,22 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def dedup_stream_bounded(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id ALONE with bounded state:
+    dropDuplicatesWithinWatermark (Spark 4) evicts a key's state once
+    the watermark passes its event time, so duplicates arriving within
+    the watermark window are dropped WITHOUT keying state on the
+    timestamp. Contrast with ``dedup_stream``: that one keys on
+    (event_id, ts) — two copies of the same id with different
+    timestamps both survive there (exact-row dedup); this one keeps
+    only the first copy of each id seen within the watermark horizon
+    (at-most-once-per-id delivery, the idempotent-consumer contract).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, key_expr: str) -> DataFrame:
     """Stream-static join: enrich the event stream against a static
     dimension table (planned as a broadcast per micro-batch — the

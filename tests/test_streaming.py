@@ -387,3 +387,40 @@ def test_heavy_hitters_stream_superset_and_bounded_state(spark, sf_dir):
         if r.key in true_cnt:
             assert r.est <= true_cnt[r.key]
             assert true_cnt[r.key] - r.est <= r.n_shard / k + 1
+
+
+def test_dedup_stream_bounded_drops_same_id_different_ts(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keys on event_id alone: a
+    duplicate id with a DIFFERENT timestamp inside the watermark
+    window is dropped (dedup_stream's (id, ts) key would keep it)."""
+    import pandas as pd
+
+    from cascading_hive_spark.streaming.jobs import (
+        dedup_stream,
+        dedup_stream_bounded,
+        run_available_now,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (1, base + pd.Timedelta(minutes=5), 7, "click", 1.0, "{}"),  # same id
+        (2, base + pd.Timedelta(minutes=1), 8, "view", 2.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    src = str(tmp_path / "events_dupe")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    got = run_available_now(
+        dedup_stream_bounded(stream), "dedup_bounded_test", "append"
+    )
+    assert sorted(r.event_id for r in got.collect()) == [1, 2]
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    exact = run_available_now(dedup_stream(stream2), "dedup_exact_test", "append")
+    assert len(exact.collect()) == 3  # (id, ts) key keeps both copies of id 1
