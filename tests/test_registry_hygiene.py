@@ -129,3 +129,32 @@ def test_entry_module_imports_cleanly():
         timeout=120,
     )
     assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+
+def test_survey_2d_query_names_resolve():
+    """SURVEY.md §2.D's inventory cites driver-query names; a renamed
+    or misremembered query there misleads the coverage audit exactly
+    like a stale rotation note (the r8/r9 incidents). Every
+    snake_case token in the table's last column must resolve in
+    _REGISTRY."""
+    import pathlib
+    import re
+
+    from cascading_hive_spark import queries as q
+
+    survey = pathlib.Path(__file__).resolve().parent.parent / "SURVEY.md"
+    text = survey.read_text()
+    assert "### 2.D" in text
+    section = text.split("### 2.D")[1].split("\n## ")[0]
+    cited = set()
+    for line in section.splitlines():
+        if not line.startswith("|") or line.count("|") < 4:
+            continue
+        last = line.rsplit("|", 2)[1]
+        cited.update(
+            t for t in re.findall(r"[a-z0-9_]+", last)
+            if "_" in t and not t.endswith("py")
+        )
+    unresolved = sorted(t for t in cited if t not in q._REGISTRY)
+    assert not unresolved, f"SURVEY 2.D cites unknown queries: {unresolved}"
+    assert len(cited) >= 20, cited
