@@ -421,3 +421,55 @@ def triangle_count(
         "left_semi",
     )
     return n_wedges.crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 100,
+) -> DataFrame:
+    """k-core: the maximal subgraph in which every node has degree
+    >= k (undirected, self-loops dropped, parallel edges collapsed) —
+    the standard densely-connected-region extractor (community
+    seeding, spam-farm detection, graph sparsification before
+    all-pairs work). Returns surviving nodes as (node, degree) with
+    degree measured INSIDE the core; the k-core is unique, so the
+    result is deterministic regardless of peel order.
+
+    Iterative peeling, driver-controlled: each round computes degrees
+    (one map-side-combined agg over the current edge set), finds
+    nodes under k (a candidate table that SHRINKS every round —
+    broadcast after AQE sees its size), and anti-joins them out of
+    both endpoints. Rounds needed = peeling depth (<= graph
+    degeneracy ladder, typically < 20 on real graphs); each round's
+    edge set localCheckpoints so round N's plan doesn't replay rounds
+    1..N-1 (the pagerank lineage discipline). The per-round
+    fixpoint probe is a metadata-sized count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        low = deg.filter(F.col("deg") < k).select("a").localCheckpoint()
+        if low.isEmpty():
+            break
+        sym = (
+            sym.join(low, "a", "left_anti")
+            .join(low.select(F.col("a").alias("b")), "b", "left_anti")
+            .localCheckpoint()
+        )
+    return (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )

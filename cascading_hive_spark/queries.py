@@ -6792,6 +6792,40 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_inertia(e, kmeans_fit(e, k=4, iters=2))
 
 
+# k-core over the customer ring+hub graph (graph.k_core): iterative
+# peeling to the unique fixpoint — not SQL-expressible (unbounded
+# recursion), so rows-only by design like bpe_merges; correctness is
+# pinned by the randomized pure-Python differential in
+# tests/test_graph.py. The 3-core keeps only regions where ring,
+# spoke, and cross edges reinforce each other.
+@register("graph_kcore_customers", None)
+def q_graph_kcore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.graph import k_core
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w_ring = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    ranked = c.withColumn("_rk", F.row_number().over(w_ring))
+    # per-nation path (fully peels — paths cascade from the ends) plus
+    # a 6-clique over each nation's first six customers (survives k=4
+    # with intra-clique degree 5): the 4-core must be exactly the
+    # clique members, peeled free of the path noise
+    ring = ranked.select(
+        F.col("c_custkey").alias("src"),
+        F.lead("c_custkey").over(w_ring).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    six = ranked.filter(F.col("_rk") <= 6).select(
+        "c_nationkey", F.col("c_custkey").alias("k"), "_rk"
+    )
+    clique = (
+        six.alias("x")
+        .join(six.alias("y"), "c_nationkey")
+        .filter(F.col("x._rk") < F.col("y._rk"))
+        .select(F.col("x.k").alias("src"), F.col("y.k").alias("dst"))
+    )
+    edges = ring.unionByName(clique)
+    return k_core(edges, 4).orderBy("node")
+
+
 # Gap-filled daily counts per event type (relational.resample_counts):
 # each type's min..max day grid with explicit zeros — the resample
 # step before moving windows. The oracle builds the same grid with
@@ -7174,7 +7208,10 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slot 1 and q1_pricing_summary (the decimal-sum watch item).
 # bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
 # dedup_minhash_lsh / dedup_simhash stay rows-only by design (each
-# has a hash-matched portable/exact sibling in the window history).
+# has a hash-matched portable/exact sibling in the window history);
+# graph_kcore_customers (r10) is rows-only by design too — an
+# unbounded-recursion fixpoint, pinned by the pure-Python
+# differential in tests/test_graph.py.
 # test_registry_hygiene.py::test_rotation_note_names_resolve asserts
 # every query name cited in this note resolves in _REGISTRY.
 _DRIVER_WINDOW: list[str] = [
