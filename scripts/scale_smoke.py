@@ -24,6 +24,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     decontaminate [n=1000000]
     sessions  [n=10000000]
     kmeans    [n=1000000] [dim=32] [k=16] [iters=2]
+    kcore     [n_edges=10000000] [k=8] [clique=200]
     skyline   [n=10000000]
     triangles [n_edges=10000000] [hub_deg=100000]
     heavy_hitters [n=100000000] [phi_permille=1]
@@ -1192,6 +1193,38 @@ def smoke_kmeans(n: int = 1_000_000, dim: int = 32, k: int = 16,
                           "wall_sec": wall}), flush=True)
 
 
+
+def smoke_kcore(n_edges: int = 10_000_000, k: int = 8,
+                clique: int = 200) -> None:
+    """k-core peeling at 10M random edges (mean degree ~6, whose
+    8-core is empty w.h.p.) with a planted ``clique``-clique that must
+    survive alone: wall and peel depth are the story — each round is
+    one degree agg + two anti joins over a shrinking edge set."""
+    from cascading_hive_spark.operators.graph import k_core
+
+    spark = _spark()
+    n_nodes = max(4, n_edges // 3)
+    rnd = spark.range(n_edges).select(
+        F.pmod(F.abs(F.xxhash64("id")), F.lit(n_nodes)).alias("src"),
+        F.pmod(F.abs(F.xxhash64(F.col("id") + 7)), F.lit(n_nodes)).alias("dst"),
+    )
+    members = [n_nodes + i for i in range(clique)]
+    cl = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(members) for b in members[i + 1:]],
+        "src long, dst long",
+    )
+    edges = rnd.union(cl).localCheckpoint()
+    t0 = time.monotonic()
+    core = k_core(edges, k)
+    rows = core.collect()
+    wall = round(time.monotonic() - t0, 1)
+    in_clique = sum(1 for r in rows if r.node >= n_nodes)
+    print(json.dumps({"smoke": "kcore", "n_edges": n_edges, "k": k,
+                      "clique": clique, "core_nodes": len(rows),
+                      "clique_recovered": in_clique,
+                      "wall_sec": wall}), flush=True)
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -1203,6 +1236,7 @@ if __name__ == "__main__":
         "basket": smoke_basket,
         "markov_retention": smoke_markov_retention,
         "kmeans": smoke_kmeans,
+        "kcore": smoke_kcore,
         "simhash": smoke_simhash,
         "cc": smoke_cc,
         "pagerank": smoke_pagerank,
