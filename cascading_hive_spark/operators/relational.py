@@ -802,3 +802,51 @@ def resample_counts(
         "bucket",
         F.coalesce(F.col(count_name), F.lit(0)).cast("bigint").alias(count_name),
     )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    token_col: str,
+    n: int = 3,
+    sep: str = ">",
+    out_col: str = "gram",
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Count order-n grams over per-key ordered token sequences — the
+    sequence-mining primitive behind "what paths do users actually
+    take" (event streams), next-action candidates beyond first-order
+    Markov, and behavioral-cohort features (the event-stream twin of
+    text n-gram counting). Returns (``out_col``, ``count_name``) with
+    one row per distinct gram.
+
+    Window-lead formulation: each row concatenates its token with the
+    next n-1 tokens in its key's ``order_cols`` order — NO
+    collect_list, no per-key array materialization, no data-sized
+    driver state. One key-partitioned window sort (the shuffle
+    events_sessionize/markov already pay) + one gram-keyed map-side-
+    combined count. Per-key memory is the window sort buffer, never an
+    in-memory sequence — a power-law user bounds at the same sort term
+    the sessionizer carries, so the plan survives 100 TB unchanged.
+
+    Grams are built with NULL-propagating concat (Spark ``concat`` ==
+    SQL ``||``): a window tail (fewer than n-1 followers) or a NULL
+    token anywhere in the gram yields a NULL gram, filtered on both
+    engines identically — cross-engine hash-exact by construction.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if not key_cols or not order_cols:
+        raise ValueError("sequence_ngrams needs key_cols and order_cols")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    parts: list[Column] = [F.col(token_col)]
+    for i in range(1, n):
+        parts.extend([F.lit(sep), F.lead(token_col, i).over(w)])
+    gram = F.concat(*parts)
+    return (
+        df.select(gram.alias(out_col))
+        .filter(F.col(out_col).isNotNull())
+        .groupBy(out_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias(count_name))
+    )

@@ -7173,6 +7173,36 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", "source", "quality", "n_tokens")
 
 
+# Per-user event-type TRIGRAM counts (relational.sequence_ngrams) —
+# the order-3 upgrade of events_markov_transitions' first-order pairs:
+# window-lead gram construction (no collect_list, no arrays), one
+# user-keyed window shuffle + one gram-keyed map-side-combined count.
+# NULL-propagating concat on both engines makes window tails and NULL
+# tokens drop identically, so the hash check is exact.
+@register(
+    "events_sequence_trigrams",
+    """
+    WITH g AS (
+      SELECT event_type || '>' || lead(event_type) OVER w
+             || '>' || lead(event_type, 2) OVER w AS gram
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT gram, count(*) AS cnt
+    FROM g WHERE gram IS NOT NULL GROUP BY gram
+    """,
+)
+def q_events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import sequence_ngrams
+
+    return sequence_ngrams(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        token_col="event_type",
+        n=3,
+    )
+
+
 # r10 ROTATION NOTE (supersedes the r9 note, which wrongly claimed
 # full driver coverage before this rotation landed): the r10 window
 # below swaps IN the 6 oracle-able queries that had never had a driver
@@ -7200,7 +7230,9 @@ def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orders_status_priority_mi replaces decontaminate_docs_shuffle
 # (green r9 with a 1M-doc equality smoke), and events_resample_daily
 # replaces streaming_sliding_counts (green r8+r9; three other
-# streaming queries stay windowed).
+# streaming queries stay windowed), and events_sequence_trigrams
+# (registered mid-r10) replaces events_session_windows_batch (green
+# r8+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7255,7 +7287,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_winsorized_stats",  # registered mid-r10, checked same round
     "embedding_standardize",  # registered mid-r10, checked same round
     "docs_token_budget_mix",  # registered mid-r10, checked same round
-    "events_session_windows_batch",
+    "events_sequence_trigrams",  # registered mid-r10, checked same round
     "events_sessionize",
     "ann_ivf_append_probe",
     "orders_basket_lift",

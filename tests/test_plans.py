@@ -371,6 +371,32 @@ def test_winsorize_clips_to_group_band(spark):
     assert w[("b", 42.0)] == 42.0
 
 
+def test_sequence_ngrams_known_grams(spark):
+    """Trigram counts over a known per-user stream: window tails
+    (users with < n events) contribute nothing, a NULL token drops
+    every gram that would contain it, ordering follows order_cols, and
+    the same pattern across two users aggregates."""
+    from datetime import datetime
+
+    from cascading_hive_spark.operators.relational import sequence_ngrams
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), "a"), (1, t(2), "b"), (1, t(3), "c"), (1, t(4), "d"),
+        (2, t(1), "a"), (2, t(2), "b"), (2, t(3), "c"),
+        (3, t(1), "x"), (3, t(2), "y"),          # < n events: no gram
+        (4, t(1), "a"), (4, t(2), None), (4, t(3), "c"), (4, t(4), "d"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.gram: r.cnt for r in sequence_ngrams(
+        df, ["user_id"], ["ts"], "event_type", n=3).collect()}
+    assert got == {"a>b>c": 2, "b>c>d": 1}
+    # bigrams include u3's pair and u4's surviving c>d
+    got2 = {r.gram: r.cnt for r in sequence_ngrams(
+        df, ["user_id"], ["ts"], "event_type", n=2).collect()}
+    assert got2 == {"a>b": 2, "b>c": 2, "c>d": 2, "x>y": 1}
+
+
 def test_mutual_information_known_values(spark):
     """MI sanity: independent uniform columns give ~0; a bijective
     dependence gives ln(k)."""
