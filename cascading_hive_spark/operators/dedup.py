@@ -1071,6 +1071,106 @@ def embedding_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("_c", 6).alias("cos_sim"))
 
 
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 9,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): assign every vector to its
+    nearest TRAINED k-means centroid (the identical portable E-step as
+    kmeans_fit / kmeans_inertia — decimal-image squared-L2, argmin
+    ties to the lower cid), then compare all pairs WITHIN each cell
+    and keep cosine >= ``threshold``. Returns (id_a, id_b, cos_sim),
+    id_a < id_b, cos_sim rounded to 6 decimals.
+
+    Cell blocking is the paper's scale move: the quadratic sits inside
+    cells — k * (n/k)^2 pair-work instead of n^2 — and pairs that
+    straddle a cell boundary are deliberately out of scope (the
+    paper's recall trade; for boundary-robust blocking use
+    ``embedding_lsh_pairs``, whose bands overlap). ``centroids`` is
+    the long-form (cid, dim, centroid) table ``kmeans_fit`` returns,
+    so train-once / dedup-incrementally composes for free.
+
+    Scale shape: one broadcast of the k*dim centroid table onto the
+    exploded corpus + one id-key argmin shuffle (the trainer's E-step
+    cost), then one cid-key self-join whose per-task work is that
+    cell's pair count. A runaway cell (k too small for the corpus, or
+    a mass-duplicate spike) is guarded by ``max_cell`` — the cell-size
+    probe is a k-row aggregate (metadata-sized collect, house style)
+    and RAISES rather than silently quadratic-ing (skyline's
+    max_frontier discipline). Cosine is the sequential-double fold
+    (similarity.dot/norm), bit-identical cross-engine, so the full
+    pipeline — training, assignment, blocking, verification — has an
+    exact SQL oracle (queries.py: dedup_semantic_pairs).
+    """
+    from pyspark.sql import Window
+
+    from cascading_hive_spark.operators.similarity import dot as _dot, norm as _norm
+
+    cent = centroids.select(
+        F.col("cid").alias("_ccid"), "dim", F.col("centroid").alias("_cval")
+    )
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    ex = base.select("_id", F.posexplode("_v").alias("dim", "_val"))
+    diff = F.col("_val") - F.col("_cval")
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("_id", "_ccid")
+        .agg(
+            F.sum(
+                F.round(diff * diff, dist_scale).cast(f"decimal(38,{dist_scale})")
+            ).alias("_d2")
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("_ccid").asc())
+    assigned = (
+        d2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", F.col("_ccid").alias("cid"))
+    )
+    if max_cell is not None:
+        sizes = assigned.groupBy("cid").count().filter(F.col("count") > max_cell)
+        over = [(r["cid"], r["count"]) for r in sizes.collect()]
+        if over:
+            raise ValueError(
+                f"semantic_dedup_pairs: cells exceed max_cell={max_cell}: "
+                f"{over[:5]} — raise k (tighter cells), raise/disable "
+                "max_cell, or pre-split the corpus"
+            )
+    sided = base.join(assigned, "_id").select(
+        "cid", "_id", "_v", _norm(F.col("_v")).alias("_n")
+    )
+    a = sided.select(
+        "cid",
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = sided.select(
+        "cid",
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_c", cos)
+        .filter(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-span coverage (MassiveText-style substring dedup signal)
 # ---------------------------------------------------------------------------

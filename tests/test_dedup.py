@@ -541,3 +541,61 @@ def test_tfidf_cosine_pairs_planted_and_deterministic(spark):
         ).collect()
     }
     assert out == out2  # bit-identical similarities, not approximate
+
+
+def test_semantic_dedup_k1_equals_brute_force(spark):
+    """With k=1 every vector shares one cell, so SemDeDup pairs must
+    equal the brute-force all-pairs cosine filter exactly (values too,
+    not just membership)."""
+    import itertools
+
+    import numpy as np
+
+    from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_dedup_pairs(
+            df, kmeans_fit(df, k=1, iters=1), threshold=0.5
+        ).collect()
+    }
+    want = {}
+    for i, j in itertools.combinations(range(40), 2):
+        c = float(np.dot(vecs[i], vecs[j]) /
+                  (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])))
+        if c >= 0.5:
+            want[(i, j)] = round(c, 6)
+    assert set(got) == set(want)
+    for k_ in got:
+        assert abs(got[k_] - want[k_]) < 1e-9
+
+
+def test_semantic_dedup_finds_planted_dups_and_blocks(spark):
+    """Planted near-identical pairs land in the same trained cell and
+    are found; the max_cell guard raises on a degenerate cell."""
+    import numpy as np
+    import pytest
+
+    from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 16)) * 10
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.normal(size=16) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    # planted dup: 1000 is a tiny perturbation of 0
+    base = np.array(rows[0][1])
+    rows.append((1000, [float(x) for x in base + 1e-4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=4, iters=2)
+    got = semantic_dedup_pairs(df, cents, threshold=0.999).collect()
+    assert any((r.id_a, r.id_b) == (0, 1000) for r in got)
+    with pytest.raises(ValueError, match="max_cell"):
+        semantic_dedup_pairs(df, cents, threshold=0.9, max_cell=10).collect()
