@@ -493,3 +493,56 @@ def take_token_budget(
         .drop("_before", "_cum")
     )
     return whole.unionByName(part_sel)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "r",
+    rrf_k: int = 60,
+    topk: int | None = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009)
+    of several retrieval rankings — the standard hybrid-retrieval
+    combiner for a lexical BM25 list and an embedding-cosine list
+    (RAG-corpus curation's two pillars; queries.py: docs_hybrid_rrf
+    fuses exactly those two). Each input is (``id_col``,
+    ``rank_col``) with rank starting at 1; fused score(d) =
+    sum over lists of 1/(rrf_k + rank_d), absent lists contribute 0.
+    Returns (``id_col``, rrf_score) ordered by (score desc, id), cut
+    to ``topk`` if given.
+
+    Rank-only fusion is what makes RRF robust: no score calibration
+    between BM25 magnitudes and cosine in [-1, 1] is needed. Engine
+    discipline: each reciprocal is one double division of exact
+    integers (bit-identical cross-engine), accumulated through a
+    9-decimal image so the few-term sum never depends on engine or
+    partition order.
+
+    Scale shape: inputs are top-N lists (already tiny); the fuse is a
+    unionByName + one id-key map-side-combined agg + one
+    TakeOrderedAndProject — metadata-sized end to end.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.round(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_col).cast("double")), 9
+            )
+            .cast("decimal(38,9)")
+            .alias("_s"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy(id_col)
+        .agg(F.sum("_s").alias("_sum"))
+        .select(id_col, F.col("_sum").cast("double").alias("rrf_score"))
+        .orderBy(F.col("_sum").desc(), F.col(id_col))
+    )
+    return fused.limit(topk) if topk else fused

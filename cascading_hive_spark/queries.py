@@ -7250,6 +7250,84 @@ def q_events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hybrid retrieval by reciprocal-rank fusion (corpus.rrf_fuse): fuse
+# the BM25 lexical top-50 (docs_bm25_topk's scoring, same terms) with
+# the embedding-cosine top-50 against vec_id 3 (documents and
+# embeddings share the id domain) — the standard two-pillar RAG/
+# curation retrieval stack. Both engines rank each list by the same
+# (double score DESC, id) key, and the fused score is a 9-decimal
+# image of 1/(60+rank) terms, so the final (score, id) order is
+# hash-exact.
+@register(
+    "docs_hybrid_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> x <> '')) AS dl,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_len FROM (
+        SELECT len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               x -> x <> '')) AS dl
+        FROM documents)),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'query', 'window') GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id,
+             sum(CAST(round(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (n_docs - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl
+                            / (CAST(total_len AS DOUBLE) / n_docs))), 7)
+               AS DECIMAL(38,7))) AS s
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+      GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY CAST(s AS DOUBLE) DESC, doc_id) AS r
+      FROM w ORDER BY CAST(s AS DOUBLE) DESC, doc_id LIMIT 50),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (ORDER BY round({_QCOS}, 6) DESC, e.vec_id) AS r
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+      ORDER BY round({_QCOS}, 6) DESC, e.vec_id LIMIT 50),
+    fused AS (
+      SELECT doc_id,
+             sum(CAST(round(CAST(1.0 AS DOUBLE) / (60 + r), 9)
+                      AS DECIMAL(38,9))) AS s
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(s AS DOUBLE) AS rrf_score
+    FROM fused ORDER BY s DESC, doc_id LIMIT 20
+    """,
+)
+def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import bm25_topk, rrf_fuse
+    from cascading_hive_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "query", "window"], topk=50)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("r"))
+    query = emb.filter(F.col("vec_id") == 3).select("embedding")
+    vec = cosine_topk(emb, query, k=50)
+    wv = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    vec_r = vec.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("r")
+    )
+    return rrf_fuse([lex_r, vec_r], id_col="doc_id", rrf_k=60, topk=20)
+
+
 # r10 ROTATION NOTE (supersedes the r9 note, which wrongly claimed
 # full driver coverage before this rotation landed): the r10 window
 # below swaps IN the 6 oracle-able queries that had never had a driver
@@ -7280,7 +7358,9 @@ def q_events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming queries stay windowed), and events_sequence_trigrams
 # (registered mid-r10) replaces events_session_windows_batch (green
 # r8+r9), and dedup_semantic_pairs (registered mid-r10) replaces
-# events_sessionize (green r1-r9; bench still times it every round).
+# events_sessionize (green r1-r9; bench still times it every round),
+# and docs_hybrid_rrf (registered mid-r10) replaces
+# order_extremes_per_customer (green r8+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7317,7 +7397,7 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_enrich",
     "ann_ivfpq_disk",  # full-probe disk round-trip == brute force
     "events_sliding_window_counts",
-    "order_extremes_per_customer",
+    "docs_hybrid_rrf",  # registered mid-r10, checked same round
     "ann_cosine_topk",
     "ann_knn_join",
     # -- drift canaries (older greens):

@@ -25,6 +25,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     sessions  [n=10000000]
     kmeans    [n=1000000] [dim=32] [k=16] [iters=2]
     kcore     [n_edges=10000000] [k=8] [clique=200]
+    semantic_dedup [n=100000] [k=64] [dim=16]
     skyline   [n=10000000]
     triangles [n_edges=10000000] [hub_deg=100000]
     heavy_hitters [n=100000000] [phi_permille=1]
@@ -1194,6 +1195,61 @@ def smoke_kmeans(n: int = 1_000_000, dim: int = 32, k: int = 16,
 
 
 
+def smoke_semantic_dedup(n: int = 100_000, k: int = 64,
+                         dim: int = 16) -> None:
+    """SemDeDup at n vectors / k cells with planted near-identical
+    dups (one per 100 base vectors, 1e-3 perturbation): every planted
+    pair must surface at threshold 0.999, and the wall demonstrates
+    the documented cost split — one n*dim*k assignment fan-out plus
+    (n/k)^2-per-cell pair work (hold cell size by scaling k with n;
+    the guard stops runaway cells)."""
+    from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
+
+    spark = _spark()
+    # k well-separated integer centers; coord i of center c cycles -3..3
+    cents = spark.createDataFrame(
+        [(c, i, float((c * 31 + i * 17) % 7 - 3)) for c in range(k)
+         for i in range(dim)],
+        "cid long, dim int, centroid double",
+    )
+    noise = [
+        (F.pmod(F.abs(F.xxhash64(F.col("base") + i)), F.lit(1000)) / 1000.0 - 0.5)
+        for i in range(dim)
+    ]
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.pmod(F.col("id"), F.lit(k))).alias("_c"),
+        F.col("id").alias("base"),
+    )
+    # centers keyed by cluster id: coord = (cluster*31 + i*17) % 7 - 3
+    vecs = base.select(
+        "vec_id",
+        F.array(*[
+            ((F.pmod(F.col("_c") * 31 + i * 17, F.lit(7)) - 3).cast("double")
+             + noise[i])
+            for i in range(dim)
+        ]).alias("embedding"),
+    )
+    dups = vecs.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, 1e-3).otherwise(0.0)
+        ).alias("embedding"),
+    )
+    all_vecs = vecs.union(dups).localCheckpoint()
+    n_planted = n // 100
+    t0 = time.monotonic()
+    pairs = semantic_dedup_pairs(
+        all_vecs, cents, threshold=0.999, max_cell=50_000
+    ).localCheckpoint()
+    total = pairs.count()
+    found = pairs.filter(F.col("id_b") - F.col("id_a") == n).count()
+    wall = round(time.monotonic() - t0, 1)
+    print(json.dumps({"smoke": "semantic_dedup", "n": n, "k": k, "dim": dim,
+                      "planted": n_planted, "planted_found": found,
+                      "pairs_total": total, "wall_sec": wall}), flush=True)
+
+
 def smoke_kcore(n_edges: int = 10_000_000, k: int = 8,
                 clique: int = 200) -> None:
     """k-core peeling at 10M random edges (mean degree ~6, whose
@@ -1237,6 +1293,7 @@ if __name__ == "__main__":
         "markov_retention": smoke_markov_retention,
         "kmeans": smoke_kmeans,
         "kcore": smoke_kcore,
+        "semantic_dedup": smoke_semantic_dedup,
         "simhash": smoke_simhash,
         "cc": smoke_cc,
         "pagerank": smoke_pagerank,

@@ -345,3 +345,26 @@ def test_take_token_budget_exact_bucket_boundary(spark):
     df = spark.createDataFrame(rows, "doc_id long, quality long, n_tokens long")
     got = sorted(r.doc_id for r in take_token_budget(df, 100).collect())
     assert got == [1, 2]
+
+
+def test_rrf_fuse_known_ranks(spark):
+    """RRF arithmetic: a doc in both lists beats any single-list doc
+    at these ranks; absent lists contribute 0; ordering breaks ties by
+    id; topk cuts."""
+    from cascading_hive_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, r int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, r int")
+    got = rrf_fuse([a, b], topk=None).collect()
+    order = [r.doc_id for r in got]
+    scores = {r.doc_id: r.rrf_score for r in got}
+    assert order[0] == 2  # in both lists
+    assert abs(scores[2] - (round(1 / 62, 9) + round(1 / 61, 9))) < 1e-12
+    assert abs(scores[1] - round(1 / 61, 9)) < 1e-12
+    assert abs(scores[4] - round(1 / 62, 9)) < 1e-12
+    assert order == [2, 1, 4, 3]  # fused > rank1 > rank2 > rank3
+    # a genuine tie (same rank, single lists) breaks by id
+    c = spark.createDataFrame([(9, 1)], "doc_id long, r int")
+    d = spark.createDataFrame([(7, 1)], "doc_id long, r int")
+    assert [r.doc_id for r in rrf_fuse([c, d], topk=None).collect()] == [7, 9]
+    assert len(rrf_fuse([a, b], topk=2).collect()) == 2
