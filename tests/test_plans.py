@@ -449,3 +449,40 @@ def test_new_r10_operator_plans(spark, sf_dir):
     )
     assert mplan.count("BroadcastHashJoin") >= 2, mplan
     assert "SortMergeJoin" not in mplan, mplan
+
+
+def test_new_r10b_operator_plans(spark, sf_dir):
+    """Plan shapes for the late-r10 additions: sequence_ngrams is one
+    window + one partial-aggregated count (no Generate/explode, no
+    collect_list); semantic_dedup_pairs broadcasts the centroid table
+    and keeps the within-cell self-join a shuffled hash join (never a
+    broadcast of the corpus or a cartesian); rrf_fuse compiles the
+    final cut to TakeOrderedAndProject (no global Sort of all rows)."""
+    from cascading_hive_spark.operators.corpus import rrf_fuse
+    from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
+    from cascading_hive_spark.operators.relational import sequence_ngrams
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+    from cascading_hive_spark.plans.explain import physical_plan
+    from cascading_hive_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    splan = physical_plan(
+        sequence_ngrams(ev, ["user_id"], ["ts", "event_id"], "event_type", n=3)
+    )
+    assert "Window" in splan, splan
+    assert "Generate" not in splan and "collect_list" not in splan, splan
+    assert "HashAggregate" in splan, splan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=2, iters=1)
+    dplan = physical_plan(
+        semantic_dedup_pairs(emb, cents, threshold=0.5, max_cell=None)
+    )
+    assert "BroadcastHashJoin" in dplan, dplan          # centroid join
+    assert "CartesianProduct" not in dplan, dplan
+    assert "ShuffledHashJoin" in dplan, dplan           # within-cell pairs
+
+    a = spark.range(10).select(F.col("id").alias("doc_id"),
+                               (F.col("id") + 1).cast("int").alias("r"))
+    rplan = physical_plan(rrf_fuse([a, a], topk=5))
+    assert "TakeOrderedAndProject" in rplan, rplan
