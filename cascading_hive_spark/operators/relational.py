@@ -850,3 +850,47 @@ def sequence_ngrams(
         .groupBy(out_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias(count_name))
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_cols: list[str],
+    target_col: str,
+    m: float = 10.0,
+    sum_scale: int = 4,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column set
+    (Micci-Barreca, SIGKDD Explorations 2001) — the feature-prep
+    standard for high-cardinality categoricals:
+    enc(c) = (sum_c + m * global_mean) / (cnt_c + m), shrinking rare
+    categories toward the global mean so a 3-row category can't
+    memorize its targets. Returns (*cat_cols, cnt, enc).
+
+    Engine discipline: both sums accumulate through a ``sum_scale``
+    decimal image (order-independent, exact), the smoothing arithmetic
+    is a fixed double expression over those exact images, and enc is
+    rounded once to ``out_scale`` — hash-stable cross-engine.
+
+    Scale shape: one map-side-combined groupBy on the category keys
+    plus one 1-row global aggregate broadcast back — no window, no
+    join against the data rows; category-key skew is irrelevant
+    because partials combine before the shuffle.
+    """
+    dec = f"decimal(38,{sum_scale})"
+    t = F.round(F.col(target_col).cast("double"), sum_scale).cast(dec)
+    g = df.agg(
+        F.count(F.lit(1)).alias("_gn"), F.sum(t).alias("_gs")
+    )
+    per = df.groupBy(*cat_cols).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(t).alias("_s")
+    )
+    enc = (
+        F.col("_s").cast("double")
+        + F.lit(m) * (F.col("_gs").cast("double") / F.col("_gn"))
+    ) / (F.col("cnt") + F.lit(m))
+    return per.crossJoin(F.broadcast(g)).select(
+        *cat_cols,
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(enc, out_scale).alias("enc"),
+    )

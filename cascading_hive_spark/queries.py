@@ -7328,6 +7328,39 @@ def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex_r, vec_r], id_col="doc_id", rrf_k=60, topk=20)
 
 
+# Smoothed target encoding (relational.target_encode): encode
+# o_orderpriority by its shrunk mean o_totalprice (m=10 toward the
+# global mean) — the Micci-Barreca feature-prep standard. Decimal-
+# image sums on both engines; the smoothing expression is one fixed
+# double formula over exact images, rounded once.
+@register(
+    "orders_target_encoding",
+    """
+    WITH g AS (
+      SELECT count(*) AS gn,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS gs
+      FROM orders),
+    per AS (
+      SELECT o_orderpriority, count(*) AS cnt,
+             sum(CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS s
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, CAST(cnt AS BIGINT) AS cnt,
+           round((CAST(s AS DOUBLE)
+                  + CAST(10.0 AS DOUBLE) * (CAST(gs AS DOUBLE) / gn))
+                 / (cnt + CAST(10.0 AS DOUBLE)), 6) AS enc
+    FROM per CROSS JOIN g
+    """,
+)
+def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import target_encode
+
+    return target_encode(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_totalprice", m=10.0
+    )
+
+
 # r10 ROTATION NOTE (supersedes the r9 note, which wrongly claimed
 # full driver coverage before this rotation landed): the r10 window
 # below swaps IN the 6 oracle-able queries that had never had a driver
@@ -7360,7 +7393,9 @@ def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r8+r9), and dedup_semantic_pairs (registered mid-r10) replaces
 # events_sessionize (green r1-r9; bench still times it every round),
 # and docs_hybrid_rrf (registered mid-r10) replaces
-# order_extremes_per_customer (green r8+r9).
+# order_extremes_per_customer (green r8+r9), and orders_target_encoding
+# (registered mid-r10) replaces events_sliding_window_counts (green
+# r8+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7396,7 +7431,7 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_hourly_counts",
     "streaming_enrich",
     "ann_ivfpq_disk",  # full-probe disk round-trip == brute force
-    "events_sliding_window_counts",
+    "orders_target_encoding",  # registered mid-r10, checked same round
     "docs_hybrid_rrf",  # registered mid-r10, checked same round
     "ann_cosine_topk",
     "ann_knn_join",

@@ -480,9 +480,28 @@ def test_new_r10b_operator_plans(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in dplan, dplan          # centroid join
     assert "CartesianProduct" not in dplan, dplan
-    assert "ShuffledHashJoin" in dplan, dplan           # within-cell pairs
+    # within-cell pairs run as one Arrow-grouped GEMM task per cell
+    assert "FlatMapGroupsInPandas" in dplan, dplan
+    assert "SortMergeJoin" not in dplan.split("FlatMapGroupsInPandas")[0], dplan
 
     a = spark.range(10).select(F.col("id").alias("doc_id"),
                                (F.col("id") + 1).cast("int").alias("r"))
     rplan = physical_plan(rrf_fuse([a, a], topk=5))
     assert "TakeOrderedAndProject" in rplan, rplan
+
+
+def test_target_encode_smoothing(spark):
+    """Known arithmetic: with m=2, a 2-row category shrinks 50% toward
+    the global mean, a 0-ish-rare category would sit at the mean, and
+    a large category barely moves; cnt is exact."""
+    from cascading_hive_spark.operators.relational import target_encode
+
+    rows = [("a", 10.0), ("a", 20.0)] + [("b", 100.0)] * 98
+    df = spark.createDataFrame(rows, "c string, v double")
+    got = {r.c: (r.cnt, r.enc) for r in
+           target_encode(df, ["c"], "v", m=2.0).collect()}
+    g = (10 + 20 + 98 * 100) / 100.0  # 98.3
+    assert got["a"][0] == 2 and abs(got["a"][1] - (30 + 2 * g) / 4) < 1e-9
+    assert got["b"][0] == 98 and abs(got["b"][1] - (9800 + 2 * g) / 100) < 1e-9
+    # shrinkage direction: rare category pulled toward global mean
+    assert 15.0 < got["a"][1] < g
