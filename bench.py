@@ -36,6 +36,10 @@ HEADLINE = [
     "dedup_tfidf_cosine",
     "cdc_apply_orders",
     "scd2_point_in_time",
+    # r10 (late): the clustered-semantic-dedup and hybrid-retrieval
+    # families — kmeans-cell GEMM SemDeDup and BM25+cosine RRF fusion
+    "dedup_semantic_pairs",
+    "docs_hybrid_rrf",
 ]
 
 
