@@ -1119,31 +1119,12 @@ def semantic_dedup_pairs(
     block x cell similarities plus the cell's vectors, both bounded by
     ``max_cell``.
     """
-    from pyspark.sql import Window
+    from cascading_hive_spark.operators.similarity import argmin_cell, cell_distances
 
-    cent = centroids.select(
-        F.col("cid").alias("_ccid"), "dim", F.col("centroid").alias("_cval")
-    )
     base = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    ex = base.select("_id", F.posexplode("_v").alias("dim", "_val"))
-    diff = F.col("_val") - F.col("_cval")
-    d2 = (
-        ex.join(F.broadcast(cent), "dim")
-        .groupBy("_id", "_ccid")
-        .agg(
-            F.sum(
-                F.round(diff * diff, dist_scale).cast(f"decimal(38,{dist_scale})")
-            ).alias("_d2")
-        )
-    )
-    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("_ccid").asc())
-    assigned = (
-        d2.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_id", F.col("_ccid").alias("cid"))
-    )
+    assigned = argmin_cell(cell_distances(base, centroids, dist_scale))
     if max_cell is not None:
         sizes = assigned.groupBy("cid").count().filter(F.col("count") > max_cell)
         over = [(r["cid"], r["count"]) for r in sizes.collect()]

@@ -1150,41 +1150,25 @@ def centroid_confusion(
     against the assignment — (label, assigned_label, n).
 
     ``centroids`` is ``label_centroids`` long-form output (label, dim,
-    centroid) — metadata-sized (k * dim rows), so it broadcasts. The
-    assignment is fully relational: explode each vector to (id, dim,
-    val), broadcast-join the centroid table on dim (fan-out k per
-    coordinate, k small by construction), partial-agg the per-(id,
-    candidate) squared distance map-side, and pick the argmin with a
-    per-id window. Distances accumulate through a decimal image
-    (round((val-c)^2, dist_scale), exact sum) so the argmin is
-    order-independent and engine-portable; ties break on the lower
-    candidate label. No Python in the loop, no driver collect — at
-    100 TB this is one explode + one broadcast join + two key shuffles
+    centroid) — metadata-sized (k * dim rows), so it broadcasts as a
+    k-row cell-array table. The assignment is fully relational
+    (``cell_distances``: one decimal dim-fold per (vector, candidate)
+    pair — n*k rows, no explode), and the argmin is a map-side-
+    combinable min-struct aggregate. Distances accumulate through a
+    decimal image (round((val-c)^2, dist_scale), exact sum) so the
+    argmin is order-independent and engine-portable; ties break on
+    the lower candidate label. No Python in the loop, no driver
+    collect — at 100 TB this is one broadcast join + two key shuffles
     (id for the argmin, label pair for the final count)."""
-    cent = centroids.select(
-        F.col("label").alias("_clabel"),
-        "dim",
-        F.col("centroid").alias("_cval"),
-    )
-    ex = vectors.select(
+    base = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("label"),
-        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    diff = F.col("_val").cast("double") - F.col("_cval")
-    d2 = ex.join(F.broadcast(cent), "dim").groupBy("_id", "label", "_clabel").agg(
-        F.sum(F.round(diff * diff, dist_scale).cast(f"decimal(38,{dist_scale})")).alias(
-            "_d2"
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("_clabel").asc())
-    return (
-        d2.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .groupBy("label", F.col("_clabel").alias("assigned_label"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    d2 = cell_distances(base, centroids, dist_scale)
+    assigned = argmin_cell(d2, group_cols=["_id", "label"])
+    return assigned.groupBy("label", F.col("cid").alias("assigned_label")).agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 
@@ -1216,26 +1200,29 @@ def kmeans_fit(
     plain SQL engine can replay the whole training run as unrolled
     CTEs and hash-match the result (queries.py: embedding_kmeans_fit).
 
-    Scale shape per round: one broadcast of the k*dim centroid table
-    onto the exploded corpus (narrow), one id-key shuffle for the
-    argmin window, one id-key shuffle to join assignments back, one
-    (cid, dim) aggregation whose map-side partials are k*dim rows per
-    task — vectors themselves never shuffle. Lineage hygiene: the
-    centroid table (k*dim rows) is localCheckpoint-ed every round (the
-    pagerank pattern), so round N's plan reads the parquet scan + one
-    tiny checkpoint instead of N nested E/M graphs. Empty clusters
-    keep their previous centroid with n = 0 (left join + coalesce —
-    portable, no reseeding randomness).
+    Scale shape per round: the E-step is one broadcast of the k-cell
+    array table onto the vector rows — n*k rows, each a single
+    dim-length decimal fold (``cell_distances``; the earlier exploded
+    join-on-dim formulation pushed n*dim*k rows through a hash
+    aggregate and was the measured budget of BASELINE.md's kmeans
+    smoke) — then one map-side-combined argmin aggregate
+    (``argmin_cell``), one id-key shuffle to join assignments back,
+    and one (cid, dim) mean aggregation whose map-side partials are
+    k*dim rows per task — vectors themselves never shuffle. Lineage
+    hygiene: the centroid table (k*dim rows) is localCheckpoint-ed
+    every round (the pagerank pattern), so round N's plan reads the
+    parquet scan + one tiny checkpoint instead of N nested E/M graphs.
+    Empty clusters keep their previous centroid with n = 0 (left join
+    + coalesce — portable, no reseeding randomness).
     """
-    from pyspark.sql import Window
-
     from cascading_hive_spark.operators.sampling import hash_order
 
     dec_sum = f"decimal(38,{sum_scale})"
-    ex = vectors.select(
+    base = vectors.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
-    ).select("_id", "dim", F.col("_val").cast("double").alias("_val"))
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    ex = base.select("_id", F.posexplode("_v").alias("dim", "_val"))
 
     def _means(pts: DataFrame) -> DataFrame:
         return (
@@ -1258,25 +1245,7 @@ def kmeans_fit(
         ex.withColumn("cid", F.pmod(hash_order(F.col("_id")), F.lit(k)))
     ).localCheckpoint()
     for _ in range(iters):
-        cent = centroids.select(
-            F.col("cid").alias("_ccid"), "dim", F.col("centroid").alias("_cval")
-        )
-        diff = F.col("_val") - F.col("_cval")
-        d2 = (
-            ex.join(F.broadcast(cent), "dim")
-            .groupBy("_id", "_ccid")
-            .agg(
-                F.sum(
-                    F.round(diff * diff, dist_scale).cast(f"decimal(38,{dist_scale})")
-                ).alias("_d2")
-            )
-        )
-        w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("_ccid").asc())
-        assign = (
-            d2.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_id", F.col("_ccid").alias("cid"))
-        )
+        assign = argmin_cell(cell_distances(base, centroids, dist_scale))
         means = _means(ex.join(assign, "_id"))
         prior = centroids.select("cid", "dim", F.col("centroid").alias("_prev"))
         centroids = (
@@ -1308,6 +1277,68 @@ def centroids_to_cells(centroids_long: DataFrame) -> DataFrame:
         .select(
             "cell", F.col("_dc.centroid").cast("array<double>").alias("centroid")
         )
+    )
+
+
+def cell_distances(
+    base: DataFrame,
+    centroids_long: DataFrame,
+    dist_scale: int = 9,
+) -> DataFrame:
+    """Squared-L2 decimal image of every vector against every
+    centroid: input ``base`` carries ``_v`` (array<double>) plus any
+    pass-through columns; output replaces ``_v`` with one row per
+    centroid — (*pass-through, _ccid, _d2).
+
+    ONE ARRAY FOLD per (vector, centroid) pair over a broadcast
+    (k-row) cell table — n*k rows total, versus the exploded
+    join-on-dim formulation's n*dim*k rows through a hash aggregate
+    (the E-step fan-out BASELINE.md's kmeans smoke isolated as the
+    trainer's budget). Bit-identical to the exploded image: each
+    (val-c)^2 rounds to ``dist_scale`` before the sum and decimal
+    addition is exact and order-independent, so fold == hash-agg on
+    every element. Centroid ids come from ``centroids_long``'s
+    cid/label column (``centroids_to_cells`` resolves which).
+    """
+    # Precision discipline: Spark's decimal ADD widens precision by 1
+    # (max(p-s)+s+1); at (38,s)+(38,s) that overflows 38 and Spark
+    # silently REDUCES THE SCALE to absorb it — each fold step would
+    # round the running sum to s-1 decimals (caught by the inertia
+    # oracle: trailing digit loss). Keeping the accumulator at
+    # (37,s) and elements at (30,s) makes every add land exactly on
+    # (38,s) with no scale loss; the cast back to (37,s) is lossless
+    # for any |d2| < 1e28.
+    dec_el = f"decimal(30,{dist_scale})"
+    dec_acc = f"decimal(37,{dist_scale})"
+    cells = centroids_to_cells(centroids_long).select(
+        F.col("cell").alias("_ccid"), F.col("centroid").alias("_cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_cv"),
+            lambda a, b: F.round((a - b) * (a - b), dist_scale).cast(dec_el),
+        ),
+        F.lit(0).cast(dec_acc),
+        lambda acc, x: (acc + x).cast(dec_acc),
+    )
+    keep = [c for c in base.columns if c != "_v"]
+    return base.crossJoin(F.broadcast(cells)).select(
+        *keep, "_ccid", d2.alias("_d2")
+    )
+
+
+def argmin_cell(d2: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Per-group nearest centroid from ``cell_distances`` output:
+    min over struct(_d2, _ccid) — (d2 asc, ties to the lower cid),
+    the exact order the trainer's row_number window used, but as a
+    map-side-combinable aggregate (one partial row per group per task
+    instead of a full-row window sort). Returns (*group_cols, cid)."""
+    keys = list(group_cols or ["_id"])
+    return (
+        d2.groupBy(*keys)
+        .agg(F.min(F.struct("_d2", "_ccid")).alias("_m"))
+        .select(*keys, F.col("_m._ccid").alias("cid"))
     )
 
 
@@ -1347,40 +1378,26 @@ def kmeans_inertia(
     ``centroids`` is long-form (cid, dim, centroid). Returns
     (cid, n, inertia); clusters that win no vectors are absent.
 
-    Same E-step machinery as the trainer (broadcast centroid join,
-    decimal-image d2, argmin ties to the lower cid), then one (cid)
-    aggregation of the EXACT decimal distances, reported as the
+    Same E-step machinery as the trainer (``cell_distances`` decimal
+    fold over the broadcast cell table, argmin ties to the lower cid —
+    here as a min-struct aggregate carrying the distance), then one
+    (cid) aggregation of the EXACT decimal distances, reported as the
     deterministic nearest-double of the 9-decimal sum — no second
     rounding (the bm25 lesson: re-rounding a decimal through double
     sits on half-up boundaries where engines disagree)."""
-    from pyspark.sql import Window
-
-    cent = centroids.select(
-        F.col("cid").alias("_ccid"), "dim", F.col("centroid").alias("_cval")
-    )
-    ex = vectors.select(
+    base = vectors.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.col(vec_col)).alias("dim", "_val"),
-    ).select("_id", "dim", F.col("_val").cast("double").alias("_val"))
-    diff = F.col("_val") - F.col("_cval")
-    d2 = (
-        ex.join(F.broadcast(cent), "dim")
-        .groupBy("_id", "_ccid")
-        .agg(
-            F.sum(
-                F.round(diff * diff, dist_scale).cast(f"decimal(38,{dist_scale})")
-            ).alias("_d2")
-        )
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("_ccid").asc())
-    return (
-        d2.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .groupBy(F.col("_ccid").alias("cid"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("_d2").cast("double").alias("inertia"),
-        )
+    d2 = cell_distances(base, centroids, dist_scale)
+    nearest = (
+        d2.groupBy("_id")
+        .agg(F.min(F.struct("_d2", "_ccid")).alias("_m"))
+        .select("_id", F.col("_m._ccid").alias("cid"), F.col("_m._d2").alias("_d2"))
+    )
+    return nearest.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_d2").cast("double").alias("inertia"),
     )
 
 

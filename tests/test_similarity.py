@@ -551,3 +551,41 @@ def test_ivf_build_from_kmeans_roundtrip(spark, emb, tmp_path):
     hits = S.ivf_probe_from_disk(spark, path, query, k=3, nprobe=8)
     top = hits.collect()[0]
     assert top.vec_id == 5 and abs(top.cos_sim - 1.0) < 1e-6
+
+
+def test_cell_distances_fold_matches_exploded_image(spark, sf_dir):
+    """The E-step's array-fold d2 must equal the exploded
+    join-on-dim decimal image BIT FOR BIT — not merely produce the
+    same argmin. Pins the Spark decimal-add precision trap: at
+    (38,9)+(38,9) Spark silently reduces the scale to 8, which keeps
+    assignments stable but shifts raw distances (caught by the
+    inertia oracle in r10)."""
+    from cascading_hive_spark.operators.similarity import (
+        cell_distances,
+        kmeans_fit,
+    )
+    from cascading_hive_spark.tables import load_table
+
+    v = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(v, k=4, iters=1).localCheckpoint()
+    base = v.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    fold = {(r._id, r._ccid): r._d2 for r in cell_distances(base, cents).collect()}
+    cent = cents.select(
+        F.col("cid").alias("_ccid"), "dim", F.col("centroid").alias("_cval")
+    )
+    ex = base.select("_id", F.posexplode("_v").alias("dim", "_val"))
+    diff = F.col("_val") - F.col("_cval")
+    exploded = {
+        (r._id, r._ccid): r._d2
+        for r in (
+            ex.join(F.broadcast(cent), "dim")
+            .groupBy("_id", "_ccid")
+            .agg(F.sum(F.round(diff * diff, 9).cast("decimal(38,9)")).alias("_d2"))
+        ).collect()
+    }
+    assert set(fold) == set(exploded)
+    for k_ in fold:
+        assert fold[k_] == exploded[k_], (k_, fold[k_], exploded[k_])
