@@ -7250,6 +7250,65 @@ def q_events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_keep_sql(k: int, iters: int, threshold: float) -> str:
+    """Oracle for dedup_semantic_keep: the full SemDeDup pair chain
+    (training + assignment + within-cell cosine), then connected
+    components as a recursive CTE (the dedup_cluster_components
+    pattern) and the keep-min-id-per-cluster decision, LEFT-joined
+    back so singletons surface as kept with their own id."""
+    pairs = _semantic_dedup_sql(k, iters, threshold)
+    ctes = pairs[: pairs.rindex("SELECT a.vec_id")]
+    ctes = ctes.replace("WITH ex AS", "WITH RECURSIVE ex AS", 1)
+    cos_pred = pairs[pairs.rindex("WHERE ") + len("WHERE ") :].strip()
+    return (
+        ctes
+        + f""",
+    spr_ AS (
+      SELECT x.id AS u, y.id AS v
+      FROM sda_ x JOIN sda_ y ON x.cid = y.cid AND x.id < y.id
+      JOIN embeddings a ON a.vec_id = x.id
+      JOIN embeddings b ON b.vec_id = y.id
+      WHERE {cos_pred}),
+    sym_ AS (SELECT u, v FROM spr_ UNION SELECT v, u FROM spr_),
+    reach_(id, l) AS (
+      SELECT u, u FROM sym_
+      UNION
+      SELECT s.u, r.l FROM sym_ s JOIN reach_ r ON r.id = s.v),
+    comp_ AS (SELECT id, min(l) AS cluster_id FROM reach_ GROUP BY id)
+    SELECT e.vec_id,
+           CAST(COALESCE(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+           (c.cluster_id IS NULL OR c.cluster_id = e.vec_id) AS kept
+    FROM embeddings e LEFT JOIN comp_ c ON c.id = e.vec_id"""
+    )
+
+
+# SemDeDup end-to-end to the KEEP DECISION: semantic pairs -> min-label
+# connected components -> keep one representative (the min id) per
+# duplicate cluster, singletons kept as themselves — the operator a
+# curation pipeline actually runs (pairs are the intermediate). The
+# oracle replays training, assignment, blocking, cosine verification,
+# the component fixpoint (recursive CTE), and the keeper policy.
+@register("dedup_semantic_keep", _semantic_keep_sql(8, 2, 0.5))
+def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
+    from cascading_hive_spark.operators.graph import dedup_clusters
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(e, kmeans_fit(e, k=8, iters=2), threshold=0.5)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    return e.select("vec_id").join(
+        clusters.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+        .cast("bigint")
+        .alias("cluster_id"),
+        (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("vec_id")))
+        .alias("kept"),
+    )
+
+
 # Hybrid retrieval by reciprocal-rank fusion (corpus.rrf_fuse): fuse
 # the BM25 lexical top-50 (docs_bm25_topk's scoring, same terms) with
 # the embedding-cosine top-50 against vec_id 3 (documents and
@@ -7395,7 +7454,9 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and docs_hybrid_rrf (registered mid-r10) replaces
 # order_extremes_per_customer (green r8+r9), and orders_target_encoding
 # (registered mid-r10) replaces events_sliding_window_counts (green
-# r8+r9).
+# r8+r9), and dedup_semantic_keep (registered mid-r10) replaces
+# table_diff_orders (green r8+r9; its cdc_apply_orders round-trip
+# partner stays windowed).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7424,7 +7485,7 @@ _DRIVER_WINDOW: list[str] = [
     "ann_pq_portable",
     "ann_ivfpq_portable",
     "cdc_apply_orders",
-    "table_diff_orders",
+    "dedup_semantic_keep",  # registered mid-r10, checked same round
     "dedup_tfidf_cosine",
     "graph_pagerank_hubs",
     "streaming_dedup",
