@@ -599,3 +599,35 @@ def test_semantic_dedup_finds_planted_dups_and_blocks(spark):
     assert any((r.id_a, r.id_b) == (0, 1000) for r in got)
     with pytest.raises(ValueError, match="max_cell"):
         semantic_dedup_pairs(df, cents, threshold=0.9, max_cell=10).collect()
+
+
+def test_semantic_keep_one_per_cluster(spark):
+    """Keep law: every duplicate cluster keeps exactly its min-id
+    member; singletons keep themselves; kept + dropped partitions the
+    corpus."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
+    from cascading_hive_spark.operators.graph import dedup_clusters
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    # noise comparable to center norm: same-cluster non-dup cosine
+    # stays ~0.97, far below the 0.9999 dup threshold
+    centers = rng.normal(size=(4, 8)) * 3
+    rows = []
+    for i in range(80):
+        rows.append((i, [float(x) for x in centers[i % 4] + rng.normal(size=8) * 0.5]))
+    # two planted dup clusters: {0, 100, 200} and {1, 101}
+    for dup, base_id in [(100, 0), (200, 0), (101, 1)]:
+        base = np.array(rows[base_id][1])
+        rows.append((dup, [float(x) for x in base + 1e-5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, kmeans_fit(df, k=4, iters=2), threshold=0.9999)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    got = {r.id: r.cluster_id for r in clusters.collect()}
+    assert got[0] == got[100] == got[200] == 0
+    assert got[1] == got[101] == 1
+    kept = {cid for cid, c in got.items() if cid == c}
+    assert kept == {0, 1}
+    assert set(got) == {0, 100, 200, 1, 101}  # no false clusters at .9999
