@@ -292,10 +292,19 @@ def smoke_markov_retention(n: int = 10_000_000, n_users: int = 100_000) -> None:
     t0 = time.monotonic()
     n_cohort = cohorts.count()
     w_ret = round(time.monotonic() - t0, 1)
+    from cascading_hive_spark.operators.relational import sequence_ngrams
+
+    t0 = time.monotonic()
+    n_grams = sequence_ngrams(
+        ev, ["user_id"], ["ts", "event_id"], "etype", n=3
+    ).count()
+    w_tri = round(time.monotonic() - t0, 1)
     print(json.dumps({"smoke": "markov_retention", "n": n,
                       "n_users": n_users, "n_transitions": n_trans,
                       "markov_wall_sec": w_markov, "n_cohort_cells": n_cohort,
-                      "retention_wall_sec": w_ret}), flush=True)
+                      "retention_wall_sec": w_ret,
+                      "n_trigrams": n_grams,
+                      "trigram_wall_sec": w_tri}), flush=True)
 
 
 def smoke_ivf_knn(n: int = 100_000, n_queries: int = 200, n_cells: int = 64) -> None:
