@@ -894,3 +894,62 @@ def target_encode(
         F.col("cnt").cast("bigint").alias("cnt"),
         F.round(enc, out_scale).alias("enc"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Changepoint estimate per key by CUMULATIVE-DEVIATION CUSUM
+    (Page 1954 / the cumulative-sums shift estimator): over an ordered
+    integer series, the running sum of deviations from the series mean
+    peaks in magnitude AT the level shift — argmax_t |sum_{i<=t}
+    (x_i - mean)| estimates where the rate changed. Returns one row
+    per key: (*key_cols, changepoint = the order value at the peak,
+    cusum_peak, n_points), ties to the earliest point.
+
+    PURE INTEGER arithmetic: the deviation sum is computed scaled by
+    n — cusum_int_t = sum_{i<=t} (n * x_i - total) — so no mean is
+    ever materialized as a float and the result is exactly portable
+    to any engine (the permille-floor discipline, taken to its
+    conclusion: no floats at all). Feed it a regular series
+    (``resample_counts``) so silent periods count as zeros instead of
+    vanishing.
+
+    Scale shape: one per-key (n, total) aggregate broadcast back, one
+    per-key ordered running-sum window (the shuffle the series already
+    paid to resample), one rank pick over the SAME partitioning (no
+    second shuffle) — no self-joins, no quadratic frames. Magnitudes:
+    |cusum_int| <= n * total, so bigint holds through ~3e9 * 3e9 per
+    key at 100 TB; beyond that switch the running sum to
+    decimal(38,0) (same algebra).
+    """
+    keys = list(key_cols)
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col).cast("bigint")).alias("_tot"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = F.col("_n") * F.col(value_col).cast("bigint") - F.col("_tot")
+    cusum = df.join(F.broadcast(stats), keys).withColumn(
+        "_c", F.sum(dev).over(w)
+    )
+    wr = Window.partitionBy(*keys).orderBy(
+        F.abs(F.col("_c")).desc(), F.col(order_col).asc()
+    )
+    return (
+        cusum.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col(order_col).alias("changepoint"),
+            F.col("_c").cast("bigint").alias("cusum_peak"),
+            F.col("_n").cast("bigint").alias("n_points"),
+        )
+    )

@@ -6902,6 +6902,60 @@ def q_events_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CUSUM changepoint estimate (relational.cusum_changepoint) over the
+# gap-filled daily series: argmax_t |sum_{i<=t}(n*cnt_i - total)| per
+# event type — the cumulative-deviation shift estimator in PURE
+# INTEGER arithmetic (no mean ever floats), ties to the earliest
+# bucket. The oracle replays the grid, the scaled deviations, the
+# running sum, and the rank pick; every output column is integer or
+# timestamp, so the hash check is exact by construction.
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH a AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM a GROUP BY 1),
+    g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM b),
+    s AS (
+      SELECT g.event_type, g.bucket, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS tot
+      FROM s GROUP BY 1),
+    c AS (
+      SELECT s.event_type, bucket, n,
+             sum(n * cnt - tot) OVER (PARTITION BY s.event_type
+                 ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c
+      FROM s JOIN st USING (event_type)),
+    p AS (
+      SELECT event_type, bucket, c, n,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(c) DESC, bucket) AS rn
+      FROM c)
+    SELECT event_type, bucket AS changepoint, CAST(c AS BIGINT) AS cusum_peak,
+           CAST(n AS BIGINT) AS n_points
+    FROM p WHERE rn = 1
+    """,
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import (
+        cusum_changepoint,
+        resample_counts,
+    )
+
+    daily = resample_counts(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", grain="day"
+    )
+    return cusum_changepoint(daily, ["event_type"], "bucket", "cnt")
+
+
 # Mutual information between orders' status and priority
 # (relational.mutual_information): the categorical-dependence probe
 # next to lineitem_corr_matrix's numeric one. The oracle replays the
@@ -7456,7 +7510,8 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (registered mid-r10) replaces events_sliding_window_counts (green
 # r8+r9), and dedup_semantic_keep (registered mid-r10) replaces
 # table_diff_orders (green r8+r9; its cdc_apply_orders round-trip
-# partner stays windowed).
+# partner stays windowed), and events_cusum_changepoint (registered
+# mid-r10) replaces pack_sequences (green r8+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7519,7 +7574,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_markov_transitions",
     "dedup_embedding_cosine",
     "text_analyze",
-    "pack_sequences",
+    "events_cusum_changepoint",  # registered mid-r10, checked same round
     "events_retention_cohorts",
     "dedup_keep_best_source",
     "multimodal_meta",

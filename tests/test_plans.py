@@ -505,3 +505,25 @@ def test_target_encode_smoothing(spark):
     assert got["b"][0] == 98 and abs(got["b"][1] - (9800 + 2 * g) / 100) < 1e-9
     # shrinkage direction: rare category pulled toward global mean
     assert 15.0 < got["a"][1] < g
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    """A step from level 2 to level 10 at t=30 of 60 must peak the
+    cumulative deviation AT the last low point (t=29, 0-indexed date
+    offset 29); a flat series peaks wherever ties resolve earliest;
+    integer cusum_peak is exact."""
+    from datetime import date, timedelta
+
+    from cascading_hive_spark.operators.relational import cusum_changepoint
+
+    d0 = date(2024, 1, 1)
+    rows = [("a", d0 + timedelta(days=i), 2 if i < 30 else 10) for i in range(60)]
+    rows += [("b", d0 + timedelta(days=i), 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, bucket date, cnt int")
+    got = {r.k: (r.changepoint, r.cusum_peak, r.n_points) for r in
+           cusum_changepoint(df, ["k"], "bucket", "cnt").collect()}
+    # series a: n=60, tot=360; dev below = 60*2-360 = -240/day for 30
+    # days -> peak |cusum| at day idx 29 = -7200, then climbs back
+    assert got["a"] == (d0 + timedelta(days=29), -7200, 60)
+    # flat series: every prefix sums to 0, earliest tie wins
+    assert got["b"] == (d0, 0, 10)
