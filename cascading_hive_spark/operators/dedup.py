@@ -1112,11 +1112,11 @@ def semantic_dedup_pairs(
     cross-engine and the full pipeline — training, assignment,
     blocking, verification — has an exact SQL oracle (queries.py:
     dedup_semantic_pairs). A runaway cell (k too small for the corpus,
-    or a mass-duplicate spike) is guarded by ``max_cell`` — the
-    cell-size probe is a k-row aggregate (metadata-sized collect,
-    house style) and RAISES rather than silently quadratic-ing
-    (skyline's max_frontier discipline); per-task memory is
-    block x cell similarities plus the cell's vectors, both bounded by
+    or a mass-duplicate spike) is guarded by ``max_cell`` — the guard
+    RAISES inside the cell's own Arrow task rather than silently
+    quadratic-ing (skyline's max_frontier discipline), so it costs no
+    extra job on the happy path; per-task memory is block x cell
+    similarities plus the cell's vectors, both bounded by
     ``max_cell``.
     """
     from cascading_hive_spark.operators.similarity import argmin_cell, cell_distances
@@ -1125,15 +1125,6 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     assigned = argmin_cell(cell_distances(base, centroids, dist_scale))
-    if max_cell is not None:
-        sizes = assigned.groupBy("cid").count().filter(F.col("count") > max_cell)
-        over = [(r["cid"], r["count"]) for r in sizes.collect()]
-        if over:
-            raise ValueError(
-                f"semantic_dedup_pairs: cells exceed max_cell={max_cell}: "
-                f"{over[:5]} — raise k (tighter cells), raise/disable "
-                "max_cell, or pre-split the corpus"
-            )
     sided = base.join(assigned, "_id").select("cid", "_id", "_v")
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -1156,6 +1147,15 @@ def semantic_dedup_pairs(
 
         empty = pd.DataFrame({"id_a": [], "id_b": [], "_c": []})
         c = len(pdf)
+        if max_cell is not None and c > max_cell:
+            # guard raised IN the cell task (skyline's max_frontier
+            # pattern) — no separate cell-size probe job, so the guard
+            # costs nothing on the happy path
+            raise ValueError(
+                f"semantic_dedup_pairs: cell of {c} rows exceeds "
+                f"max_cell={max_cell} — raise k (tighter cells), "
+                "raise/disable max_cell, or pre-split the corpus"
+            )
         if c < 2:
             return empty
         out_a, out_b, out_c = [], [], []
