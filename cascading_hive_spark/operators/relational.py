@@ -953,3 +953,65 @@ def cusum_changepoint(
             F.col("_n").cast("bigint").alias("n_points"),
         )
     )
+
+
+def ab_test_zscore(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    val_scale: int = 4,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Two-sample experiment readout over a deterministic 50/50 hash
+    split: assign each UNIT (user, session) to arm A or B by the
+    Knuth multiplicative hash of its id (the same engine-portable
+    assignment sampling.py uses — reproducible, no stored assignment
+    table), then report per-arm n / mean and the Welch z statistic
+    (unequal variances) for the metric — the A/B-test primitive an
+    experimentation pipeline runs per metric per day. One row:
+    (n_a, n_b, mean_a, mean_b, z).
+
+    Engine discipline: per-arm sums of round(v, val_scale) and of
+    round(v'*v', 2*val_scale) (v' the rounded double — identical in
+    any IEEE engine) accumulate through decimal images, so n / sums
+    are exact; mean, Welch variance and z are then ONE fixed double
+    expression over those exact images, rounded once to ``out_scale``
+    — hash-stable cross-engine, no order-dependent float accumulation
+    anywhere.
+
+    Scale shape: a single map-side-combined conditional aggregation
+    over one scan — no shuffle wider than two partial rows per task,
+    no join, no window; the unit hash is computed inline (pmod
+    algebra, wrap-free for the full int64 range).
+    """
+    from cascading_hive_spark.operators.sampling import hash_order
+
+    dec_s = f"decimal(38,{val_scale})"
+    dec_q = f"decimal(38,{2 * val_scale})"
+    arm = F.pmod(hash_order(F.col(unit_col)), F.lit(2))
+    vr = F.round(F.col(value_col).cast("double"), val_scale)
+    sq = F.round(vr * vr, 2 * val_scale)
+    agg = df.select(arm.alias("_arm"), vr.alias("_v"), sq.alias("_q")).agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_v").cast(dec_s))).alias("_sa"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_v").cast(dec_s))).alias("_sb"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_q").cast(dec_q))).alias("_qa"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_q").cast(dec_q))).alias("_qb"),
+    )
+    ma = F.col("_sa").cast("double") / F.col("n_a")
+    mb = F.col("_sb").cast("double") / F.col("n_b")
+    va = (F.col("_qa").cast("double") - F.col("_sa").cast("double") * ma) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("_qb").cast("double") - F.col("_sb").cast("double") * mb) / (
+        F.col("n_b") - 1
+    )
+    z = (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(ma, out_scale).alias("mean_a"),
+        F.round(mb, out_scale).alias("mean_b"),
+        F.round(z, out_scale).alias("z"),
+    )

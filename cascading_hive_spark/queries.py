@@ -6956,6 +6956,50 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(daily, ["event_type"], "bucket", "cnt")
 
 
+# A/B experiment readout (relational.ab_test_zscore): 50/50 Knuth-hash
+# split of users, per-arm n/mean of the event value, Welch z. The
+# oracle mirrors the pmod assignment algebra, the decimal-image
+# sum/sum-of-squares, and the single fixed double expression for
+# mean/variance/z — rounded once on both sides.
+@register(
+    "events_ab_test",
+    """
+    WITH t AS (
+      SELECT ((user_id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761) % 1000000007 % 2 AS arm,
+             round(CAST(value AS DOUBLE), 4) AS v
+      FROM events),
+    a AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 0
+                 THEN CAST(v AS DECIMAL(38,4)) END) AS DOUBLE) AS sa,
+        CAST(sum(CASE WHEN arm = 1
+                 THEN CAST(v AS DECIMAL(38,4)) END) AS DOUBLE) AS sb,
+        CAST(sum(CASE WHEN arm = 0
+                 THEN CAST(round(v * v, 8) AS DECIMAL(38,8)) END)
+             AS DOUBLE) AS qa,
+        CAST(sum(CASE WHEN arm = 1
+                 THEN CAST(round(v * v, 8) AS DECIMAL(38,8)) END)
+             AS DOUBLE) AS qb
+      FROM t)
+    SELECT n_a, n_b,
+           round(sa / n_a, 6) AS mean_a,
+           round(sb / n_b, 6) AS mean_b,
+           round((sb / n_b - sa / n_a)
+                 / sqrt(((qa - sa * (sa / n_a)) / (n_a - 1)) / n_a
+                        + ((qb - sb * (sb / n_b)) / (n_b - 1)) / n_b),
+                 6) AS z
+    FROM a
+    """,
+)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import ab_test_zscore
+
+    return ab_test_zscore(_t(spark, sf_dir, "events"), "user_id", "value")
+
+
 # Mutual information between orders' status and priority
 # (relational.mutual_information): the categorical-dependence probe
 # next to lineitem_corr_matrix's numeric one. The oracle replays the
@@ -7511,7 +7555,9 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r8+r9), and dedup_semantic_keep (registered mid-r10) replaces
 # table_diff_orders (green r8+r9; its cdc_apply_orders round-trip
 # partner stays windowed), and events_cusum_changepoint (registered
-# mid-r10) replaces pack_sequences (green r8+r9).
+# mid-r10) replaces pack_sequences (green r8+r9), and events_ab_test
+# (registered mid-r10) replaces dedup_keep_best_source (green r8+r9;
+# five other dedup-family queries stay windowed).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7576,7 +7622,7 @@ _DRIVER_WINDOW: list[str] = [
     "text_analyze",
     "events_cusum_changepoint",  # registered mid-r10, checked same round
     "events_retention_cohorts",
-    "dedup_keep_best_source",
+    "events_ab_test",  # registered mid-r10, checked same round
     "multimodal_meta",
     "q1_pricing_summary",  # the decimal-sum perf/correctness watch item
 ]

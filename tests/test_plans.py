@@ -527,3 +527,29 @@ def test_cusum_changepoint_planted_shift(spark):
     assert got["a"] == (d0 + timedelta(days=29), -7200, 60)
     # flat series: every prefix sums to 0, earliest tie wins
     assert got["b"] == (d0, 0, 10)
+
+
+def test_ab_test_zscore_planted_effect(spark):
+    """Planted lift: arm B's values shifted +10 with tiny noise must
+    produce a large positive z; identical arms give |z| ~ 0; n_a + n_b
+    covers every unit; means are exact to the decimal image."""
+    from cascading_hive_spark.operators.sampling import hash_order
+    from cascading_hive_spark.operators.relational import ab_test_zscore
+
+    base = spark.range(4000).select(
+        F.col("id").alias("user_id"),
+        F.pmod(hash_order(F.col("id")), F.lit(2)).alias("_arm"),
+        (F.pmod(F.abs(F.xxhash64("id")), F.lit(100)) / 100.0).alias("_noise"),
+    )
+    lifted = base.select(
+        "user_id",
+        (F.col("_noise") + F.when(F.col("_arm") == 1, 10.0).otherwise(0.0))
+        .alias("value"),
+    )
+    r = ab_test_zscore(lifted, "user_id", "value").collect()[0]
+    assert r.n_a + r.n_b == 4000 and min(r.n_a, r.n_b) > 1500
+    assert 9.5 < r.mean_b - r.mean_a < 10.5
+    assert r.z > 100  # ~10 lift over ~0.29 sd
+    flat = base.select("user_id", F.col("_noise").alias("value"))
+    r0 = ab_test_zscore(flat, "user_id", "value").collect()[0]
+    assert abs(r0.z) < 3
