@@ -158,3 +158,40 @@ def test_survey_2d_query_names_resolve():
     unresolved = sorted(t for t in cited if t not in q._REGISTRY)
     assert not unresolved, f"SURVEY 2.D cites unknown queries: {unresolved}"
     assert len(cited) >= 20, cited
+
+
+def test_every_oracle_query_driver_checked_or_windowed():
+    """The rotation contract, made executable (the r8/r9 stale-note
+    incidents): every oracle-able registered query must either already
+    have a driver CORRECTNESS row in some prior round's artifact or be
+    scheduled in the CURRENT _DRIVER_WINDOW — no oracle-able query may
+    sit unverified outside the window. Rows-only queries are exempt by
+    design (each is differential- or property-tested instead)."""
+    import glob
+    import json
+    import pathlib
+
+    from cascading_hive_spark import queries as q
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        d = json.load(open(f))
+        items = d.get("results", d)
+        if isinstance(items, dict):
+            seen.update(items.keys())
+        elif isinstance(items, list):
+            for it in items:
+                name = it.get("name") or it.get("query")
+                if name:
+                    seen.add(name)
+    window = set(q._DRIVER_WINDOW)
+    stranded = sorted(
+        n
+        for n, (_, sql) in q._REGISTRY.items()
+        if sql is not None and n not in seen and n not in window
+    )
+    assert not stranded, (
+        f"oracle-able queries with no driver row and no window slot: "
+        f"{stranded} — rotate them into _DRIVER_WINDOW"
+    )
