@@ -1009,8 +1009,8 @@ def ab_test_zscore(
     )
     z = (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
     return agg.select(
-        F.col("n_a").cast("bigint").alias("n_a"),
-        F.col("n_b").cast("bigint").alias("n_b"),
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
         F.round(ma, out_scale).alias("mean_a"),
         F.round(mb, out_scale).alias("mean_b"),
         F.round(z, out_scale).alias("z"),

@@ -6971,8 +6971,10 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     a AS (
       SELECT
-        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(COALESCE(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_a,
+        CAST(COALESCE(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_b,
         CAST(sum(CASE WHEN arm = 0
                  THEN CAST(v AS DECIMAL(38,4)) END) AS DOUBLE) AS sa,
         CAST(sum(CASE WHEN arm = 1

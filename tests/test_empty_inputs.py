@@ -261,3 +261,51 @@ def test_ivfpq_disk_probe_missing_vectors_shortlist_only(spark, tmp_path):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = ivfpq_probe_from_disk(spark, path, qv, m=8, nprobe=4, topk=3, shortlist=10)
     assert out.count() == 3
+
+
+def test_late_r10_operators_empty_and_degenerate(spark):
+    """Empty/degenerate robustness for the late-r10 additions:
+    sequence_ngrams on empty events, target_encode on empty input
+    (no rows, not a division error), cusum on a 1-point series
+    (peak = the point, cusum 0), rrf_fuse validation, semantic dedup
+    on an empty vector table."""
+    import pytest
+
+    from cascading_hive_spark.operators.corpus import rrf_fuse
+    from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = R.sequence_ngrams(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    assert out.count() == 0 and out.columns == ["gram", "cnt"]
+
+    empty_vals = spark.createDataFrame([], "c string, v double")
+    te = R.target_encode(empty_vals, ["c"], "v")
+    assert te.count() == 0 and te.columns == ["c", "cnt", "enc"]
+
+    one = spark.createDataFrame(
+        [("k", "2024-01-01", 5)], "k string, bucket string, cnt int"
+    ).withColumn("bucket", F.col("bucket").cast("date"))
+    r = R.cusum_changepoint(one, ["k"], "bucket", "cnt").collect()
+    assert len(r) == 1 and r[0].cusum_peak == 0 and r[0].n_points == 1
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    nonempty = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_fit(nonempty, k=1, iters=1)
+    assert semantic_dedup_pairs(vecs, cents, threshold=0.5).count() == 0
+
+    ab = R.ab_test_zscore(
+        spark.createDataFrame([], "user_id long, value double"),
+        "user_id",
+        "value",
+    ).collect()
+    # a global agg over zero rows still yields its one summary row,
+    # with NULL means/z (0/0 never raises)
+    assert len(ab) == 1 and ab[0].n_a == 0 and ab[0].mean_a is None
