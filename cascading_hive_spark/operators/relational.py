@@ -959,6 +959,7 @@ def ab_test_zscore(
     df: DataFrame,
     unit_col: str,
     value_col: str,
+    by: list[str] | None = None,
     val_scale: int = 4,
     out_scale: int = 6,
 ) -> DataFrame:
@@ -968,8 +969,10 @@ def ab_test_zscore(
     assignment sampling.py uses — reproducible, no stored assignment
     table), then report per-arm n / mean and the Welch z statistic
     (unequal variances) for the metric — the A/B-test primitive an
-    experimentation pipeline runs per metric per day. One row:
-    (n_a, n_b, mean_a, mean_b, z).
+    experimentation pipeline runs per metric per day. One row per
+    ``by`` group (one global row when ``by`` is empty):
+    (*by, n_a, n_b, mean_a, mean_b, z); a group seen by only one arm
+    reports NULL mean/z for the missing arm rather than erroring.
 
     Engine discipline: per-arm sums of round(v, val_scale) and of
     round(v'*v', 2*val_scale) (v' the rounded double — identical in
@@ -988,10 +991,13 @@ def ab_test_zscore(
 
     dec_s = f"decimal(38,{val_scale})"
     dec_q = f"decimal(38,{2 * val_scale})"
+    keys = list(by or [])
     arm = F.pmod(hash_order(F.col(unit_col)), F.lit(2))
     vr = F.round(F.col(value_col).cast("double"), val_scale)
     sq = F.round(vr * vr, 2 * val_scale)
-    agg = df.select(arm.alias("_arm"), vr.alias("_v"), sq.alias("_q")).agg(
+    agg = df.select(
+        *keys, arm.alias("_arm"), vr.alias("_v"), sq.alias("_q")
+    ).groupBy(*keys).agg(
         F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(F.col("_arm") == 0, F.col("_v").cast(dec_s))).alias("_sa"),
@@ -1007,8 +1013,14 @@ def ab_test_zscore(
     vb = (F.col("_qb").cast("double") - F.col("_sb").cast("double") * mb) / (
         F.col("n_b") - 1
     )
-    z = (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    # z only when both arms can estimate a variance (n >= 2): a 1-row
+    # arm would divide by zero into engine-dependent inf/NaN
+    z = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1),
+        (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")),
+    )
     return agg.select(
+        *keys,
         F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
         F.round(ma, out_scale).alias("mean_a"),

@@ -6989,10 +6989,11 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_a, n_b,
            round(sa / n_a, 6) AS mean_a,
            round(sb / n_b, 6) AS mean_b,
-           round((sb / n_b - sa / n_a)
+           round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+                 (sb / n_b - sa / n_a)
                  / sqrt(((qa - sa * (sa / n_a)) / (n_a - 1)) / n_a
-                        + ((qb - sb * (sb / n_b)) / (n_b - 1)) / n_b),
-                 6) AS z
+                        + ((qb - sb * (sb / n_b)) / (n_b - 1)) / n_b)
+                 END, 6) AS z
     FROM a
     """,
 )
@@ -7000,6 +7001,53 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.relational import ab_test_zscore
 
     return ab_test_zscore(_t(spark, sf_dir, "events"), "user_id", "value")
+
+
+# Per-segment A/B readout: the same hash-split Welch z, one row per
+# event_type (the "did the lift hold in every segment" drill-down).
+@register(
+    "events_ab_test_by_type",
+    """
+    WITH t AS (
+      SELECT event_type,
+             ((user_id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761) % 1000000007 % 2 AS arm,
+             round(CAST(value AS DOUBLE), 4) AS v
+      FROM events),
+    a AS (
+      SELECT event_type,
+        CAST(COALESCE(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_a,
+        CAST(COALESCE(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 0
+                 THEN CAST(v AS DECIMAL(38,4)) END) AS DOUBLE) AS sa,
+        CAST(sum(CASE WHEN arm = 1
+                 THEN CAST(v AS DECIMAL(38,4)) END) AS DOUBLE) AS sb,
+        CAST(sum(CASE WHEN arm = 0
+                 THEN CAST(round(v * v, 8) AS DECIMAL(38,8)) END)
+             AS DOUBLE) AS qa,
+        CAST(sum(CASE WHEN arm = 1
+                 THEN CAST(round(v * v, 8) AS DECIMAL(38,8)) END)
+             AS DOUBLE) AS qb
+      FROM t GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           round(sa / n_a, 6) AS mean_a,
+           round(sb / n_b, 6) AS mean_b,
+           round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+                 (sb / n_b - sa / n_a)
+                 / sqrt(((qa - sa * (sa / n_a)) / (n_a - 1)) / n_a
+                        + ((qb - sb * (sb / n_b)) / (n_b - 1)) / n_b)
+                 END, 6) AS z
+    FROM a
+    """,
+)
+def q_events_ab_test_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import ab_test_zscore
+
+    return ab_test_zscore(
+        _t(spark, sf_dir, "events"), "user_id", "value", by=["event_type"]
+    )
 
 
 # Mutual information between orders' status and priority
@@ -7559,7 +7607,9 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partner stays windowed), and events_cusum_changepoint (registered
 # mid-r10) replaces pack_sequences (green r8+r9), and events_ab_test
 # (registered mid-r10) replaces dedup_keep_best_source (green r8+r9;
-# five other dedup-family queries stay windowed).
+# five other dedup-family queries stay windowed), and
+# events_ab_test_by_type (registered mid-r10) replaces
+# all_types_surface (green r8+r9).
 # Future rotations: fill from (a) queries
 # registered after this note (enumerate the actual registry, not a
 # remembered count), then
@@ -7583,7 +7633,7 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_centroid_confusion",
     "part_pareto_frontier",
     # -- r7-r9 greens kept one more round (recent code paths):
-    "all_types_surface",
+    "events_ab_test_by_type",  # registered mid-r10, checked same round
     "ann_ivf_portable",
     "ann_pq_portable",
     "ann_ivfpq_portable",
