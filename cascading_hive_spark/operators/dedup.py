@@ -1187,6 +1187,11 @@ def semantic_dedup_pairs(
                 sb = 0.0
                 for t in (mat[j] * mat[j]).tolist():
                     sb += t
+                if sa == 0.0 or sb == 0.0:
+                    # zero-norm vector: cosine undefined — skip, matching
+                    # the BLAS candidate filter's nrm==0 -> 1.0 convention
+                    # (which yields sim 0 < thr for any positive thr).
+                    continue
                 cos = dot / (sa**0.5 * sb**0.5)
                 if cos >= thr:
                     a_, b_ = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])

@@ -459,15 +459,28 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         low = deg.filter(F.col("deg") < k).select("a").localCheckpoint()
         if low.isEmpty():
+            converged = True
             break
         sym = (
             sym.join(low, "a", "left_anti")
             .join(low.select(F.col("a").alias("b")), "b", "left_anti")
             .localCheckpoint()
+        )
+    if not converged:
+        # Returning here would hand back a superset that still has
+        # sub-k nodes — silently wrong vs. the unique-k-core contract.
+        # Fail fast (the max_frontier/max_cell house style): peeling
+        # depth exceeded the cap (e.g. a long path peels one layer per
+        # round), so the caller must raise max_iterations.
+        raise ValueError(
+            f"k_core did not reach the fixpoint within "
+            f"max_iterations={max_iterations}; raise max_iterations "
+            f"(peeling depth of this graph exceeds the cap)"
         )
     return (
         sym.groupBy(F.col("a").alias("node"))

@@ -560,8 +560,8 @@ def corr_matrix(
     order independent and engine-portable; the correlation itself is
     then a FIXED-ORDER double expression over those exact moments:
     (n·Sab - Sa·Sb) / (sqrt(n·Saa - Sa·Sa) · sqrt(n·Sbb - Sb·Sb)).
-    The pair fan-out reads the broadcast 1-row aggregate — no
-    re-scan per pair.
+    The pair fan-out is a single explode over that 1-row aggregate —
+    structurally no re-scan per pair.
     """
     if len(cols) < 2:
         raise ValueError("corr_matrix needs at least two columns")
@@ -584,7 +584,12 @@ def corr_matrix(
                 ).cast("double").alias(f"_p_{a}_{b}")
             )
     row = df.agg(*aggs)
-    out = None
+    # All pairs are projected out of the SAME 1-row aggregate via one
+    # explode — single scan-side aggregate pass by construction (a
+    # union of per-pair selects would re-plan the aggregate per arm
+    # and rely on exchange reuse to dedupe it; plan-gated in
+    # tests/test_plans.py::test_corr_matrix_matches_numpy_and_single_scan).
+    pairs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
             n = F.col("_n")
@@ -594,13 +599,16 @@ def corr_matrix(
             ) * F.sqrt(
                 n * F.col(f"_p_{b}_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
             )
-            pair = row.select(
-                F.lit(a).alias("col_a"),
-                F.lit(b).alias("col_b"),
-                F.round(num / den, out_scale).alias("corr"),
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(num / den, out_scale).alias("corr"),
+                )
             )
-            out = pair if out is None else out.unionByName(pair)
-    return out
+    return row.select(F.explode(F.array(*pairs)).alias("_pair")).select(
+        "_pair.col_a", "_pair.col_b", "_pair.corr"
+    )
 
 
 def funnel_conversion(
@@ -734,9 +742,15 @@ def mutual_information(
         * F.col("_nab")
         / (F.col("_na").cast("double") * F.col("_nb"))
     )
+    # eqNullSafe (<=>) keeps NULL-keyed cells in the joint↔marginal
+    # joins — a plain equi-join would silently drop them and compute
+    # MI over a sub-distribution whose mass is < 1 (oracle twin uses
+    # IS NOT DISTINCT FROM for the same semantics).
     cells = (
-        joint.join(F.broadcast(ma), "_a")
-        .join(F.broadcast(mb), "_b")
+        joint.join(F.broadcast(ma), joint["_a"].eqNullSafe(ma["_a"]))
+        .drop(ma["_a"])
+        .join(F.broadcast(mb), joint["_b"].eqNullSafe(mb["_b"]))
+        .drop(mb["_b"])
         .crossJoin(F.broadcast(tot))
     )
     return cells.agg(

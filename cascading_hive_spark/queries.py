@@ -7071,7 +7071,10 @@ def q_events_ab_test_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(nab AS DOUBLE) / n)
              * ln(CAST(n AS DOUBLE) * nab / (CAST(na AS DOUBLE) * nb)), 9)
              AS DECIMAL(38,9))) AS DOUBLE), 6) AS mi
-    FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+    FROM j
+    JOIN ma ON j.a IS NOT DISTINCT FROM ma.a
+    JOIN mb ON j.b IS NOT DISTINCT FROM mb.b
+    CROSS JOIN t
     """,
 )
 def q_orders_status_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:

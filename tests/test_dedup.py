@@ -631,3 +631,29 @@ def test_semantic_keep_one_per_cluster(spark):
     kept = {cid for cid, c in got.items() if cid == c}
     assert kept == {0, 1}
     assert set(got) == {0, 100, 200, 1, 101}  # no false clusters at .9999
+
+
+def test_semantic_dedup_zero_norm_vector_is_skipped(spark):
+    """A zero vector in a cell must not raise ZeroDivisionError in the
+    exact re-verify fold (ADVICE r10): cosine is undefined for it, so
+    pairs touching it are skipped — matching the BLAS candidate
+    filter's nrm==0 -> 1.0 convention — while normal pairs survive."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
+    from cascading_hive_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(10)]
+    base = np.array(rows[0][1])
+    rows.append((100, [float(x) for x in base * 2.0]))  # exact-direction dup
+    rows.append((999, [0.0, 0.0, 0.0, 0.0]))  # zero-norm vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # threshold <= ~1e-9 puts zero-vector pairs past the epsilon-widened
+    # candidate cut, which is exactly where the unguarded fold divided by 0
+    got = semantic_dedup_pairs(
+        df, kmeans_fit(df, k=1, iters=1), threshold=1e-12
+    ).collect()
+    ids = {r.id_a for r in got} | {r.id_b for r in got}
+    assert 999 not in ids
+    assert any((r.id_a, r.id_b) == (0, 100) for r in got)

@@ -52,3 +52,20 @@ def test_k_core_self_loops_and_duplicates_ignored(spark):
     got = {(r.node, r.degree) for r in k_core(df, 2).collect()}
     assert got == {(1, 2), (2, 2), (3, 2)}
     assert k_core(df, 3).isEmpty()
+
+
+def test_k_core_raises_when_cap_exhausted(spark):
+    """A long path at k=2 peels one layer per round (true 2-core is
+    empty), so a small max_iterations cap CANNOT reach the fixpoint —
+    the operator must raise rather than silently return the
+    not-yet-peeled superset (ADVICE r10)."""
+    import pytest
+
+    from cascading_hive_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(ValueError, match="max_iterations"):
+        k_core(df, 2, max_iterations=5).collect()
+    # and with enough rounds the same graph converges to the empty core
+    assert k_core(df, 2, max_iterations=60).isEmpty()

@@ -298,12 +298,21 @@ def test_corr_matrix_matches_numpy_and_single_scan(spark):
         [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
         "x double, y double, z double",
     )
-    got = {(r.col_a, r.col_b): r.corr for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    mat = corr_matrix(df, ["x", "y", "z"])
+    got = {(r.col_a, r.col_b): r.corr for r in mat.collect()}
     ref = np.corrcoef(np.vstack([x, y, z]))
     assert abs(got[("x", "y")] - ref[0, 1]) < 1e-4
     assert abs(got[("x", "z")] - ref[0, 2]) < 1e-4
     assert abs(got[("y", "z")] - ref[1, 2]) < 1e-4
     assert got[("x", "y")] > 0.9
+    # ONE moment pass: the 3 pairs fan out of a single 1-row aggregate
+    # (explode), so the executed plan has exactly one scan and one
+    # partial+final aggregate pair — not one aggregate per pair.
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    n_scans = final.count("Scan ExistingRDD") + final.count("LocalTableScan")
+    assert n_scans == 1, final
+    assert final.count("HashAggregate") <= 2, final
 
 
 def test_standardize_embeddings_zero_mean_unit_std(spark, sf_dir):
@@ -413,6 +422,29 @@ def test_mutual_information_known_values(spark):
     dep = mutual_information(df, "x", "z").collect()[0]
     assert dep.n_cells == 4
     assert abs(dep.mi - math.log(4)) < 1e-6
+
+
+def test_mutual_information_null_keys_are_categories(spark):
+    """NULL keys participate as ordinary categories (ADVICE r10): the
+    joint↔marginal joins are null-safe, so a 2x2 frame where one level
+    of each column is NULL still yields 4 cells over the full mass —
+    here a bijective map {NULL↔NULL, 1↔2}, MI = ln(2)."""
+    import math
+
+    from cascading_hive_spark.operators.relational import mutual_information
+
+    rows = [(None, None), (1, 2)] * 50
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = mutual_information(df, "x", "y").collect()[0]
+    assert got.n == 100
+    assert got.n_cells == 2  # {(NULL,NULL), (1,2)} — no dropped cells
+    assert abs(got.mi - math.log(2)) < 1e-6
+    # independent-with-NULL-level: 4 cells, MI ~ 0
+    rows2 = [(x, y) for x in (None, 1) for y in (None, 2) for _ in range(25)]
+    df2 = spark.createDataFrame(rows2, "x int, y int")
+    got2 = mutual_information(df2, "x", "y").collect()[0]
+    assert got2.n == 100 and got2.n_cells == 4
+    assert abs(got2.mi) < 1e-6
 
 
 def test_new_r10_operator_plans(spark, sf_dir):
