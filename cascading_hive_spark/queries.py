@@ -693,6 +693,12 @@ def q_window_mavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window-surface parity row: GLOBAL ntile is inherently a single-
+# partition sort (no PARTITION BY -> one window partition holds every
+# row) — fine here as the operator-semantics demo, WRONG at scale.
+# At 100 TB use exact-percentile binning instead: window_ntile_binned
+# below is the scale twin (one percentile pass + broadcast edges, no
+# window at all), same quartile question, ties sharing a bin.
 @register(
     "window_ntile",
     """
@@ -705,6 +711,54 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
     return c.select(
         "c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    )
+
+
+# The scale story for window_ntile (VERDICT r10 #3): the same
+# customer-balance quartiles as exact-percentile bins — quartile 1 =
+# top quarter (>= p75) — computed with ONE partial-aggregated
+# percentile pass + a broadcast of the 3 cut points onto a narrow map;
+# no window, no single-partition sort, linear at any scale. Binning
+# runs on integer cents so the interpolated quarter-point percentiles
+# are exact in both engines; ties share a bin (the semantic difference
+# vs ntile's forced equal counts).
+@register(
+    "window_ntile_binned",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer),
+    e AS (
+      SELECT quantile_cont(cents, 0.25) AS p25,
+             quantile_cont(cents, 0.50) AS p50,
+             quantile_cont(cents, 0.75) AS p75
+      FROM c)
+    SELECT c_custkey,
+           CAST(CASE WHEN cents >= p75 THEN 1 WHEN cents >= p50 THEN 2
+                     WHEN cents >= p25 THEN 3 ELSE 4 END AS BIGINT) AS quartile
+    FROM c CROSS JOIN e
+    """,
+)
+def q_window_ntile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    edges = c.agg(
+        *[
+            F.percentile("cents", F.lit(q)).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    return c.crossJoin(F.broadcast(edges)).select(
+        "c_custkey",
+        F.when(F.col("cents") >= F.col("p75"), 1)
+        .when(F.col("cents") >= F.col("p50"), 2)
+        .when(F.col("cents") >= F.col("p25"), 3)
+        .otherwise(4)
+        .cast("bigint")
+        .alias("quartile"),
     )
 
 
@@ -5724,9 +5778,15 @@ def q_filter_by_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vocabulary coverage — "what fraction of all token occurrences do
 # the top-N tokens cover": the Zipf diagnostic behind vocab-size /
 # tokenizer decisions. Token counts reuse wordcount's split semantics
-# (Java split limit=0 — trailing empties removed); the ranked
-# cumulative windows run over the VOCAB-sized counts table (not the
-# corpus), so the unpartitioned window is metadata-scale.
+# (Java split limit=0 — trailing empties removed). Scale shape
+# (VERDICT r10 #2): the cumulative sum for rank k depends only on
+# rows 1..k, so the TOP-20 CUT RUNS FIRST as a distributed top-k
+# (orderBy+limit -> TakeOrderedAndProject, per-partition heaps, no
+# global sort) and the rank/cumulative windows see exactly 20 rows —
+# never the corpus-vocabulary-sized counts table (millions of rows at
+# 100 TB), which previously funneled into one unpartitioned window
+# partition. The grand total is a separate scalar aggregate broadcast
+# back. Plan-gated in test_plans.py::test_vocab_coverage_window_after_topk.
 @register(
     "vocab_coverage_topk",
     r"""
@@ -5750,16 +5810,16 @@ def q_filter_by_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = R.wordcount(_t(spark, sf_dir, "documents"), "text", _WC_PATTERN)
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(20)
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    w_all = Window.partitionBy()
     w_cum = Window.orderBy(F.col("cnt").desc(), F.col("token")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        counts.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
-        .withColumn("total", F.sum("cnt").over(w_all))
+        top.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
         .withColumn("cum", F.sum("cnt").over(w_cum))
-        .filter(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(total))
         .select(
             "rnk",
             "token",
@@ -5961,28 +6021,51 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # RFM segmentation — recency/frequency/monetary quartiles per
-# customer, the classic CRM scoring query. ntile here is the SEMANTIC
-# (equal-count quartiles of the customer base with a deterministic
-# tiebreak so both engines cut identically); at 100 TB swap the
-# global-sort ntile for exact-percentile binning (the equiheight
-# pattern) — customers are small relative to facts, so the sort is
-# usually fine anyway.
+# customer, the classic CRM scoring query. Quartiles are EXACT-
+# PERCENTILE BINS (the equiheight_histogram pattern; VERDICT r10 #1):
+# one partial-aggregated percentile pass over the customer table
+# produces the 9 cut points (3 metrics x p25/p50/p75), broadcast back,
+# and every customer bins in a narrow map — NO unpartitioned ntile
+# window (three of which would each funnel the whole customer base
+# through one reducer at 100 TB; plan-gated in
+# test_plans.py::test_rfm_segments_no_unpartitioned_window).
+# Semantics: quartile 1 = top quarter (>= p75 of the metric); ties
+# share a bin (percentile binning), unlike ntile's forced equal
+# counts — the deterministic, scale-correct reading of "quartile".
+# Binning runs on integer images (epoch-day recency, count frequency,
+# monetary cents) so the interpolated quarter-point percentiles are
+# exactly representable and the >= cuts are engine-stable.
 @register(
     "orders_rfm_segments",
     """
     WITH per_cust AS (
       SELECT o_custkey,
-             max(o_orderdate) AS last_order,
+             datediff('day', DATE '1970-01-01', max(o_orderdate)) AS rd,
              count(*) AS frequency,
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
-                 AS monetary
+                 AS monetary,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100
+                  AS BIGINT) AS m_cents
       FROM orders GROUP BY o_custkey),
+    e AS (
+      SELECT quantile_cont(rd, 0.25) AS r25, quantile_cont(rd, 0.50) AS r50,
+             quantile_cont(rd, 0.75) AS r75,
+             quantile_cont(frequency, 0.25) AS f25,
+             quantile_cont(frequency, 0.50) AS f50,
+             quantile_cont(frequency, 0.75) AS f75,
+             quantile_cont(m_cents, 0.25) AS m25,
+             quantile_cont(m_cents, 0.50) AS m50,
+             quantile_cont(m_cents, 0.75) AS m75
+      FROM per_cust),
     scored AS (
-      SELECT o_custkey, last_order, frequency, monetary,
-             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
-             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
-             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
-      FROM per_cust)
+      SELECT o_custkey, frequency, monetary,
+             CASE WHEN rd >= r75 THEN 1 WHEN rd >= r50 THEN 2
+                  WHEN rd >= r25 THEN 3 ELSE 4 END AS r_quartile,
+             CASE WHEN frequency >= f75 THEN 1 WHEN frequency >= f50 THEN 2
+                  WHEN frequency >= f25 THEN 3 ELSE 4 END AS f_quartile,
+             CASE WHEN m_cents >= m75 THEN 1 WHEN m_cents >= m50 THEN 2
+                  WHEN m_cents >= m25 THEN 3 ELSE 4 END AS m_quartile
+      FROM per_cust CROSS JOIN e)
     SELECT o_custkey, frequency, monetary,
            CAST(r_quartile AS BIGINT) AS r_quartile,
            CAST(f_quartile AS BIGINT) AS f_quartile,
@@ -5996,17 +6079,40 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("monetary"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).alias(
+            "_mdec"
+        ),
+    ).select(
+        "o_custkey",
+        F.datediff("last_order", F.lit("1970-01-01").cast("date")).alias("rd"),
+        "frequency",
+        F.col("_mdec").cast("double").alias("monetary"),
+        (F.col("_mdec") * 100).cast("bigint").alias("m_cents"),
     )
-    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = (
-        per_cust.withColumn("r_quartile", F.ntile(4).over(wr).cast("bigint"))
-        .withColumn("f_quartile", F.ntile(4).over(wf).cast("bigint"))
-        .withColumn("m_quartile", F.ntile(4).over(wm).cast("bigint"))
+    edges = per_cust.agg(
+        *[
+            F.percentile(m, F.lit(q)).alias(f"{p}{int(q * 100)}")
+            for m, p in (("rd", "r"), ("frequency", "f"), ("m_cents", "m"))
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+
+    def quart(m: str, p: str):
+        return (
+            F.when(F.col(m) >= F.col(f"{p}75"), 1)
+            .when(F.col(m) >= F.col(f"{p}50"), 2)
+            .when(F.col(m) >= F.col(f"{p}25"), 3)
+            .otherwise(4)
+            .cast("bigint")
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(edges)).select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        quart("rd", "r").alias("r_quartile"),
+        quart("frequency", "f").alias("f_quartile"),
+        quart("m_cents", "m").alias("m_quartile"),
     )
     return scored.select(
         "o_custkey",
@@ -7571,114 +7677,105 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r10 ROTATION NOTE (supersedes the r9 note, which wrongly claimed
-# full driver coverage before this rotation landed): the r10 window
-# below swaps IN the 6 oracle-able queries that had never had a driver
-# CORRECTNESS row — events_psi_drift, sample_weighted_aes,
-# heavy_hitters_events (late-r8 registrations), embedding_centroids,
-# embedding_centroid_confusion, part_pareto_frontier (late-r9
-# registrations) — in place of 6 repeatedly-driver-verified r1-r3-era
-# canaries (join_inner, join_null_safe, q3_shipping_priority,
-# q7_volume_shipping, q8_market_share, q10_returned_items; each has
-# 2+ green rows across r1-r9). After the r10 driver run, every
-# oracle-able registered query has at least one driver CORRECTNESS
-# row. embedding_kmeans_fit and docs_bm25_topk (registered mid-r10:
-# the iterated trainer and the BM25 retrieval primitive) are swapped
-# in the same round they were registered — in place of
-# filter_by_group_percentile (green r4+r8) and vocab_coverage_topk
-# (green r6+r8) — so they do not join the never-checked backlog;
-# likewise docs_token_budget_mix replaces events_twap (green r8+r9)
-# and embedding_kmeans_inertia replaces q15_top_supplier (green
-# r3+r9), ann_ivf_kmeans_probe replaces q17_small_quantity (green
-# r3+r9), lineitem_corr_matrix replaces q21_sole_returned_supplier
-# (green r3+r9), embedding_standardize replaces window_rank_orders
-# (green r1-r9, the longest-verified canary), events_funnel_conversion
-# replaces events_anomaly_mad (green r8+r9), and
-# events_winsorized_stats replaces orders_rfm_segments (green r8+r9),
-# orders_status_priority_mi replaces decontaminate_docs_shuffle
-# (green r9 with a 1M-doc equality smoke), and events_resample_daily
-# replaces streaming_sliding_counts (green r8+r9; three other
-# streaming queries stay windowed), and events_sequence_trigrams
-# (registered mid-r10) replaces events_session_windows_batch (green
-# r8+r9), and dedup_semantic_pairs (registered mid-r10) replaces
-# events_sessionize (green r1-r9; bench still times it every round),
-# and docs_hybrid_rrf (registered mid-r10) replaces
-# order_extremes_per_customer (green r8+r9), and orders_target_encoding
-# (registered mid-r10) replaces events_sliding_window_counts (green
-# r8+r9), and dedup_semantic_keep (registered mid-r10) replaces
-# table_diff_orders (green r8+r9; its cdc_apply_orders round-trip
-# partner stays windowed), and events_cusum_changepoint (registered
-# mid-r10) replaces pack_sequences (green r8+r9), and events_ab_test
-# (registered mid-r10) replaces dedup_keep_best_source (green r8+r9;
-# five other dedup-family queries stay windowed), and
-# events_ab_test_by_type (registered mid-r10) replaces
-# all_types_surface (green r8+r9).
-# Future rotations: fill from (a) queries
-# registered after this note (enumerate the actual registry, not a
-# remembered count), then
+# r11 ROTATION NOTE (supersedes the r10 note; r10 ran 50/50 green —
+# the third consecutive perfect window — so every r10 member is
+# freshly verified and rotates out except the two fixed slots).
+# The r11 window:
+# (1) keeps wordcount at slot 1 (driver entry smoke) and
+#     q1_pricing_summary (the decimal-sum watch item);
+# (2) per VERDICT r10 #5, schedules the FOUR never-driver-checked
+#     rows-only-by-design queries — bpe_merges, ann_pq_topk,
+#     ann_ivfpq_topk, graph_kcore_customers — so each gets its weaker
+#     rows-only driver row (rows>0 proves they run under the driver
+#     harness; each has a hash-matched portable/exact sibling in the
+#     window history or a pytest differential). These are declared in
+#     _ROWS_ONLY_WINDOW below; _apply_driver_window still rejects any
+#     OTHER oracle-less name (the r5 pack_sequences eviction guard);
+# (3) re-verifies the four queries whose Spark code or oracle changed
+#     this round: orders_rfm_segments (ntile -> exact-percentile
+#     binning, VERDICT r10 #1), vocab_coverage_topk (windows moved
+#     after the distributed top-20 cut, VERDICT r10 #2),
+#     orders_status_priority_mi (null-safe marginal joins, ADVICE),
+#     lineitem_corr_matrix (single-explode pair fan-out, ADVICE);
+# (4) schedules queries registered this round in the same round:
+#     window_ntile_binned (the ntile scale twin, VERDICT r10 #3), plus
+#     any further mid-r11 registrations (they take the canary slots
+#     marked below as they land);
+# (5) fills the remaining slots with the OLDEST-verified greens as
+#     drift canaries (last green r5 or earlier unless noted:
+#     q4_order_priority r1, multimodal_frame_sample r2, the r5 block
+#     below; a25_null_detection + approx_distinct_parts last green r6).
+# Future rotations: fill from (a) queries registered after this note
+# (enumerate the actual registry, not a remembered count), then
 # (b) oldest-verified greens as drift canaries; keep wordcount at
-# slot 1 and q1_pricing_summary (the decimal-sum watch item).
-# bpe_merges / ann_pq_topk / ann_ivfpq_topk / ann_ivf_topk /
-# dedup_minhash_lsh / dedup_simhash stay rows-only by design (each
-# has a hash-matched portable/exact sibling in the window history);
-# graph_kcore_customers (r10) is rows-only by design too — an
-# unbounded-recursion fixpoint, pinned by the pure-Python
-# differential in tests/test_graph.py.
+# slot 1 and q1_pricing_summary. ann_ivf_topk / dedup_minhash_lsh /
+# dedup_simhash stay rows-only outside the window (each has a
+# hash-matched portable/exact sibling with driver rows).
 # test_registry_hygiene.py::test_rotation_note_names_resolve asserts
 # every query name cited in this note resolves in _REGISTRY.
+_ROWS_ONLY_WINDOW: set[str] = {
+    # VERDICT r10 #5: scheduled for a rows-only driver row this round.
+    "bpe_merges",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "graph_kcore_customers",
+}
+
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
-    # -- never driver-checked until r10 (swapped in per VERDICT r9 #1):
-    "events_psi_drift",
-    "sample_weighted_aes",
-    "heavy_hitters_events",
-    "embedding_centroids",
-    "embedding_centroid_confusion",
-    "part_pareto_frontier",
-    # -- r7-r9 greens kept one more round (recent code paths):
-    "events_ab_test_by_type",  # registered mid-r10, checked same round
-    "ann_ivf_portable",
-    "ann_pq_portable",
-    "ann_ivfpq_portable",
-    "cdc_apply_orders",
-    "dedup_semantic_keep",  # registered mid-r10, checked same round
-    "dedup_tfidf_cosine",
-    "graph_pagerank_hubs",
-    "streaming_dedup",
-    "streaming_hourly_counts",
-    "streaming_enrich",
-    "ann_ivfpq_disk",  # full-probe disk round-trip == brute force
-    "orders_target_encoding",  # registered mid-r10, checked same round
-    "docs_hybrid_rrf",  # registered mid-r10, checked same round
-    "ann_cosine_topk",
-    "ann_knn_join",
-    # -- drift canaries (older greens):
-    "sample_exact_quota",
-    "embedding_kmeans_fit",  # registered mid-r10, checked same round
-    "docs_bm25_topk",  # registered mid-r10, checked same round
-    "events_resample_daily",  # registered mid-r10, checked same round
-    "incremental_agg_merge",
-    "orders_status_priority_mi",  # registered mid-r10, checked same round
-    "embedding_kmeans_inertia",  # registered mid-r10, checked same round
-    "ann_ivf_kmeans_probe",  # registered mid-r10, checked same round
-    "lineitem_corr_matrix",  # registered mid-r10, checked same round
-    "dq_orders_constraints",
-    "events_funnel_conversion",  # registered mid-r10, checked same round
-    "events_winsorized_stats",  # registered mid-r10, checked same round
-    "embedding_standardize",  # registered mid-r10, checked same round
-    "docs_token_budget_mix",  # registered mid-r10, checked same round
-    "events_sequence_trigrams",  # registered mid-r10, checked same round
-    "dedup_semantic_pairs",  # registered mid-r10, checked same round
-    "ann_ivf_append_probe",
-    "orders_basket_lift",
-    "graph_triangle_count",
-    "events_markov_transitions",
-    "dedup_embedding_cosine",
-    "text_analyze",
-    "events_cusum_changepoint",  # registered mid-r10, checked same round
-    "events_retention_cohorts",
-    "events_ab_test",  # registered mid-r10, checked same round
-    "multimodal_meta",
+    # -- rows-only by design, never driver-run before (VERDICT r10 #5):
+    "bpe_merges",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "graph_kcore_customers",
+    # -- code/oracle changed this round, re-verify:
+    "orders_rfm_segments",
+    "vocab_coverage_topk",
+    "orders_status_priority_mi",
+    "lineitem_corr_matrix",
+    # -- registered mid-r11, checked same round:
+    "window_ntile_binned",
+    # (slots below rotate to further mid-r11 registrations as they land)
+    "window_moving_avg",
+    "window_range_frame",
+    "window_running_sum",
+    "a25_null_detection",  # last green r6
+    "approx_distinct_parts",  # last green r6
+    # -- drift canaries (oldest-verified greens, ascending last-green):
+    "q4_order_priority",  # last green r1
+    "multimodal_frame_sample",  # last green r2
+    "a13_union_partitions",
+    "agg_stats",
+    "asof_join_nearest_event",
+    "asof_join_next_event",
+    "b1_projection",
+    "b2_expression_filter",
+    "b3_count_by",
+    "b4_group_count_sorted",
+    "b5_token_explode",
+    "b6_coerce",
+    "b7_typed_extract",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "distinct_segments",
+    "events_daily_active",
+    "events_hourly",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_left_counts",
+    "join_semi",
+    "q6_forecast_revenue",
+    "rollup_quantity",
+    "sample_corpus_mix",
+    "sample_stratified",
+    "scalar_base64",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "window_distribution",
+    "window_lag_delta",
+    "window_ntile",  # the global-ntile parity row, next to its scale twin
     "q1_pricing_summary",  # the decimal-sum perf/correctness watch item
 ]
 
@@ -7689,10 +7786,15 @@ def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]
     if missing:
         raise RuntimeError(f"_DRIVER_WINDOW names not registered: {missing}")
-    no_oracle = [n for n in _DRIVER_WINDOW if _REGISTRY[n][1] is None]
+    no_oracle = [
+        n
+        for n in _DRIVER_WINDOW
+        if _REGISTRY[n][1] is None and n not in _ROWS_ONLY_WINDOW
+    ]
     if no_oracle:
         raise RuntimeError(
-            f"_DRIVER_WINDOW must be fully oracle-able, these are not: {no_oracle}"
+            "_DRIVER_WINDOW must be oracle-able outside the declared "
+            f"_ROWS_ONLY_WINDOW set, these are not: {no_oracle}"
         )
     window = set(_DRIVER_WINDOW)
     ordered = {n: _REGISTRY[n] for n in _DRIVER_WINDOW}

@@ -585,3 +585,51 @@ def test_ab_test_zscore_planted_effect(spark):
     flat = base.select("user_id", F.col("_noise").alias("value"))
     r0 = ab_test_zscore(flat, "user_id", "value").collect()[0]
     assert abs(r0.z) < 3
+
+
+def test_rfm_segments_no_unpartitioned_window(spark, sf_dir):
+    """orders_rfm_segments (VERDICT r10 #1): quartiles via exact-
+    percentile binning — the plan must contain NO WindowExec at all
+    (the old shape ran three unpartitioned ntile windows = three
+    single-partition sorts of the customer base), and the 9 cut
+    points must come back through a broadcast, not an SMJ."""
+    from cascading_hive_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "orders_rfm_segments")
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "ntile(4)" not in plan, plan  # (bare "ntile" matches percentile)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # sanity: quartile labels cover 1..4 and every customer is scored
+    rows = df.collect()
+    from collections import Counter
+
+    r_counts = Counter(r.r_quartile for r in rows)
+    assert set(r_counts) == {1, 2, 3, 4}, r_counts
+    n = len(rows)
+    for q_, c_ in r_counts.items():
+        assert c_ >= n // 8, (q_, c_, n)  # roughly balanced bins
+
+
+def test_window_ntile_binned_no_window(spark, sf_dir):
+    """The ntile scale twin must be window-free: one percentile
+    aggregate + broadcast edges + a narrow map."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "window_ntile_binned"))
+    assert "Window" not in plan, plan
+
+
+def test_vocab_coverage_window_after_topk(spark, sf_dir):
+    """vocab_coverage_topk (VERDICT r10 #2): the rank/cumulative
+    window must run AFTER the distributed top-20 cut — in the printed
+    plan tree the vocab-sized aggregate sits BELOW TakeOrderedAndProject
+    and no Window appears below it (the old shape windowed the whole
+    vocab table through one partition before filtering rnk<=20)."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "vocab_coverage_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+    below_topk = plan.split("TakeOrderedAndProject", 1)[1]
+    assert "Window" not in below_topk, plan  # window only above the 20-row cut
+    assert "HashAggregate" in below_topk, plan  # vocab agg feeds the top-k
