@@ -166,38 +166,84 @@ def drop_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def _equality_partial_spec(
+    filter_str: str, part_cols: set[str]
+) -> dict[str, str] | None:
+    """Parse ``filter_str`` as a conjunction of partition-column
+    equality predicates (``ds = '20120401' and region = 'us'``) into a
+    partial partition spec — the shape the catalog can evaluate
+    metastore-side via ``SHOW PARTITIONS t PARTITION (...)``. Returns
+    None for any other grammar (ranges, OR, LIKE, casts, quoted
+    values containing quotes) — those fall back to spec-level pruning.
+    """
+    import re
+
+    pat = re.compile(
+        r"^\(*\s*`?(\w+)`?\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([\w.\-]+))\s*\)*$"
+    )
+    spec: dict[str, str] = {}
+    for clause in re.split(r"(?i)\s+and\s+", filter_str.strip()):
+        m = pat.match(clause.strip())
+        if not m:
+            return None
+        key = m.group(1)
+        val = next(g for g in m.groups()[1:] if g is not None)
+        if key not in part_cols or key in spec or "'" in val or "\\" in val:
+            return None
+        spec[key] = val
+    return spec
+
+
 def partitions(spark: SparkSession, name: str, filter: str | None = None) -> list[dict]:  # noqa: A002
-    """Enumerate table partitions, optionally filtered (A11/A12 —
-    listPartitionsByFilter + per-partition file listing is Catalyst's
-    job now; this surfaces the metadata for tooling).
+    """Enumerate table partitions, optionally filtered (A11/A12 — the
+    reference pushes the filter into the metastore via
+    ``HiveMetaStoreClient.listPartitionsByFilter``,
+    CascadingHCatUtil.java:75-95).
 
     ``filter`` supports the reference's FULL partition-filter grammar
     — ``and or like ( ) = <> < > <= >=`` (HCatTap.java:76-88) — and
-    anything else SQL WHERE can say: the parsed partition specs are
-    evaluated as a (tiny, metadata-sized) one-row-per-partition
-    DataFrame. Partition values compare as STRINGS, as in the
-    metastore's listPartitionsByFilter; cast inside the filter for
-    numeric comparisons (e.g. ``"CAST(o_year AS INT) >= 1995"``)."""
-    from urllib.parse import unquote
+    anything else SQL WHERE can say. Partition values compare as
+    STRINGS, as in the metastore's listPartitionsByFilter; cast inside
+    the filter for numeric comparisons (e.g.
+    ``"CAST(o_year AS INT) >= 1995"``).
 
-    rows = spark.sql(f"SHOW PARTITIONS {name}").collect()
-    out = []
-    for r in rows:
-        # SHOW PARTITIONS prints the Hive partition PATH, which
-        # URL-escapes special characters (':', ' ', '%', ...);
-        # unescape so values round-trip against publish_partition's
-        # membership check (ADVICE r2)
-        spec = dict(
-            (unquote(k), unquote(v))
-            for k, v in (kv.split("=", 1) for kv in r[0].split("/"))
-        )
-        out.append(spec)
-    if filter and out:
-        cols = list(out[0].keys())
-        spec_df = spark.createDataFrame(
-            [tuple(p.get(c) for c in cols) for p in out],
-            ", ".join(f"`{c}` string" for c in cols),
-        )
-        kept = spec_df.filter(F.expr(filter)).collect()
-        out = [{c: getattr(r, c) for c in cols} for r in kept]
-    return out
+    Scale path (VERDICT r10 #4 — at 1M-partition metadata scale the
+    old enumerate-all-then-filter collect was the bottleneck the
+    reference avoids):
+
+    1. equality-conjunction filters (the reference's primary shape,
+       ``ds=20120401``) are pushed INTO the catalog as a (partial)
+       partition spec — ``SHOW PARTITIONS t PARTITION (...)`` maps to
+       the catalog's listPartitionNames-with-spec, so non-matching
+       specs are never materialized at all;
+    2. any residual grammar is evaluated on the spec DataFrame
+       (split + url_decode are Catalyst expressions) BEFORE collect,
+       so the driver's Python side only ever receives matching specs.
+
+    Values are URL-unescaped DataFrame-side (Hive escapes ':', ' ',
+    '%', ... in partition paths) so they round-trip against
+    publish_partition's membership check (ADVICE r2)."""
+    part_cols = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
+    clause = ""
+    pushed: dict[str, str] | None = None
+    if filter:
+        pushed = _equality_partial_spec(filter, set(part_cols))
+        if pushed:
+            kv = ", ".join(f"`{k}` = '{v}'" for k, v in pushed.items())
+            clause = f" PARTITION ({kv})"
+    pdf = spark.sql(f"SHOW PARTITIONS {name}{clause}")
+    segs = F.split(F.col(pdf.columns[0]), "/")
+
+    def _decode(i: int):
+        raw = F.element_at(F.split(F.element_at(segs, i + 1), "=", 2), 2)
+        # url_decode turns a literal '+' into a space (URLDecoder
+        # semantics) but Hive's path escaping leaves '+' bare —
+        # re-escape it first so values round-trip like Python unquote
+        return F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+
+    spec_df = pdf.select(
+        *[_decode(i).alias(c) for i, c in enumerate(part_cols)]
+    )
+    if filter and pushed is None:
+        spec_df = spec_df.filter(F.expr(filter))
+    return [row.asDict() for row in spec_df.collect()]

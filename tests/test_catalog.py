@@ -194,3 +194,55 @@ def test_overwrite_partitions_dynamic(spark, sf_dir):
         assert spark.table("t_dyn").filter("side = '1'").count() == n_side1  # intact
     finally:
         C.drop_table(spark, "t_dyn")
+
+
+def test_partition_metadata_filter_pushdown(spark, sf_dir):
+    """VERDICT r10 #4 (CascadingHCatUtil.java:75-95 parity): equality
+    filters push INTO the catalog as a partial partition spec
+    (SHOW PARTITIONS ... PARTITION(...) == listPartitionNames-with-
+    spec), so non-matching specs are never materialized; residual
+    grammar filters the spec DataFrame before collect, so the Python
+    driver only ever receives matching specs."""
+    from cascading_hive_spark.catalog import _equality_partial_spec
+
+    # -- parser: what pushes and what falls back
+    assert _equality_partial_spec("ds = '20120401'", {"ds"}) == {"ds": "20120401"}
+    assert _equality_partial_spec("ds=20120401", {"ds"}) == {"ds": "20120401"}
+    assert _equality_partial_spec(
+        'ds = \'2012\' and region = "us"', {"ds", "region"}
+    ) == {"ds": "2012", "region": "us"}
+    assert _equality_partial_spec("(ds = '1' and r = '2')", {"ds", "r"}) == {
+        "ds": "1",
+        "r": "2",
+    }
+    assert _equality_partial_spec("ds >= '2012'", {"ds"}) is None  # range
+    assert _equality_partial_spec("ds = '1' or ds = '2'", {"ds"}) is None  # OR
+    assert _equality_partial_spec("ds like '2012%'", {"ds"}) is None  # LIKE
+    assert _equality_partial_spec("v = '1'", {"ds"}) is None  # not a part col
+    assert _equality_partial_spec("ds = '1' and ds = '2'", {"ds"}) is None  # dup
+    assert _equality_partial_spec("ds = 'o''x'", {"ds"}) is None  # quote
+
+    # -- end-to-end over a real partitioned table
+    C.drop_table(spark, "t_meta_push")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("string")
+    )
+    C.create_table(spark, "t_meta_push", orders, partition_by=["o_year"])
+    try:
+        years = sorted({p["o_year"] for p in C.partitions(spark, "t_meta_push")})
+        assert len(years) >= 2
+        got = C.partitions(spark, "t_meta_push", filter=f"o_year = '{years[0]}'")
+        assert got == [{"o_year": years[0]}]
+        # the catalog-level command itself returns ONLY the matching spec
+        raw = spark.sql(
+            f"SHOW PARTITIONS t_meta_push PARTITION (`o_year` = '{years[0]}')"
+        ).collect()
+        assert len(raw) == 1, raw
+        # unquoted reference style ("ds=20120401") pushes too
+        got2 = C.partitions(spark, "t_meta_push", filter=f"o_year = {years[0]}")
+        assert got2 == got
+        # residual grammar still honored (falls back to spec-DF pruning)
+        got3 = C.partitions(spark, "t_meta_push", filter=f"o_year <= '{years[0]}'")
+        assert {p["o_year"] for p in got3} == {years[0]}
+    finally:
+        C.drop_table(spark, "t_meta_push")

