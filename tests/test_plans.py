@@ -633,3 +633,65 @@ def test_vocab_coverage_window_after_topk(spark, sf_dir):
     below_topk = plan.split("TakeOrderedAndProject", 1)[1]
     assert "Window" not in below_topk, plan  # window only above the 20-row cut
     assert "HashAggregate" in below_topk, plan  # vocab agg feeds the top-k
+
+
+def test_percentile_bins_matches_numpy_and_plan(spark):
+    """percentile_bins vs numpy quantiles on integers (both engines'
+    interpolated quarter points are exact there), descending AND
+    ascending labeling, ties sharing a bin — and the plan is
+    window-free with a broadcast edge table."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.relational import percentile_bins
+    from cascading_hive_spark.plans import physical_plan
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 1000, 400).tolist() + [500] * 40  # planted ties
+    df = spark.createDataFrame([(i, int(v)) for i, v in enumerate(vals)],
+                               "id long, v long")
+    out = percentile_bins(df, ["v"])
+    plan = physical_plan(out)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    q = np.quantile(np.array(vals), [0.25, 0.5, 0.75], method="linear")
+    got = {r.id: r.v_bin for r in out.collect()}
+    for i, v in enumerate(vals):
+        want = 1 if v >= q[2] else 2 if v >= q[1] else 3 if v >= q[0] else 4
+        assert got[i] == want, (i, v, got[i], want, q)
+    # ties share a bin
+    tied = {got[i] for i, v in enumerate(vals) if v == 500}
+    assert len(tied) == 1
+    # ascending labels mirror (bin 1 = bottom quarter)
+    asc = {r.id: r.v_bin for r in
+           percentile_bins(df, ["v"], descending=False).collect()}
+    for i, v in enumerate(vals):
+        want = 1 if v < q[0] else 2 if v < q[1] else 3 if v < q[2] else 4
+        assert asc[i] == want, (i, v, asc[i], want, q)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="probs"):
+        percentile_bins(df, ["v"], probs=(0.0, 0.5))
+    with _pytest.raises(ValueError, match="schema"):
+        percentile_bins(df, ["nope"])
+
+
+def test_source_overlap_counts_and_thin_shuffle(spark):
+    """source_overlap: planted shared fingerprints count once per
+    distinct fp per pair (doc multiplicity ignored); pairs are
+    unordered (a < b); no text column crosses an exchange."""
+    from cascading_hive_spark.operators.dedup import source_overlap
+    from cascading_hive_spark.plans import physical_plan
+
+    rows = [
+        (1, "alpha beta", "s1"), (2, "alpha beta", "s2"),  # shared fp
+        (3, "alpha beta", "s2"),  # duplicate doc, same fp — counts once
+        (4, "gamma delta", "s1"), (5, "gamma delta", "s3"),
+        (6, "unique one", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_overlap(df, "source", F.md5(F.col("text")))
+    got = {(r.source_a, r.source_b): r.shared_fps for r in out.collect()}
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}
+    plan = physical_plan(out)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, f"text in a shuffle: {line}"
