@@ -1235,17 +1235,48 @@ def duplicate_span_stats(
     normally a tiny fraction of the corpus). No quadratic path: a gram
     shared by k docs costs k rows, not k^2 pairs.
     """
-    from pyspark.sql import Window
+    toks = _span_tokens(docs, id_col, text_col)
+    covered = (
+        _dup_span_islands(toks, n)
+        .groupBy("_id")
+        .agg(F.sum(F.col("_e") - F.col("_s") + 1).alias("_covered"))
+    )
+    return (
+        toks.join(covered, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("_covered"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.floor(
+                F.coalesce(F.col("_covered"), F.lit(0)) * 1000 / F.col("n_tokens")
+            ).alias("dup_permille"),
+        )
+    )
 
+
+def _span_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _arr, n_tokens) — the single-space token split the span
+    operators share (split(' ') keeps empties, matching DuckDB
+    regexp_split_to_array for the oracle replays)."""
     arr = F.split(F.col(text_col), " ")
-    toks = docs.select(
+    return docs.select(
         F.col(id_col).alias("_id"), arr.alias("_arr"), F.size(arr).alias("n_tokens")
     )
+
+
+def _dup_span_islands(toks: DataFrame, n: int) -> DataFrame:
+    """Merged duplicated-span intervals per document: one row
+    (_id, _isl, _s, _e) per maximal island of token positions covered
+    by word n-grams that occur in >= 2 distinct documents. The shared
+    core of duplicate_span_stats / remove_duplicate_spans; scale notes
+    on duplicate_span_stats (digest-only shuffles, islands ∝ copied
+    spans)."""
+    from pyspark.sql import Window
+
     grams = (
         toks.filter(F.col("n_tokens") >= n)
         .select(
             "_id",
-            "n_tokens",
             F.explode(F.sequence(F.lit(1), F.col("n_tokens") - (n - 1))).alias("_p"),
             "_arr",
         )
@@ -1270,7 +1301,7 @@ def duplicate_span_stats(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_run = Window.partitionBy("_id").orderBy("_s")
-    covered = (
+    return (
         spans.withColumn(
             "_new",
             (F.col("_s") > F.coalesce(F.max("_e").over(w_prev), F.lit(-1)) + 1).cast(
@@ -1279,20 +1310,65 @@ def duplicate_span_stats(
         )
         .withColumn("_isl", F.sum("_new").over(w_run))
         .groupBy("_id", "_isl")
-        .agg((F.max("_e") - F.min("_s") + 1).alias("_cov"))
-        .groupBy("_id")
-        .agg(F.sum("_cov").alias("_covered"))
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
     )
-    return (
-        toks.join(covered, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.coalesce(F.col("_covered"), F.lit(0)).cast("bigint").alias("dup_tokens"),
-            F.floor(
-                F.coalesce(F.col("_covered"), F.lit(0)) * 1000 / F.col("n_tokens")
-            ).alias("dup_permille"),
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the MassiveText/Dolma scrub —
+    duplicate_span_stats is the signal, this is the act): drop every
+    token covered by a duplicated word ``n``-gram island (a maximal
+    run of n-token windows whose text occurs verbatim in >= 2 distinct
+    documents) and reassemble the remaining tokens, for EVERY
+    document. Conservative form: the copied block is scrubbed from ALL
+    its holders (shared boilerplate/licenses/navigation), not
+    keep-one — whole-document keep-one is exact_dedup's job.
+
+    Output: (id, n_tokens, kept_tokens, ``out_col``) — kept_tokens ==
+    n_tokens and clean_text == text for untouched docs (single-space
+    token join preserves empty tokens, so reassembly is lossless).
+
+    Scale shape: identical to duplicate_span_stats up to the island
+    table (digest-only shuffles); islands then collect per doc — a
+    per-doc array bounded by copied-span count, NOT corpus-sized — and
+    the scrub itself is one narrow array pass (filter tokens whose
+    position falls in an island; per-token cost ∝ islands-per-doc).
+    """
+    toks = _span_tokens(docs, id_col, text_col)
+    islands = (
+        _dup_span_islands(toks, n)
+        .groupBy("_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("_s").alias("s"), F.col("_e").alias("e"))
+            ).alias("_ivs")
         )
+    )
+    joined = toks.join(islands, "_id", "left").withColumn(
+        "_ivs2",
+        F.coalesce(F.col("_ivs"), F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    pos_toks = F.transform(
+        F.col("_arr"),
+        lambda x, i: F.struct(x.alias("t"), (i + F.lit(1)).alias("p")),
+    )
+    kept = F.filter(
+        pos_toks,
+        lambda st: ~F.exists(
+            F.col("_ivs2"), lambda iv: (st["p"] >= iv["s"]) & (st["p"] <= iv["e"])
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda st: st["t"])).alias(out_col),
     )
 
 

@@ -4499,6 +4499,65 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Exact-substring dedup REMOVAL (dedup.remove_duplicate_spans —
+# dedup_span_coverage is the signal, this is the act): scrub every
+# token inside a duplicated word-10-gram island and reassemble the
+# text, per document. The oracle replays the whole pipeline (same
+# gram/island CTEs as the coverage oracle) then anti-joins token
+# positions against the (disjoint) islands and string_aggs the kept
+# tokens in position order — byte-identical reassembly on both
+# engines (single-space join preserves empty tokens).
+@register(
+    "dedup_span_scrub",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    grams AS (
+      SELECT doc_id, p,
+             md5(array_to_string(list_slice(arr, p, p + 9), ' ')) AS g
+      FROM toks, LATERAL unnest(range(1, n_tokens - 8)) AS t(p)
+      WHERE n_tokens >= 10),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    spans AS (SELECT doc_id, p AS s, p + 9 AS e FROM grams JOIN dup USING (g)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM spans),
+    labeled AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+      FROM flagged),
+    islands AS (
+      SELECT doc_id, isl, min(s) AS s, max(e) AS e
+      FROM labeled GROUP BY doc_id, isl),
+    pos AS (
+      SELECT doc_id, p, arr[p] AS t
+      FROM toks, LATERAL unnest(range(1, n_tokens + 1)) AS u(p)),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.t
+      FROM pos LEFT JOIN islands i
+        ON pos.doc_id = i.doc_id AND pos.p BETWEEN i.s AND i.e
+      WHERE i.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS kept,
+             string_agg(t, ' ' ORDER BY p) AS txt
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.kept, 0) AS BIGINT) AS kept_tokens,
+           coalesce(a.txt, '') AS clean_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # Audio leg of the multimodal surface: JVM-built WAV containers
 # (RIFF/fmt/data, little-endian byte construction) round-trip through
 # Arrow into the pure-Python header walker; the oracle recomputes
@@ -7744,8 +7803,8 @@ _DRIVER_WINDOW: list[str] = [
     # -- registered mid-r11, checked same round:
     "window_ntile_binned",
     "docs_source_overlap",
+    "dedup_span_scrub",
     # (slots below rotate to further mid-r11 registrations as they land)
-    "window_range_frame",
     "window_running_sum",
     "a25_null_detection",  # last green r6
     "approx_distinct_parts",  # last green r6

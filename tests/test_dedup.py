@@ -657,3 +657,34 @@ def test_semantic_dedup_zero_norm_vector_is_skipped(spark):
     ids = {r.id_a for r in got} | {r.id_b for r in got}
     assert 999 not in ids
     assert any((r.id_a, r.id_b) == (0, 100) for r in got)
+
+
+def test_remove_duplicate_spans_scrubs_planted_block(spark):
+    """A 15-token block copied into two docs is scrubbed from BOTH
+    (islands merge overlapping 10-gram windows, so exactly the block
+    goes, not the unique flanks); an untouched doc reassembles
+    byte-identically; coverage stats agree with duplicate_span_stats."""
+    from cascading_hive_spark.operators.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    block = " ".join(f"w{i}" for i in range(15))
+    rows = [
+        (1, "alpha " + block + " omega"),
+        (2, "start " + block + " end unique tail here"),
+        (3, "totally different words only in this one document text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", n=10).collect()}
+    assert out[1].clean_text == "alpha omega"
+    assert out[1].kept_tokens == 2 and out[1].n_tokens == 17
+    assert out[2].clean_text == "start end unique tail here"
+    assert out[3].clean_text == rows[2][1]  # untouched, byte-identical
+    assert out[3].kept_tokens == out[3].n_tokens
+    # stats twin agrees: kept + dup == total
+    stats = {r.doc_id: r for r in
+             duplicate_span_stats(df, "doc_id", "text", n=10).collect()}
+    for d in (1, 2, 3):
+        assert out[d].kept_tokens + stats[d].dup_tokens == out[d].n_tokens
