@@ -926,6 +926,28 @@ def smoke_span(n: int = 1_000_000) -> None:
         print(json.dumps({"smoke": "span", "n_docs": size, "wall_sec": wall,
                           "docs_with_dup_spans": row["docs_hit"],
                           "planted_dups": int(size * 0.02)}), flush=True)
+        # the scrub twin (remove_duplicate_spans): same island pipeline
+        # + per-doc interval collect + one narrow array pass — must
+        # track the stats cost, and kept+dup must tile every doc
+        from cascading_hive_spark.operators.dedup import remove_duplicate_spans
+
+        t0 = time.monotonic()
+        scrub = remove_duplicate_spans(docs, "doc_id", "text")
+        srow = scrub.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("kept_tokens") < F.col("n_tokens")).cast("long")
+                  ).alias("docs_scrubbed"),
+            F.sum("kept_tokens").alias("kept"),
+            F.sum("n_tokens").alias("total"),
+        ).first()
+        swall = round(time.monotonic() - t0, 1)
+        assert srow["n"] == row["n"]
+        assert srow["docs_scrubbed"] == row["docs_hit"]
+        print(json.dumps({"smoke": "span_scrub", "n_docs": size,
+                          "wall_sec": swall,
+                          "docs_scrubbed": srow["docs_scrubbed"],
+                          "kept_token_frac": round(srow["kept"] / srow["total"], 4),
+                          }), flush=True)
 
 
 def smoke_bpe(n: int = 1_000_000, n_merges: int = 10) -> None:
