@@ -40,6 +40,8 @@ HEADLINE = [
     # families — kmeans-cell GEMM SemDeDup and BM25+cosine RRF fusion
     "dedup_semantic_pairs",
     "docs_hybrid_rrf",
+    # r11: exact-substring REMOVAL (span-island scrub + reassembly)
+    "dedup_span_scrub",
 ]
 
 
