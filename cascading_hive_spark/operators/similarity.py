@@ -1445,3 +1445,192 @@ def standardize_embeddings(
     return ex.join(F.broadcast(stats), "dim").select(
         F.col("_id").alias(id_col), "dim", z.alias("z")
     )
+
+
+def covariance_matrix_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sum_scale: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Population covariance of every dimension pair of an embedding
+    column — (dim_a, dim_b, cov) for dim_a <= dim_b — the statistics
+    pass behind PCA/whitening/OPQ rotation before ANN. ENGINE-PORTABLE
+    form: exploded (id, dim, val) rows self-join on id for the pair
+    products, all moments accumulate through decimal images
+    (order-independent, SQL-replayable), cov is a fixed-order double
+    expression S_ab/n - (S_a/n)(S_b/n) rounded once.
+
+    Scale shape: the id-join fans each vector into d(d+1)/2 product
+    rows — fine for the pipeline dims this repo targets (d <= ~64);
+    for wide embeddings use ``pca_components``'s Arrow partial-GEMM
+    path (d^2 floats per BATCH, map-only + one tiny reduce), which
+    this portable form oracle-checks at small d (the dedup fast-path /
+    portable-twin convention).
+    """
+    ex = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    ).select("_id", "dim", F.col("_v").cast("double").alias("_v"))
+    dec = f"decimal(38,{sum_scale})"
+    m = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.round(F.col("_v"), sum_scale).cast(dec)).cast("double").alias("_s"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    p = (
+        a.join(b, (F.col("a._id") == F.col("b._id")) & (F.col("a.dim") <= F.col("b.dim")))
+        .groupBy(F.col("a.dim").alias("dim_a"), F.col("b.dim").alias("dim_b"))
+        .agg(
+            F.sum(
+                F.round(F.col("a._v") * F.col("b._v"), sum_scale).cast(dec)
+            ).cast("double").alias("_sp")
+        )
+    )
+    ma = m.select(F.col("dim").alias("dim_a"), F.col("_n"), F.col("_s").alias("_sa"))
+    mb = m.select(F.col("dim").alias("dim_b"), F.col("_s").alias("_sb"))
+    return (
+        p.join(F.broadcast(ma), "dim_a")
+        .join(F.broadcast(mb), "dim_b")
+        .select(
+            "dim_a",
+            "dim_b",
+            # + 0.0 normalizes IEEE -0.0 (a near-zero covariance can
+            # round to negative zero on one engine and positive zero on
+            # the other — repr-distinct under the driver canonicalizer)
+            (
+                F.round(
+                    F.col("_sp") / F.col("_n")
+                    - (F.col("_sa") / F.col("_n")) * (F.col("_sb") / F.col("_n")),
+                    out_scale,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 2,
+) -> tuple[list[float], list[list[float]]]:
+    """Top-``k`` principal components of an embedding column. Returns
+    (means[d], components[k][d]) as plain Python lists — a d x d
+    metadata-sized sidecar, the codebook convention of the PQ/IVF
+    family.
+
+    Scale shape: ONE map-only Arrow pass computes per-batch partial
+    GEMMs (X^T X, column sums, count — d^2 floats per BATCH, not per
+    row), a d^2-row aggregate reduces them, and the d x d eigensolve
+    runs on the driver (numpy eigh; d <= a few thousand is trivial).
+    Nothing data-sized ever reaches the driver. Eigenvector sign is
+    fixed deterministically (largest-|coordinate| positive) so
+    projections are reproducible run to run; float partials make the
+    components reproducible to ~1e-12, not bit-exact — the exact
+    cross-engine object is covariance_matrix_embeddings' decimal-image
+    twin.
+    """
+    import numpy as np
+
+    first = vectors.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_components: empty input")
+    d = len(first[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+
+    def _partials(it):
+        import numpy as np
+        import pandas as pd
+
+        tot = np.zeros((d, d))
+        sv = np.zeros(d)
+        n = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            tot += mat.T @ mat
+            sv += mat.sum(axis=0)
+            n += mat.shape[0]
+        ii, jj, ss = [], [], []
+        for i in range(d):
+            ii.append(i)
+            jj.append(-1)
+            ss.append(float(sv[i]))
+        ii.append(-1)
+        jj.append(-1)
+        ss.append(float(n))
+        for i in range(d):
+            for j in range(d):
+                ii.append(i)
+                jj.append(j)
+                ss.append(float(tot[i, j]))
+        yield pd.DataFrame({"i": ii, "j": jj, "s": ss})
+
+    rows = (
+        vectors.select(vec_col)
+        .mapInPandas(_partials, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    vals = {(r.i, r.j): r.s for r in rows}
+    n = vals[(-1, -1)]
+    mu = np.array([vals[(i, -1)] for i in range(d)]) / n
+    xtx = np.array([[vals[(i, j)] for j in range(d)] for i in range(d)])
+    cov = xtx / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = []
+    for idx in np.argsort(evals)[::-1][:k]:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(x) for x in mu], comps
+
+
+def pca_project(
+    vectors: DataFrame,
+    means: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_scale: int = 4,
+) -> DataFrame:
+    """Project embeddings onto PCA components: (id, pc1..pck), each
+    pc rounded to ``out_scale``. Map-only Arrow pass (one batched
+    (X - mu) @ W^T matmul per Arrow batch — never a per-row Python
+    UDF, never a fold-lambda chain per component, which would hit the
+    same-shape-HOF-collapse trap documented in operators/dedup.py)."""
+    import numpy as np
+
+    k = len(components)
+    w = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(means, dtype=np.float64)
+    cols = ", ".join(f"pc{i + 1} double" for i in range(k))
+    schema = f"{id_col} long, {cols}"
+
+    def _proj(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            proj = np.round((mat - mu) @ w.T, out_scale)
+            out = {id_col: pdf[id_col]}
+            for i in range(k):
+                out[f"pc{i + 1}"] = proj[:, i]
+            yield pd.DataFrame(out)
+
+    return vectors.select(id_col, vec_col).mapInPandas(_proj, schema)

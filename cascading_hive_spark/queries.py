@@ -7379,6 +7379,64 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return standardize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+# Dimension-pair covariance of the embedding column (similarity.
+# covariance_matrix_embeddings) — the statistics pass behind PCA /
+# whitening / OPQ rotation before ANN. Portable form: exploded dims
+# self-join on id for the pair products, decimal-image moments,
+# fixed-order cov expression — the SQL-replayable twin of
+# pca_components' Arrow partial-GEMM path (which embedding_pca_project
+# exercises rows-only with a numpy differential in pytest).
+@register(
+    "embedding_covariance",
+    """
+    WITH ex AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS dim,
+             embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    m AS (
+      SELECT dim, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(val, 7) AS DECIMAL(38,7))) AS DOUBLE) AS s
+      FROM ex GROUP BY dim),
+    p AS (
+      SELECT a.dim AS dim_a, b.dim AS dim_b,
+             CAST(sum(CAST(round(a.val * b.val, 7) AS DECIMAL(38,7)))
+                  AS DOUBLE) AS sp
+      FROM ex a JOIN ex b ON a.id = b.id AND a.dim <= b.dim
+      GROUP BY 1, 2)
+    SELECT p.dim_a, p.dim_b,
+           round(p.sp / ma.n - (ma.s / ma.n) * (mb.s / mb.n), 6) + 0.0 AS cov
+    FROM p
+    JOIN m ma ON p.dim_a = ma.dim
+    JOIN m mb ON p.dim_b = mb.dim
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import (
+        covariance_matrix_embeddings,
+    )
+
+    return covariance_matrix_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+# PCA projection (similarity.pca_components + pca_project): top-2
+# principal components trained by the Arrow partial-GEMM pass (d^2
+# floats per batch, driver eigensolve on the d x d covariance only),
+# then a map-only batched (X - mu) @ W^T projection. Rows-only: the
+# eigensolve is numpy's (no SQL equivalent); pinned by the numpy
+# full-replay differential in tests/test_similarity.py and
+# cross-checked against the oracle-matched embedding_covariance twin.
+@register("embedding_pca_project", None)
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    means, comps = pca_components(emb, k=2)
+    return pca_project(emb, means, comps)
+
+
 # Trained-cell IVF end-to-end (similarity.ivf_build_from_kmeans):
 # kmeans_fit(8, 1) centroids lifted into coarse cells, persisted via
 # ivf_write, probed from disk at FULL PROBE — every cell probed means
@@ -7777,7 +7835,11 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (b) oldest-verified greens as drift canaries; keep wordcount at
 # slot 1 and q1_pricing_summary. ann_ivf_topk / dedup_minhash_lsh /
 # dedup_simhash stay rows-only outside the window (each has a
-# hash-matched portable/exact sibling with driver rows).
+# hash-matched portable/exact sibling with driver rows);
+# embedding_pca_project (registered mid-r11) is rows-only by design —
+# driver-eigensolve PCA, pinned by the numpy full-replay differential
+# in tests/test_similarity.py and the oracle-matched
+# embedding_covariance twin.
 # test_registry_hygiene.py::test_rotation_note_names_resolve asserts
 # every query name cited in this note resolves in _REGISTRY.
 _ROWS_ONLY_WINDOW: set[str] = {
@@ -7804,8 +7866,8 @@ _DRIVER_WINDOW: list[str] = [
     "window_ntile_binned",
     "docs_source_overlap",
     "dedup_span_scrub",
+    "embedding_covariance",
     # (slots below rotate to further mid-r11 registrations as they land)
-    "window_running_sum",
     "a25_null_detection",  # last green r6
     "approx_distinct_parts",  # last green r6
     # -- drift canaries (oldest-verified greens, ascending last-green):

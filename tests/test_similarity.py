@@ -589,3 +589,58 @@ def test_cell_distances_fold_matches_exploded_image(spark, sf_dir):
     assert set(fold) == set(exploded)
     for k_ in fold:
         assert fold[k_] == exploded[k_], (k_, fold[k_], exploded[k_])
+
+
+def test_covariance_and_pca_match_numpy(spark):
+    """covariance_matrix_embeddings == np.cov(bias=True) to the decimal
+    image; pca_components/pca_project == a full numpy PCA replay
+    (eigh on the population covariance, same sign fix) to 1e-6; the
+    planted dominant direction lands in pc1."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.similarity import (
+        covariance_matrix_embeddings,
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(23)
+    d, n_rows = 6, 300
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    base = rng.normal(size=(n_rows, d))
+    mat = base + np.outer(rng.normal(0, 5, n_rows), direction)  # dominant axis
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n_rows)],
+        "vec_id long, embedding array<double>",
+    )
+    # covariance vs numpy population covariance
+    got = {(r.dim_a, r.dim_b): r.cov
+           for r in covariance_matrix_embeddings(df).collect()}
+    want = np.cov(mat.T, bias=True)
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), c in got.items():
+        assert i <= j
+        assert abs(c - want[i, j]) < 1e-5, (i, j, c, want[i, j])
+    # pca: components match a numpy replay with the same sign fix
+    means, comps = pca_components(df, k=2)
+    assert np.allclose(means, mat.mean(axis=0), atol=1e-9)
+    evals, evecs = np.linalg.eigh(want)
+    for rank, idx in enumerate(np.argsort(evals)[::-1][:2]):
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        assert np.allclose(comps[rank], v, atol=1e-6), rank
+    # pc1 is the planted direction (up to sign already fixed)
+    assert abs(abs(np.dot(comps[0], direction)) - 1.0) < 0.05
+    # projection matches numpy
+    proj = {r.vec_id: (r.pc1, r.pc2) for r in
+            pca_project(df, means, comps).collect()}
+    wantp = np.round((mat - mat.mean(axis=0)) @ np.asarray(comps).T, 4)
+    for i in range(n_rows):
+        assert abs(proj[i][0] - wantp[i, 0]) < 1e-3
+        assert abs(proj[i][1] - wantp[i, 1]) < 1e-3
+    # guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        pca_components(df, k=0)
