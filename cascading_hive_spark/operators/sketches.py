@@ -108,3 +108,105 @@ def heavy_hitters(
         .filter(F.col(count_name) > F.lit(phi) * F.col("_hh_total"))
         .drop("_hh_total")
     )
+
+
+def histogram_quantile_merge(
+    df: DataFrame,
+    value_col: str,
+    partial_key,
+    bins: int = 128,
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    out_scale: int = 6,
+) -> DataFrame:
+    """Mergeable HISTOGRAM quantile sketch — the bounded-memory
+    quantile path when the exact percentile over raw rows is
+    unaffordable or the data arrives in independent slices (per-day
+    partitions, per-source shards): build one fixed-grid ``bins``-bin
+    count histogram per ``partial_key`` group (the mergeable partial —
+    merging two groups' sketches is elementwise count addition, the
+    same associativity contract as relational.partial_agg), merge all
+    partials, and estimate each quantile by linear interpolation
+    within its bin. Returns ONE row:
+    (n, n_partials, q<pp> for each prob).
+
+    Error bound: each estimate is within one bin width of the true
+    quantile — (max-min)/bins — the classic fixed-grid trade; the
+    estimate arithmetic is fully deterministic (no sampling), so the
+    whole pipeline replays bit-for-bit in SQL, unlike t-digest/KLL
+    whose merge order changes the summary.
+
+    Scale shape: one bounds pass (min/max, map-side combined), one
+    (partial_key, bin) count aggregation — the shuffle carries at most
+    groups x bins thin rows — one bins-sized merge aggregation, and a
+    cumulative window over <= ``bins`` rows (metadata-scale single
+    partition by construction). Raw values never shuffle.
+    """
+    from pyspark.sql import Window
+
+    if not 2 <= bins <= 100_000:
+        raise ValueError(f"bins must be in [2, 100000], got {bins}")
+    if any(not 0.0 < p < 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1), got {probs}")
+    v = F.col(value_col).cast("double")
+    src = df.select(v.alias("_v"), F.col(partial_key).alias("_pk") if isinstance(partial_key, str) else partial_key.alias("_pk"))
+    bounds = src.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    bin_expr = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
+    ).cast("int")
+    # the mergeable partial: per-group fixed-grid counts
+    partials = (
+        src.crossJoin(F.broadcast(bounds))
+        .groupBy(F.col("_pk"), bin_expr.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # merge = elementwise addition across partials
+    merged = partials.groupBy("_bin").agg(F.sum("_c").alias("_c"))
+    n_partials = partials.select("_pk").distinct().agg(
+        F.count(F.lit(1)).alias("_n_partials")
+    )
+    w = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        merged.withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("_cum_prev", F.col("_cum") - F.col("_c"))
+        .crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(n_partials))
+    )
+    # materialize per-row estimates first (window over <= bins rows),
+    # then one conditional-min aggregate per prob
+    w_all = Window.partitionBy()
+    cum = cum.withColumn("_n_total", F.max("_cum").over(w_all))
+    sel = ["_bin", "_c", "_cum", "_cum_prev", "_lo", "_hi", "_n_partials", "_n_total"]
+    proj = cum.select(*sel, *[
+        (
+            F.col("_lo")
+            + ((F.col("_hi") - F.col("_lo")) / F.lit(float(bins)))
+            * (
+                F.col("_bin")
+                + (F.lit(p) * F.col("_n_total") - F.col("_cum_prev")) / F.col("_c")
+            )
+        ).alias(f"_est_{int(p * 1000)}")
+        for p in probs
+    ])
+    final_aggs = [
+        F.max("_n_total").cast("bigint").alias("n"),
+        F.max("_n_partials").cast("bigint").alias("n_partials"),
+    ]
+    for p in probs:
+        target = F.lit(p) * F.col("_n_total")
+        final_aggs.append(
+            (
+                F.round(
+                    F.min(
+                        F.when(
+                            (F.col("_cum") >= target) & (F.col("_cum_prev") < target),
+                            F.col(f"_est_{int(p * 1000)}"),
+                        )
+                    ),
+                    out_scale,
+                )
+                + F.lit(0.0)
+            ).alias(f"q{int(p * 1000)}")
+        )
+    return proj.agg(*final_aggs)

@@ -7771,6 +7771,62 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable histogram-quantile sketch (sketches.
+# histogram_quantile_merge): per-DAY fixed-grid 128-bin count
+# histograms of events.value (the mergeable partial — merging is
+# elementwise count addition), merged across days, quantiles estimated
+# by linear interpolation within the target bin. Unlike t-digest/KLL
+# the arithmetic is fully deterministic, so the oracle replays the
+# whole pipeline (bounds -> bins -> partials -> merge -> cumulative ->
+# interpolate) bit-for-bit. Estimates are within one bin width of the
+# exact percentile; + 0.0 normalizes IEEE -0.0 on both engines.
+@register(
+    "events_quantile_sketch",
+    """
+    WITH src AS (
+      SELECT CAST(value AS DOUBLE) AS v, CAST(ts AS DATE) AS pk FROM events),
+    b AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+    binned AS (
+      SELECT pk,
+             least(127, CAST(floor((v - lo) / ((hi - lo) / 128.0)) AS INT))
+                 AS bin
+      FROM src, b),
+    partials AS (SELECT pk, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    merged AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c FROM partials GROUP BY bin),
+    np AS (SELECT count(DISTINCT pk) AS n_partials FROM partials),
+    cum AS (
+      SELECT bin, c,
+             sum(c) OVER (ORDER BY bin) AS cum,
+             sum(c) OVER (ORDER BY bin) - c AS cum_prev
+      FROM merged),
+    tot AS (SELECT max(cum) AS n FROM cum),
+    est AS (
+      SELECT bin, c, cum, cum_prev, n, n_partials,
+             lo + ((hi - lo) / 128.0)
+                * (bin + (0.5 * n - cum_prev) / c) AS e500,
+             lo + ((hi - lo) / 128.0)
+                * (bin + (0.95 * n - cum_prev) / c) AS e950,
+             lo + ((hi - lo) / 128.0)
+                * (bin + (0.99 * n - cum_prev) / c) AS e990
+      FROM cum, b, tot, np)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(max(n_partials) AS BIGINT) AS n_partials,
+           round(min(CASE WHEN cum >= 0.5 * n AND cum_prev < 0.5 * n
+                          THEN e500 END), 6) + 0.0 AS q500,
+           round(min(CASE WHEN cum >= 0.95 * n AND cum_prev < 0.95 * n
+                          THEN e950 END), 6) + 0.0 AS q950,
+           round(min(CASE WHEN cum >= 0.99 * n AND cum_prev < 0.99 * n
+                          THEN e990 END), 6) + 0.0 AS q990
+    FROM est
+    """,
+)
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sketches import histogram_quantile_merge
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantile_merge(ev, "value", F.col("ts").cast("date"))
+
+
 # Cross-source duplicate-fingerprint overlap matrix (dedup.
 # source_overlap): for each source pair, how many distinct 8-token
 # prefix fingerprints occur in BOTH — the corpus-curation readout
@@ -7829,7 +7885,8 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (5) fills the remaining slots with the OLDEST-verified greens as
 #     drift canaries (last green r5 or earlier unless noted:
 #     q4_order_priority r1, multimodal_frame_sample r2, the r5 block
-#     below; a25_null_detection + approx_distinct_parts last green r6).
+#     below; approx_distinct_parts last green r6; a25_null_detection
+#     rotated back out for the mid-r11 events_quantile_sketch slot).
 # Future rotations: fill from (a) queries registered after this note
 # (enumerate the actual registry, not a remembered count), then
 # (b) oldest-verified greens as drift canaries; keep wordcount at
@@ -7867,8 +7924,8 @@ _DRIVER_WINDOW: list[str] = [
     "docs_source_overlap",
     "dedup_span_scrub",
     "embedding_covariance",
+    "events_quantile_sketch",
     # (slots below rotate to further mid-r11 registrations as they land)
-    "a25_null_detection",  # last green r6
     "approx_distinct_parts",  # last green r6
     # -- drift canaries (oldest-verified greens, ascending last-green):
     "q4_order_priority",  # last green r1

@@ -695,3 +695,31 @@ def test_source_overlap_counts_and_thin_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, f"text in a shuffle: {line}"
+
+
+def test_histogram_quantile_sketch_bound_and_merge_law(spark):
+    """The sketch estimate is within ONE BIN WIDTH of the exact
+    quantile (the fixed-grid guarantee); and the merge law holds —
+    sketching per group then merging equals sketching the whole set
+    in one partial (same grid -> identical merged histogram), so the
+    group column cannot change the answer."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.sketches import histogram_quantile_merge
+
+    rng = np.random.default_rng(41)
+    vals = np.concatenate([rng.normal(50, 5, 8000), rng.exponential(30, 2000)])
+    rows = [(float(v), int(i % 13)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "value double, grp int")
+    got = histogram_quantile_merge(df, "value", "grp").collect()[0]
+    width = (vals.max() - vals.min()) / 128
+    assert got.n == len(vals) and got.n_partials == 13
+    for p, est in ((0.5, got.q500), (0.95, got.q950), (0.99, got.q990)):
+        assert abs(est - float(np.quantile(vals, p))) <= width, (p, est)
+    one = histogram_quantile_merge(
+        df.withColumn("grp", F.lit(0)), "value", "grp"
+    ).collect()[0]
+    assert (one.q500, one.q950, one.q990) == (got.q500, got.q950, got.q990)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bins"):
+        histogram_quantile_merge(df, "value", "grp", bins=1)
