@@ -31,6 +31,9 @@ Usage: python scripts/scale_smoke.py <name> [args]
     heavy_hitters [n=100000000] [phi_permille=1]
     basket    [n_orders=2000000] [hub_items=10000]
     markov_retention [n=10000000] [n_users=100000]
+    quantile_sketch [n=100000000] [n_partials=30]
+    pca       [n=1000000] [d=64]
+    overlap   [n=1000000]
 
 Each prints one JSON line per measurement.
 """
@@ -1322,6 +1325,83 @@ def smoke_kcore(n_edges: int = 10_000_000, k: int = 8,
                       "wall_sec": wall}), flush=True)
 
 
+def smoke_quantile_sketch(n: int = 100_000_000, n_partials: int = 30) -> None:
+    """Mergeable histogram-quantile sketch at row scale: two scans
+    (bounds + binned counts) whose shuffles carry at most
+    n_partials x 128 thin rows — wall should be scan-bound and
+    near-linear; the uniform synthetic has an analytic median, so the
+    estimate is also checked against truth within one bin width."""
+    from cascading_hive_spark.operators.sketches import histogram_quantile_merge
+
+    spark = _spark()
+    for size in (n // 10, n):
+        df = spark.range(size).select(
+            (F.pmod(F.col("id") * 2654435761, F.lit(1000003)) / 1000.0).alias("v"),
+            (F.col("id") % n_partials).alias("pk"),
+        )
+        t0 = time.monotonic()
+        row = histogram_quantile_merge(df, "v", "pk").first()
+        wall = round(time.monotonic() - t0, 1)
+        width = 1000.003 / 128  # (max-min)/bins of the uniform synthetic
+        err = abs(row["q500"] - 500.0015)  # analytic median of the grid
+        assert err <= width, (row["q500"], width)
+        print(json.dumps({"smoke": "quantile_sketch", "n_rows": size,
+                          "n_partials": row["n_partials"],
+                          "wall_sec": wall, "q500": row["q500"],
+                          "median_err_vs_bin_width": round(err / width, 3)}),
+              flush=True)
+
+
+def smoke_pca(n: int = 1_000_000, d: int = 64) -> None:
+    """PCA trainer at corpus scale: the Arrow partial-GEMM pass ships
+    d^2 floats per batch (never per row), so train wall is one scan +
+    a d^2-row reduce; projection is a second map-only pass."""
+    from cascading_hive_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    spark = _spark()
+    for size in (n // 10, n):
+        emb = synthetic_embeddings(spark, n=size, dim=d).localCheckpoint()
+        t0 = time.monotonic()
+        means, comps = pca_components(emb, k=8)
+        t_train = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        n_out = pca_project(emb, means, comps).count()
+        t_proj = round(time.monotonic() - t0, 1)
+        assert n_out == size
+        print(json.dumps({"smoke": "pca", "n_vectors": size, "dim": d,
+                          "k": 8, "train_sec": t_train,
+                          "project_sec": t_proj}), flush=True)
+
+
+def smoke_overlap(n: int = 1_000_000) -> None:
+    """Cross-source fingerprint overlap at corpus scale: one distinct
+    on (digest, source) + a per-digest self-join bounded by source
+    count — wall near-linear, output <= n_sources^2 rows."""
+    from cascading_hive_spark.operators.dedup import source_overlap
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.05, n_vocab=5000
+        ).localCheckpoint()
+        fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+        t0 = time.monotonic()
+        out = source_overlap(docs, "source", fp)
+        n_pairs, total = out.agg(
+            F.count(F.lit(1)), F.sum("shared_fps")
+        ).first()
+        wall = round(time.monotonic() - t0, 1)
+        assert n_pairs <= 20 * 19 // 2  # 20 synthetic sources
+        print(json.dumps({"smoke": "overlap", "n_docs": size,
+                          "wall_sec": wall, "pairs": n_pairs,
+                          "shared_fps_total": int(total)}), flush=True)
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -1334,6 +1414,9 @@ if __name__ == "__main__":
         "markov_retention": smoke_markov_retention,
         "kmeans": smoke_kmeans,
         "kcore": smoke_kcore,
+        "quantile_sketch": smoke_quantile_sketch,
+        "pca": smoke_pca,
+        "overlap": smoke_overlap,
         "semantic_dedup": smoke_semantic_dedup,
         "simhash": smoke_simhash,
         "cc": smoke_cc,
