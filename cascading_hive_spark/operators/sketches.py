@@ -210,3 +210,67 @@ def histogram_quantile_merge(
             ).alias(f"q{int(p * 1000)}")
         )
     return proj.agg(*final_aggs)
+
+
+def quantile_from_histogram(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    out_scale: int = 6,
+) -> DataFrame:
+    """Quantile estimates from an already-merged FIXED-grid histogram
+    ``(bin, c)`` — the estimator stage shared by the batch sketch
+    (histogram_quantile_merge computes its own bounds) and the
+    streaming form (streaming/jobs.histogram_stream, where a bounds
+    pass is impossible and the grid is fixed up front). One row:
+    (n, q<pp> per prob); cumulative window over <= ``bins`` rows
+    (metadata-scale single partition by construction); + 0.0
+    normalizes IEEE -0.0.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = (
+        hist.select(F.col("bin"), F.col("c").cast("bigint").alias("_c"))
+        .withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("_cum_prev", F.col("_cum") - F.col("_c"))
+        .withColumn("_n_total", F.max(F.col("_cum") + F.lit(0)).over(w_all))
+    )
+    width = F.lit((hi - lo) / float(bins))
+    proj = cum.select(
+        "_cum",
+        "_cum_prev",
+        "_n_total",
+        *[
+            (
+                F.lit(lo)
+                + width
+                * (
+                    F.col("bin")
+                    + (F.lit(p) * F.col("_n_total") - F.col("_cum_prev")) / F.col("_c")
+                )
+            ).alias(f"_est_{int(p * 1000)}")
+            for p in probs
+        ],
+    )
+    aggs = [F.max("_n_total").cast("bigint").alias("n")]
+    for p in probs:
+        target = F.lit(p) * F.col("_n_total")
+        aggs.append(
+            (
+                F.round(
+                    F.min(
+                        F.when(
+                            (F.col("_cum") >= target) & (F.col("_cum_prev") < target),
+                            F.col(f"_est_{int(p * 1000)}"),
+                        )
+                    ),
+                    out_scale,
+                )
+                + F.lit(0.0)
+            ).alias(f"q{int(p * 1000)}")
+        )
+    return proj.agg(*aggs)

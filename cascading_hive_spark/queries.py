@@ -3456,6 +3456,70 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Streaming fixed-grid histogram quantile sketch run end-to-end
+# (streaming/jobs.histogram_stream + sketches.quantile_from_histogram):
+# every micro-batch folds into <= 128 counters TOTAL (complete-mode
+# aggregate on the bin id — O(bins) state regardless of stream
+# length); the drained histogram feeds the same deterministic
+# interpolation as the batch events_quantile_sketch. The grid is
+# FIXED ([0, 1000) covers events.value with clamp-to-edge) because a
+# stream cannot run a bounds pass. Counts are exact, so the oracle
+# replays the identical fixed-grid pipeline in SQL.
+@register(
+    "streaming_quantile_sketch",
+    """
+    WITH binned AS (
+      SELECT greatest(0, least(127,
+               CAST(floor((CAST(value AS DOUBLE) - 0.0)
+                          / ((1000.0 - 0.0) / 128.0)) AS INT))) AS bin
+      FROM events),
+    merged AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+               FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, c,
+             sum(c) OVER (ORDER BY bin) AS cum,
+             sum(c) OVER (ORDER BY bin) - c AS cum_prev
+      FROM merged),
+    tot AS (SELECT max(cum) AS n FROM cum),
+    est AS (
+      SELECT cum, cum_prev, n,
+             0.0 + ((1000.0 - 0.0) / 128.0)
+                 * (bin + (0.5 * n - cum_prev) / c) AS e500,
+             0.0 + ((1000.0 - 0.0) / 128.0)
+                 * (bin + (0.95 * n - cum_prev) / c) AS e950,
+             0.0 + ((1000.0 - 0.0) / 128.0)
+                 * (bin + (0.99 * n - cum_prev) / c) AS e990
+      FROM cum, tot)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= 0.5 * n AND cum_prev < 0.5 * n
+                          THEN e500 END), 6) + 0.0 AS q500,
+           round(min(CASE WHEN cum >= 0.95 * n AND cum_prev < 0.95 * n
+                          THEN e950 END), 6) + 0.0 AS q950,
+           round(min(CASE WHEN cum >= 0.99 * n AND cum_prev < 0.99 * n
+                          THEN e990 END), 6) + 0.0 AS q990
+    FROM est
+    """,
+)
+def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.operators.sketches import quantile_from_histogram
+    from cascading_hive_spark.streaming.jobs import histogram_stream, stream_events
+
+    tune_for_queries(spark)
+    name = f"q_stream_qsketch_{uuid.uuid4().hex[:8]}"
+    stream = histogram_stream(stream_events(spark, sf_dir), lo=0.0, hi=1000.0)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return quantile_from_histogram(spark.table(name), lo=0.0, hi=1000.0)
+
+
 # Stream-STATIC broadcast join run end-to-end (the reference's
 # map-join intent in streaming form: the dimension is broadcast per
 # micro-batch): every event enriched with its nation, aggregated per
@@ -7885,8 +7949,9 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (5) fills the remaining slots with the OLDEST-verified greens as
 #     drift canaries (last green r5 or earlier unless noted:
 #     q4_order_priority r1, multimodal_frame_sample r2, the r5 block
-#     below; approx_distinct_parts last green r6; a25_null_detection
-#     rotated back out for the mid-r11 events_quantile_sketch slot).
+#     below; a25_null_detection and approx_distinct_parts, last green
+#     r6, rotated back out for the mid-r11 events_quantile_sketch and
+#     streaming_quantile_sketch slots).
 # Future rotations: fill from (a) queries registered after this note
 # (enumerate the actual registry, not a remembered count), then
 # (b) oldest-verified greens as drift canaries; keep wordcount at
@@ -7925,8 +7990,8 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_span_scrub",
     "embedding_covariance",
     "events_quantile_sketch",
+    "streaming_quantile_sketch",
     # (slots below rotate to further mid-r11 registrations as they land)
-    "approx_distinct_parts",  # last green r6
     # -- drift canaries (oldest-verified greens, ascending last-green):
     "q4_order_priority",  # last green r1
     "multimodal_frame_sample",  # last green r2

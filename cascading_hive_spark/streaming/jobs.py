@@ -452,3 +452,32 @@ def heavy_hitters_stream(
     return keyed.groupBy("shard").applyInPandasWithState(
         fn, _HH_OUT, _HH_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def histogram_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 128,
+) -> DataFrame:
+    """Streaming fixed-grid histogram — the unbounded-stream form of
+    sketches.histogram_quantile_merge's merge stage: every micro-batch
+    folds its rows into <= ``bins`` counters TOTAL (complete-mode
+    aggregate keyed on the bin id), so state is O(bins) regardless of
+    stream length — the strongest state bound in this module (even
+    MG heavy hitters keeps candidates per partition). A stream cannot
+    run a bounds pass, so the grid is FIXED up front (the standard
+    streaming-sketch trade); out-of-range values clamp into the edge
+    bins. Feed the drained table to sketches.quantile_from_histogram
+    for the estimates; with AvailableNow the result equals the batch
+    fixed-grid histogram exactly (deterministic counts — the duality
+    oracle, like streaming_hourly_counts).
+    """
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / float(bins)
+    bin_expr = F.greatest(
+        F.lit(0),
+        F.least(F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    ).cast("int")
+    return events.groupBy(bin_expr.alias("bin")).agg(F.count(F.lit(1)).alias("c"))

@@ -424,3 +424,24 @@ def test_dedup_stream_bounded_drops_same_id_different_ts(spark, tmp_path):
     stream2 = spark.readStream.schema(schema).parquet(src)
     exact = run_available_now(dedup_stream(stream2), "dedup_exact_test", "append")
     assert len(exact.collect()) == 3  # (id, ts) key keeps both copies of id 1
+
+
+def test_histogram_stream_matches_batch_grid(spark, sf_dir):
+    """Streaming fixed-grid histogram drained with AvailableNow equals
+    the batch fixed-grid histogram exactly (deterministic counts), and
+    state is O(bins): the drained table has <= 128 rows."""
+    from cascading_hive_spark.operators.sketches import quantile_from_histogram
+    from cascading_hive_spark.streaming.jobs import histogram_stream, run_available_now, stream_events
+    from cascading_hive_spark.tables import load_table
+
+    stream = histogram_stream(stream_events(spark, sf_dir), lo=0.0, hi=1000.0)
+    got = run_available_now(stream, "t_hist_stream", output_mode="complete")
+    rows = {r.bin: r.c for r in got.collect()}
+    assert len(rows) <= 128
+    ev = load_table(spark, sf_dir, "events")
+    batch = histogram_stream(ev, lo=0.0, hi=1000.0)  # same expr on a batch DF
+    want = {r.bin: r.c for r in batch.collect()}
+    assert rows == want
+    est = quantile_from_histogram(got, lo=0.0, hi=1000.0).collect()[0]
+    assert est.n == ev.count()
+    assert 0.0 < est.q500 < est.q950 < est.q990 <= 1000.0
