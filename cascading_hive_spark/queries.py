@@ -7942,10 +7942,13 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     after the distributed top-20 cut, VERDICT r10 #2),
 #     orders_status_priority_mi (null-safe marginal joins, ADVICE),
 #     lineitem_corr_matrix (single-explode pair fan-out, ADVICE);
-# (4) schedules queries registered this round in the same round:
-#     window_ntile_binned (the ntile scale twin, VERDICT r10 #3), plus
-#     any further mid-r11 registrations (they take the canary slots
-#     marked below as they land);
+# (4) schedules the six queries registered this round in the same
+#     round: window_ntile_binned (the ntile scale twin, VERDICT r10
+#     #3), docs_source_overlap (cross-source fingerprint overlap),
+#     dedup_span_scrub (exact-substring removal), embedding_covariance
+#     (the decimal-image twin of the PCA partial-GEMM path),
+#     events_quantile_sketch and streaming_quantile_sketch (mergeable
+#     fixed-grid histogram quantiles, batch + streaming);
 # (5) fills the remaining slots with the OLDEST-verified greens as
 #     drift canaries (last green r5 or earlier unless noted:
 #     q4_order_priority r1, multimodal_frame_sample r2, the r5 block
@@ -7991,7 +7994,6 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_covariance",
     "events_quantile_sketch",
     "streaming_quantile_sketch",
-    # (slots below rotate to further mid-r11 registrations as they land)
     # -- drift canaries (oldest-verified greens, ascending last-green):
     "q4_order_priority",  # last green r1
     "multimodal_frame_sample",  # last green r2
