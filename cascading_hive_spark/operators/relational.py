@@ -1101,3 +1101,60 @@ def percentile_bins(
             expr = expr.otherwise(k + 1)
         out = out.withColumn(f"{c}{suffix}", expr.cast("bigint"))
     return out.drop(*[f"_pb_{c}_{i}" for c in cols for i in range(k)])
+
+
+def sequence_similarity_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    token_col,
+    query_key,
+    k: int = 10,
+    max_len: int = 100,
+) -> DataFrame:
+    """Top-``k`` most similar sequences to one query sequence by EDIT
+    DISTANCE over per-key ordered token streams — the trajectory/
+    behavior similarity search ("which users act like user X"; the
+    distributed top-k trajectory-similarity shape of REPOSE, ICDE'21,
+    re-expressed relationally). ``token_col`` must render each step as
+    ONE character (e.g. an event-type initial) so sequences compare as
+    strings and the JVM levenshtein kernel does the DP.
+
+    Returns (key_cols..., seq_len, distance) for the k nearest
+    non-query keys, distance ties broken by key (deterministic).
+
+    Scale shape: one per-key aggregation builds the (<= ``max_len``
+    char) sequence strings — the only data-sized shuffle; the query's
+    sequence broadcasts (1 row); every distance is a narrow map-side
+    O(max_len^2) DP against capped strings; the cut is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col("_tok")))
+    )
+    seq = F.substring(
+        F.array_join(F.transform(ordered, lambda x: x["_tok"]), ""), 1, max_len
+    )
+    seqs = (
+        df.select(*key_cols, *order_cols, token_col.alias("_tok"))
+        .groupBy(*key_cols)
+        .agg(seq.alias("_seq"))
+    )
+    is_query = None
+    for c, v in zip(key_cols, query_key if isinstance(query_key, (list, tuple)) else [query_key]):
+        cond = F.col(c) == F.lit(v)
+        is_query = cond if is_query is None else (is_query & cond)
+    q = seqs.filter(is_query).select(F.col("_seq").alias("_qseq"))
+    return (
+        seqs.filter(~is_query)
+        .crossJoin(F.broadcast(q))
+        .select(
+            *key_cols,
+            F.length("_seq").cast("int").alias("seq_len"),
+            F.levenshtein("_seq", "_qseq").cast("int").alias("distance"),
+        )
+        .orderBy("distance", *key_cols)
+        .limit(k)
+    )

@@ -7835,6 +7835,47 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trajectory similarity search (relational.sequence_similarity_topk,
+# the REPOSE ICDE'21 shape): top-10 users whose ordered event-type
+# sequence (one initial per event, capped at 100) is nearest the
+# minimum-user_id query user by edit distance. Sequences are the only
+# data-sized shuffle; the query row broadcasts; the cut is
+# TakeOrderedAndProject. Oracle: string_agg ORDER BY (ts, event_id)
+# == array_sort(struct(ts, event_id, ch)) extraction, same
+# levenshtein, same (distance, user_id) tie-break.
+@register(
+    "events_trajectory_topk",
+    """
+    WITH s AS (
+      SELECT user_id,
+             substring(string_agg(substring(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id), 1, 100) AS seq
+      FROM events GROUP BY user_id),
+    q AS (SELECT seq AS qseq FROM s
+          WHERE user_id = (SELECT min(user_id) FROM s))
+    SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+           CAST(levenshtein(seq, qseq) AS INT) AS distance
+    FROM s CROSS JOIN q
+    WHERE user_id <> (SELECT min(user_id) FROM s)
+    ORDER BY distance, user_id
+    LIMIT 10
+    """,
+)
+def q_events_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import sequence_similarity_topk
+
+    ev = _t(spark, sf_dir, "events")
+    qkey = ev.agg(F.min("user_id")).collect()[0][0]
+    return sequence_similarity_topk(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.substring("event_type", 1, 1),
+        query_key=qkey,
+        k=10,
+    )
+
+
 # Mergeable histogram-quantile sketch (sketches.
 # histogram_quantile_merge): per-DAY fixed-grid 128-bin count
 # histograms of events.value (the mergeable partial — merging is
@@ -7942,13 +7983,15 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     after the distributed top-20 cut, VERDICT r10 #2),
 #     orders_status_priority_mi (null-safe marginal joins, ADVICE),
 #     lineitem_corr_matrix (single-explode pair fan-out, ADVICE);
-# (4) schedules the six queries registered this round in the same
+# (4) schedules the seven queries registered this round in the same
 #     round: window_ntile_binned (the ntile scale twin, VERDICT r10
 #     #3), docs_source_overlap (cross-source fingerprint overlap),
 #     dedup_span_scrub (exact-substring removal), embedding_covariance
 #     (the decimal-image twin of the PCA partial-GEMM path),
 #     events_quantile_sketch and streaming_quantile_sketch (mergeable
-#     fixed-grid histogram quantiles, batch + streaming);
+#     fixed-grid histogram quantiles, batch + streaming), and
+#     events_trajectory_topk (edit-distance trajectory similarity
+#     search — window_distribution, green r5, yields its slot);
 # (5) fills the remaining slots with the OLDEST-verified greens as
 #     drift canaries (last green r5 or earlier unless noted:
 #     q4_order_priority r1, multimodal_frame_sample r2, the r5 block
@@ -7994,6 +8037,7 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_covariance",
     "events_quantile_sketch",
     "streaming_quantile_sketch",
+    "events_trajectory_topk",
     # -- drift canaries (oldest-verified greens, ascending last-green):
     "q4_order_priority",  # last green r1
     "multimodal_frame_sample",  # last green r2
@@ -8026,7 +8070,6 @@ _DRIVER_WINDOW: list[str] = [
     "set_except",
     "set_intersect",
     "set_union_distinct",
-    "window_distribution",
     "window_lag_delta",
     "window_ntile",  # the global-ntile parity row, next to its scale twin
     "q1_pricing_summary",  # the decimal-sum perf/correctness watch item

@@ -723,3 +723,28 @@ def test_histogram_quantile_sketch_bound_and_merge_law(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bins"):
         histogram_quantile_merge(df, "value", "grp", bins=1)
+
+
+def test_sequence_similarity_topk_known_and_plan(spark):
+    """Trajectory top-k: hand-checkable edit distances on tiny
+    sequences, deterministic tie-break, and the plan shape — the
+    query row broadcasts (no CartesianProduct) and the cut compiles
+    to TakeOrderedAndProject."""
+    from cascading_hive_spark.operators.relational import sequence_similarity_topk
+    from cascading_hive_spark.plans import physical_plan
+
+    rows = []
+    seqs = {1: "abcab", 2: "abcab", 3: "abxab", 4: "zzzzz", 5: "ab"}
+    for uid, s in seqs.items():
+        for t, ch in enumerate(s):
+            rows.append((uid, t, t, ch))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, ch string")
+    out = sequence_similarity_topk(
+        df, ["user_id"], ["ts", "event_id"], F.col("ch"), query_key=1, k=3
+    )
+    got = [(r.user_id, r.distance) for r in out.collect()]
+    assert got == [(2, 0), (3, 1), (5, 3)], got  # 4 (dist 5) cut by k=3
+    plan = physical_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
