@@ -1070,6 +1070,14 @@ def percentile_bins(
     representable and the >= cuts replay bit-for-bit in SQL
     (quantile_cont == Spark percentile, the filter_by_group_percentile
     precedent).
+
+    Memory note for the cut-point pass: Spark's exact ``percentile``
+    aggregate buffers a (value -> count) map, so task memory is
+    bounded by DISTINCT values per column — fine for the integer
+    images above (days/counts/cents are low-cardinality), but for an
+    unbounded-cardinality metric at extreme scale swap the exact cut
+    points for sketches.histogram_quantile_merge estimates (same
+    broadcast-edges binning map, fixed O(bins) memory).
     """
     if not cols:
         raise ValueError("percentile_bins needs at least one column")

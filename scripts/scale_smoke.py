@@ -34,6 +34,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     quantile_sketch [n=100000000] [n_partials=30]
     pca       [n=1000000] [d=64]
     overlap   [n=1000000]
+    rfm       [n_orders=10000000] [n_cust=1000000]
 
 Each prints one JSON line per measurement.
 """
@@ -1402,6 +1403,57 @@ def smoke_overlap(n: int = 1_000_000) -> None:
                           "shared_fps_total": int(total)}), flush=True)
 
 
+def smoke_rfm(n_orders: int = 10_000_000, n_cust: int = 1_000_000) -> None:
+    """The VERDICT r10 #1 fix at scale: RFM quartiles via exact-
+    percentile binning over a synthetic 10M-order / 1M-customer table
+    — one customer agg, one 9-percentile pass (task memory ~ DISTINCT
+    integer images, see relational.percentile_bins), broadcast edges,
+    narrow map. No window anywhere; quartile populations must come
+    out roughly balanced."""
+    from cascading_hive_spark.operators.relational import percentile_bins
+
+    spark = _spark()
+    for size in (n_orders // 10, n_orders):
+        custs = max(1, n_cust * size // n_orders)
+        orders = spark.range(size).select(
+            (F.col("id") % custs).alias("ck"),
+            F.date_add(
+                F.lit("2020-01-01").cast("date"),
+                F.pmod(F.col("id") * 2654435761, F.lit(1461)).cast("int"),
+            ).alias("od"),
+            (F.pmod(F.col("id") * 40503, F.lit(99991)) / 100.0 + 1.0).alias("price"),
+        )
+        t0 = time.monotonic()
+        per_cust = orders.groupBy("ck").agg(
+            F.datediff(F.max("od"), F.lit("1970-01-01").cast("date")).alias("rd"),
+            F.count(F.lit(1)).alias("freq"),
+            (F.round(F.sum(F.col("price").cast("decimal(18,6)")), 2) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        binned = percentile_bins(per_cust, ["rd", "freq", "cents"], suffix="_q")
+        dist = {
+            (r["rd_q"], r["cents_q"]): r["n"]
+            for r in binned.groupBy("rd_q", "cents_q")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        wall = round(time.monotonic() - t0, 1)
+        m_counts = {}
+        for (rq, mq), c in dist.items():
+            m_counts[mq] = m_counts.get(mq, 0) + c
+        total = sum(m_counts.values())
+        assert total == custs, (total, custs)
+        assert set(m_counts) == {1, 2, 3, 4}, m_counts
+        for q_, c in m_counts.items():
+            assert c >= total // 8, (q_, c)  # roughly balanced monetary bins
+        print(json.dumps({"smoke": "rfm", "n_orders": size,
+                          "n_customers": custs, "wall_sec": wall,
+                          "monetary_bins": {str(k): v for k, v in
+                                            sorted(m_counts.items())}}),
+              flush=True)
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -1417,6 +1469,7 @@ if __name__ == "__main__":
         "quantile_sketch": smoke_quantile_sketch,
         "pca": smoke_pca,
         "overlap": smoke_overlap,
+        "rfm": smoke_rfm,
         "semantic_dedup": smoke_semantic_dedup,
         "simhash": smoke_simhash,
         "cc": smoke_cc,
