@@ -175,12 +175,26 @@ def _equality_partial_spec(
     metastore-side via ``SHOW PARTITIONS t PARTITION (...)``. Returns
     None for any other grammar (ranges, OR, LIKE, casts, quoted
     values containing quotes) — those fall back to spec-level pruning.
+
+    Coercion contract (ADVICE r11): QUOTED literals compare as exact
+    strings in both paths (the pushed spec and the ``F.expr`` fallback
+    agree). UNQUOTED NUMERIC literals (``ds = 401``) are NOT pushed —
+    they fall back to the expression path so equality coerces
+    numerically, exactly like the range grammar (``ds <= 401``) it
+    may be conjoined with in other filters; pushing them as a string
+    spec would miss e.g. a ``'0401'`` partition the numeric semantics
+    match. Unquoted NON-numeric barewords (``region = us``) still
+    push: they compare as strings metastore-side, and the expression
+    fallback could not evaluate them at all (``us`` would parse as a
+    column reference). Quote values to guarantee the metastore-side
+    fast path.
     """
     import re
 
     pat = re.compile(
         r"^\(*\s*`?(\w+)`?\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([\w.\-]+))\s*\)*$"
     )
+    num = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
     spec: dict[str, str] = {}
     for clause in re.split(r"(?i)\s+and\s+", filter_str.strip()):
         m = pat.match(clause.strip())
@@ -190,6 +204,8 @@ def _equality_partial_spec(
         val = next(g for g in m.groups()[1:] if g is not None)
         if key not in part_cols or key in spec or "'" in val or "\\" in val:
             return None
+        if m.group(4) is not None and num.fullmatch(val):
+            return None  # unquoted numeric: expression-path coercion
         spec[key] = val
     return spec
 

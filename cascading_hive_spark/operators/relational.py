@@ -1130,6 +1130,11 @@ def sequence_similarity_topk(
 
     Returns (key_cols..., seq_len, distance) for the k nearest
     non-query keys, distance ties broken by key (deterministic).
+    ``query_key`` must supply exactly one value per key column
+    (validated); a query key matching no row yields an empty result
+    (the broadcast side is empty) — callers wanting a hard error
+    should ``.count()`` the result or pre-check the key, which costs
+    an extra job this operator deliberately doesn't spend.
 
     Scale shape: one per-key aggregation builds the (<= ``max_len``
     char) sequence strings — the only data-sized shuffle; the query's
@@ -1139,6 +1144,15 @@ def sequence_similarity_topk(
     """
     if not key_cols or not order_cols:
         raise ValueError("key_cols and order_cols must be non-empty")
+    # ADVICE r11: a scalar / short query_key zipped against multi-column
+    # key_cols would silently truncate — is_query then matches a whole
+    # key GROUP and the broadcast side stops being 1 row.
+    qk = list(query_key) if isinstance(query_key, (list, tuple)) else [query_key]
+    if len(qk) != len(key_cols):
+        raise ValueError(
+            f"query_key has {len(qk)} element(s) but key_cols has "
+            f"{len(key_cols)}; provide one query value per key column"
+        )
     ordered = F.array_sort(
         F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col("_tok")))
     )
@@ -1151,7 +1165,7 @@ def sequence_similarity_topk(
         .agg(seq.alias("_seq"))
     )
     is_query = None
-    for c, v in zip(key_cols, query_key if isinstance(query_key, (list, tuple)) else [query_key]):
+    for c, v in zip(key_cols, qk):
         cond = F.col(c) == F.lit(v)
         is_query = cond if is_query is None else (is_query & cond)
     q = seqs.filter(is_query).select(F.col("_seq").alias("_qseq"))

@@ -35,6 +35,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _q_labels(probs: tuple[float, ...]) -> dict[float, int]:
+    """Per-mille column labels for quantile probs: ``q<label>``.
+
+    round(), not int-truncation — float images like 0.29*1000 =
+    289.999... would otherwise label as q289 (ADVICE r11). Raises if
+    two probs collide onto one label (e.g. 0.2501 and 0.2502), which
+    would silently produce duplicate output columns.
+    """
+    labels = {p: int(round(p * 1000)) for p in probs}
+    if len(set(labels.values())) != len(labels):
+        raise ValueError(
+            f"probs {probs} collide at per-mille label precision; "
+            "use probs distinguishable at 3 decimal places"
+        )
+    return labels
+
+
 def _mg_merge(counters: dict, add: dict, k: int) -> dict:
     """Merge new counts into a Misra-Gries summary, keeping at most
     ``k`` counters. Batched decrement (the mergeable-summaries rule):
@@ -140,6 +157,12 @@ def histogram_quantile_merge(
     groups x bins thin rows — one bins-sized merge aggregation, and a
     cumulative window over <= ``bins`` rows (metadata-scale single
     partition by construction). Raw values never shuffle.
+
+    NULL handling (ADVICE r11): rows with a NULL value OR a NULL
+    partial key are dropped up front — the fixed-grid math is only
+    defined over non-null values, and keeping NULLs would diverge
+    from the SQL replay (Spark windows sort NULL bins first, DuckDB
+    last, corrupting the cumulative sums differently per engine).
     """
     from pyspark.sql import Window
 
@@ -147,8 +170,10 @@ def histogram_quantile_merge(
         raise ValueError(f"bins must be in [2, 100000], got {bins}")
     if any(not 0.0 < p < 1.0 for p in probs):
         raise ValueError(f"probs must be in (0, 1), got {probs}")
+    labels = _q_labels(probs)
     v = F.col(value_col).cast("double")
     src = df.select(v.alias("_v"), F.col(partial_key).alias("_pk") if isinstance(partial_key, str) else partial_key.alias("_pk"))
+    src = src.filter(F.col("_v").isNotNull() & F.col("_pk").isNotNull())
     bounds = src.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
     bin_expr = F.least(
@@ -186,7 +211,7 @@ def histogram_quantile_merge(
                 F.col("_bin")
                 + (F.lit(p) * F.col("_n_total") - F.col("_cum_prev")) / F.col("_c")
             )
-        ).alias(f"_est_{int(p * 1000)}")
+        ).alias(f"_est_{labels[p]}")
         for p in probs
     ])
     final_aggs = [
@@ -201,13 +226,13 @@ def histogram_quantile_merge(
                     F.min(
                         F.when(
                             (F.col("_cum") >= target) & (F.col("_cum_prev") < target),
-                            F.col(f"_est_{int(p * 1000)}"),
+                            F.col(f"_est_{labels[p]}"),
                         )
                     ),
                     out_scale,
                 )
                 + F.lit(0.0)
-            ).alias(f"q{int(p * 1000)}")
+            ).alias(f"q{labels[p]}")
         )
     return proj.agg(*final_aggs)
 
@@ -231,6 +256,7 @@ def quantile_from_histogram(
     """
     from pyspark.sql import Window
 
+    labels = _q_labels(probs)
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
     cum = (
@@ -252,7 +278,7 @@ def quantile_from_histogram(
                     F.col("bin")
                     + (F.lit(p) * F.col("_n_total") - F.col("_cum_prev")) / F.col("_c")
                 )
-            ).alias(f"_est_{int(p * 1000)}")
+            ).alias(f"_est_{labels[p]}")
             for p in probs
         ],
     )
@@ -265,12 +291,12 @@ def quantile_from_histogram(
                     F.min(
                         F.when(
                             (F.col("_cum") >= target) & (F.col("_cum_prev") < target),
-                            F.col(f"_est_{int(p * 1000)}"),
+                            F.col(f"_est_{labels[p]}"),
                         )
                     ),
                     out_scale,
                 )
                 + F.lit(0.0)
-            ).alias(f"q{int(p * 1000)}")
+            ).alias(f"q{labels[p]}")
         )
     return proj.agg(*aggs)

@@ -207,7 +207,14 @@ def test_partition_metadata_filter_pushdown(spark, sf_dir):
 
     # -- parser: what pushes and what falls back
     assert _equality_partial_spec("ds = '20120401'", {"ds"}) == {"ds": "20120401"}
-    assert _equality_partial_spec("ds=20120401", {"ds"}) == {"ds": "20120401"}
+    # unquoted NUMERIC equality is NOT pushed (ADVICE r11): it falls
+    # back to the expression path so 'ds = 401' coerces numerically,
+    # consistent with 'ds <= 401' — a string-spec push would miss a
+    # '0401' partition the numeric semantics match
+    assert _equality_partial_spec("ds=20120401", {"ds"}) is None
+    # unquoted non-numeric barewords still push (the expression
+    # fallback would parse 'us' as a column reference)
+    assert _equality_partial_spec("region = us", {"region"}) == {"region": "us"}
     assert _equality_partial_spec(
         'ds = \'2012\' and region = "us"', {"ds", "region"}
     ) == {"ds": "2012", "region": "us"}
@@ -238,7 +245,8 @@ def test_partition_metadata_filter_pushdown(spark, sf_dir):
             f"SHOW PARTITIONS t_meta_push PARTITION (`o_year` = '{years[0]}')"
         ).collect()
         assert len(raw) == 1, raw
-        # unquoted reference style ("ds=20120401") pushes too
+        # unquoted numeric style ("ds=20120401") resolves via the
+        # expression fallback (numeric coercion), same result here
         got2 = C.partitions(spark, "t_meta_push", filter=f"o_year = {years[0]}")
         assert got2 == got
         # residual grammar still honored (falls back to spec-DF pruning)

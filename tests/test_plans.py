@@ -723,6 +723,23 @@ def test_histogram_quantile_sketch_bound_and_merge_law(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bins"):
         histogram_quantile_merge(df, "value", "grp", bins=1)
+    # NULL rows (value or partial key) are dropped up front (ADVICE
+    # r11): the answer must equal the clean-set answer, not shift
+    # bins or count a NULL partial
+    dirty = df.unionByName(
+        spark.createDataFrame(
+            [(None, 1), (3.0, None), (None, None)], "value double, grp int"
+        )
+    )
+    drow = histogram_quantile_merge(dirty, "value", "grp").collect()[0]
+    assert (drow.n, drow.n_partials) == (got.n, got.n_partials)
+    assert (drow.q500, drow.q950, drow.q990) == (got.q500, got.q950, got.q990)
+    # label rounding (ADVICE r11): 0.29*1000 = 289.999... must label
+    # q290, not q289; colliding probs raise instead of duplicating
+    r29 = histogram_quantile_merge(df, "value", "grp", probs=(0.29,))
+    assert "q290" in r29.columns, r29.columns
+    with _pytest.raises(ValueError, match="collide"):
+        histogram_quantile_merge(df, "value", "grp", probs=(0.2501, 0.2502))
 
 
 def test_sequence_similarity_topk_known_and_plan(spark):
@@ -748,3 +765,14 @@ def test_sequence_similarity_topk_known_and_plan(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+    # ADVICE r11: a query_key shorter than key_cols must raise, not
+    # silently truncate the zip and match a whole key group
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="query_key"):
+        sequence_similarity_topk(
+            df, ["user_id", "ts"], ["event_id"], F.col("ch"), query_key=1
+        )
+    with _pytest.raises(ValueError, match="query_key"):
+        sequence_similarity_topk(
+            df, ["user_id"], ["ts"], F.col("ch"), query_key=[1, 2]
+        )
