@@ -356,6 +356,38 @@ def bpe_segment(df: DataFrame, text_col: str, merges, out_col: str = "tokens") -
     )
 
 
+def bpe_segment_doc(
+    df: DataFrame, text_col: str, merges, out_col: str = "tokens"
+) -> DataFrame:
+    """Apply a learned merge table at DOCUMENT granularity: one array
+    column holding the full ordered token stream of each document —
+    the shape a tokenize-then-pack pipeline consumes (packing.py
+    wants per-doc streams, not exploded word rows like
+    ``bpe_segment``).
+
+    Map-only by construction: the whitespace word split, the per-word
+    char seeding, and every ranked merge replay happen inside ONE
+    ``transform`` lambda over the word array (same anchored
+    regexp_replace chain as training — greedy non-overlapping
+    left-to-right, ORCFileTest.java:249-251's token explode is the
+    primitive ancestor), then ``flatten`` restores the document
+    stream. No shuffle, no Python, word order preserved.
+    """
+
+    def seg_word(w):
+        s = F.concat(
+            F.lit(" "), F.regexp_replace(w, "(.)", "$1 "), F.lit("</w> ")
+        )
+        for _, a, b, _c in merges:
+            s = F.regexp_replace(s, _merge_pattern(a, b), _repl_quote(a + b))
+        return F.split(F.trim(s), " ")
+
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > F.lit(0)
+    )
+    return df.withColumn(out_col, F.flatten(F.transform(words, seg_word)))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -4753,6 +4753,104 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(spark, merges)
 
 
+# BPE SEGMENTATION with a FULL-replay oracle (VERDICT r11 #2): unlike
+# bpe_merges' iterative argmax (rows-only by design), applying a
+# trained merge table is deterministic — so the oracle replays the
+# WHOLE pipeline in SQL: 8 unrolled training rounds (pair counts via
+# generate_series over the symbol lists, argmax via ORDER BY c DESC,
+# a, b LIMIT 1 — the exact tie-break bpe_train uses), then per-word
+# segmentation replayed over the DISTINCT vocabulary and joined back.
+# RE2 has no lookbehind, so the oracle can't use Spark's anchored
+# '(?<= )a b(?= )' merge regex; it uses the space-DOUBLING identity
+# instead: double every gap, plain-replace ' a  b ' -> ' ab ',
+# collapse. A match consumes one space of each flanking doubled gap,
+# leaving the single space the NEXT adjacent match needs — exactly
+# Java's resume-after-lookahead greedy non-overlap (verified merge-
+# table-equal at sf0.001/0.01/0.1). CTEs are MATERIALIZED: each round
+# holds two scalar subqueries on the previous, which un-materialized
+# would re-expand the whole chain 2^8 times. coalesce(..., chr(1))
+# makes an exhausted merge round (best pair below min_count) a no-op
+# replace, mirroring bpe_train's early break.
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle_sql() -> str:
+    parts = ["""
+bpe_words0 AS MATERIALIZED (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+  ) WHERE len(w) > 0 GROUP BY w
+),
+bpe_w0 AS MATERIALIZED (
+  SELECT cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> ' AS seg
+  FROM bpe_words0)"""]
+    for r in range(_BPE_N_MERGES):
+        parts.append(f"""
+bpe_p{r} AS MATERIALIZED (
+  SELECT t.toks[g.i] AS a, t.toks[g.i+1] AS b, sum(t.cnt) AS c
+  FROM (SELECT cnt, str_split(trim(seg), ' ') AS toks FROM bpe_w{r}) t,
+       unnest(generate_series(1, len(t.toks)-1)) AS g(i)
+  GROUP BY 1, 2 HAVING sum(t.cnt) >= 2
+),
+bpe_m{r} AS MATERIALIZED (SELECT a, b, c FROM bpe_p{r} ORDER BY c DESC, a, b LIMIT 1),
+bpe_w{r + 1} AS MATERIALIZED (
+  SELECT cnt, replace(replace(replace(seg, ' ', '  '),
+        coalesce((SELECT ' '||a||'  '||b||' ' FROM bpe_m{r}), chr(1)),
+        coalesce((SELECT ' '||a||b||' ' FROM bpe_m{r}), chr(1))), '  ', ' ') AS seg
+  FROM bpe_w{r})""")
+    seg_expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> '"
+    for r in range(_BPE_N_MERGES):
+        seg_expr = (
+            f"replace(replace(replace({seg_expr}, ' ', '  '), "
+            f"coalesce((SELECT ' '||a||'  '||b||' ' FROM bpe_m{r}), chr(1)), "
+            f"coalesce((SELECT ' '||a||b||' ' FROM bpe_m{r}), chr(1))), '  ', ' ')"
+        )
+    return f"""
+WITH {",".join(parts)},
+bpe_vocab AS MATERIALIZED (
+  SELECT w, str_split(trim({seg_expr}), ' ') AS wt
+  FROM (SELECT DISTINCT w FROM (
+    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+  ) WHERE len(w) > 0)
+),
+doc_words AS (
+  SELECT t.doc_id, g.i AS pos, t.toks[g.i] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t,
+       unnest(generate_series(1, len(t.toks))) AS g(i)
+  WHERE len(t.toks[g.i]) > 0
+),
+bpe_flat AS (
+  SELECT d.doc_id, d.pos, g.j, v.wt[g.j] AS tok
+  FROM doc_words d JOIN bpe_vocab v ON d.w = v.w,
+       unnest(generate_series(1, len(v.wt))) AS g(j)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(list(tok ORDER BY pos, j), 1, 8), '|') AS tokens_head
+FROM bpe_flat GROUP BY doc_id
+"""
+
+
+@register("bpe_segment", _bpe_oracle_sql())
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a corpus-trained merge table: train 8
+    merges (the bpe_merges recipe), then segment every document
+    map-only via bpe_segment_doc (one transform+flatten over the word
+    array — no shuffle, no Python; corpus.py:360). Emits atomic
+    columns only (the driver canonicalizer bans arrays): token count
+    plus the first-8-token stream joined with '|'."""
+    from cascading_hive_spark.operators.corpus import bpe_segment_doc, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=_BPE_N_MERGES)
+    seg = bpe_segment_doc(docs, "text", merges, "tokens")
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice("tokens", 1, 8), "|").alias("tokens_head"),
+    )
+
+
 # Bivariate statistics (corr / covariance / least-squares fit) —
 # the regression-aggregate family, one partial-aggregated pass.
 @register(
