@@ -20,6 +20,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     scd2      [n=10000000] [n_keys=1000000]
     streaming [n=1000000] [slices=20]
     catalog10k [n_parts=10000] [rows_per=10]
+    catalog1m [n_parts=1000000] [batch=2000]
     ivfpq_disk [n=1000000]
     decontaminate [n=1000000]
     sessions  [n=10000000]
@@ -42,6 +43,7 @@ Each prints one JSON line per measurement.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -812,6 +814,91 @@ def smoke_catalog10k(n_parts: int = 10_000, rows_per: int = 10) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def smoke_catalog1m(n_parts: int = 1_000_000, batch: int = 2_000) -> None:
+    """1M-PARTITION metadata smoke (VERDICT r11 #8, extends
+    catalog10k): the reference's listPartitionsByFilter contract
+    matters at metastore scale, where enumerating every spec into the
+    driver is the bottleneck. Partitions are registered purely as
+    METADATA (batched ALTER TABLE ADD PARTITION on an empty table —
+    no data files), then:
+
+    - the equality-pushed path (SHOW PARTITIONS t PARTITION(...),
+      catalog.partitions with an equality filter) must stay
+      metadata-speed — it materializes ONE spec regardless of n;
+    - the catalog-agnostic fallback (full enumeration + spec-DataFrame
+      pruning, the non-equality-grammar path on a non-Hive catalog)
+      pays the full n-spec enumeration — measured here to document
+      the degradation the Hive-side listPartitionsByFilter path
+      (tests/test_hive_metastore.py) exists to avoid.
+
+    Asserts both answers are correct and the pushed path is at least
+    5x faster than the fallback at 1M specs."""
+    spark = _spark()
+    from cascading_hive_spark import catalog as C
+
+    name = "cat1m_smoke"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a previously-interrupted run leaves the managed location behind
+    # while the fresh in-memory catalog has no table to DROP — clear it
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    # registration: per-spec ALTER TABLE ADD costs ~4ms/partition
+    # (per-partition analysis + location mkdir), i.e. ~70min at 1M —
+    # so build the partition dir tree directly (metadata only, no
+    # data files) and bulk-register with RECOVER PARTITIONS, which
+    # runs Spark's parallel partition discovery
+    loc = f"{wh}/{name}"
+    t0 = time.monotonic()
+    for i in range(n_parts):
+        os.makedirs(f"{loc}/p=p{i:07d}")
+    spark.sql(
+        f"CREATE TABLE {name} (v BIGINT) USING parquet PARTITIONED BY (p STRING)"
+        f" LOCATION '{loc}'"
+    )
+    spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+    t_register = round(time.monotonic() - t0, 1)
+    del batch  # superseded by bulk discovery; kept for CLI compat
+
+    mid = f"p{n_parts // 2:07d}"
+    # warm both code paths once (first-SQL JVM/analyzer warm-up would
+    # otherwise dominate the sub-second pushed measurement)
+    C.partitions(spark, name, filter="p = 'p0000000'")
+    C.partitions(spark, name, filter="p like 'p0000000%'")
+    t0 = time.monotonic()
+    one = C.partitions(spark, name, filter=f"p = '{mid}'")
+    t_eq_pushed = round(time.monotonic() - t0, 2)
+    assert one == [{"p": mid}], one
+
+    # the fallback path: LIKE forces full enumeration on the
+    # in-memory catalog (spec-DataFrame pruning before collect)
+    t0 = time.monotonic()
+    ten = C.partitions(spark, name, filter=f"p like '{mid[:-1]}%'")
+    t_fallback = round(time.monotonic() - t0, 2)
+    assert len(ten) == 10, len(ten)
+
+    # pushed stays metadata-speed (flat in n) while fallback pays the
+    # full enumeration; the 5x gate is the at-scale contract — at
+    # small n both are sub-second fixed overhead, so only require
+    # pushed <= fallback there
+    factor = 5 if n_parts >= 500_000 else 1
+    assert t_eq_pushed * factor <= t_fallback, (t_eq_pushed, t_fallback)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_1m_partitions_smoke",
+                "n_partitions": n_parts,
+                "register_metadata_sec": t_register,
+                "eq_filter_pushed_sec": t_eq_pushed,
+                "fallback_enumeration_sec": t_fallback,
+                "pushed_speedup": round(t_fallback / max(t_eq_pushed, 0.01), 1),
+            }
+        )
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def smoke_streaming(n: int = 1_000_000, slices: int = 20) -> None:
     """Streaming state-boundedness smoke (VERDICT r7 #5): replay n
     synthetic events spanning 30 days through dedup_stream and
@@ -1483,6 +1570,7 @@ if __name__ == "__main__":
         "q1_decimal": smoke_q1_decimal,
         "streaming": smoke_streaming,
         "catalog10k": smoke_catalog10k,
+        "catalog1m": smoke_catalog1m,
         "ivfpq_disk": smoke_ivfpq_disk,
         "decontaminate": smoke_decontaminate,
         "sessions": smoke_sessions,
