@@ -7149,23 +7149,15 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(e, kmeans_fit(e, k=8, iters=2), threshold=0.5)
 
 
-# k-core over the customer ring+hub graph (graph.k_core): iterative
-# peeling to the unique fixpoint — not SQL-expressible (unbounded
-# recursion), so rows-only by design like bpe_merges; correctness is
-# pinned by the randomized pure-Python differential in
-# tests/test_graph.py. The 3-core keeps only regions where ring,
-# spoke, and cross edges reinforce each other.
-@register("graph_kcore_customers", None)
-def q_graph_kcore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cascading_hive_spark.operators.graph import k_core
-
+def _kcore_demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer ring+clique demo graph both k-core queries peel:
+    per-nation path (fully peels — every pure path node has degree
+    <= 2 < 4, gone in round one) plus a 6-clique over each nation's
+    first six customers (survives k=4 with intra-clique degree 5).
+    The 4-core must be exactly the clique members."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     w_ring = Window.partitionBy("c_nationkey").orderBy("c_custkey")
     ranked = c.withColumn("_rk", F.row_number().over(w_ring))
-    # per-nation path (fully peels — paths cascade from the ends) plus
-    # a 6-clique over each nation's first six customers (survives k=4
-    # with intra-clique degree 5): the 4-core must be exactly the
-    # clique members, peeled free of the path noise
     ring = ranked.select(
         F.col("c_custkey").alias("src"),
         F.lead("c_custkey").over(w_ring).alias("dst"),
@@ -7179,8 +7171,80 @@ def q_graph_kcore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x._rk") < F.col("y._rk"))
         .select(F.col("x.k").alias("src"), F.col("y.k").alias("dst"))
     )
-    edges = ring.unionByName(clique)
-    return k_core(edges, 4).orderBy("node")
+    return ring.unionByName(clique)
+
+
+# k-core over the customer ring+hub graph (graph.k_core): iterative
+# peeling to the unique fixpoint — not SQL-expressible (unbounded
+# recursion), so rows-only by design like bpe_merges; correctness is
+# pinned by the randomized pure-Python differential in
+# tests/test_graph.py AND by the hash-matched fixed-round twin
+# graph_kcore_portable below. The 4-core keeps only regions where
+# clique edges reinforce each other.
+@register("graph_kcore_customers", None)
+def q_graph_kcore_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.graph import k_core
+
+    return k_core(_kcore_demo_edges(spark, sf_dir), 4).orderBy("node")
+
+
+def _kcore_portable_sql(k: int = 4, rounds: int = 8) -> str:
+    """Full-replay oracle for the fixed-round k-core twin: the peel
+    loop unrolled into ``rounds`` chained CTEs (SQL cannot express the
+    unbounded fixpoint, but peeling is monotone — once a round removes
+    nothing, every later round is a no-op, so a fixed unroll that
+    reaches the fixpoint IS the k-core). On this graph the whole path
+    peels in round one (degree <= 2 < 4) and the clique survives, so
+    depth is ~2; rounds=8 leaves slack without bloating the SQL."""
+    sql = [
+        """
+    WITH ranked AS (
+      SELECT c_custkey, c_nationkey,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS _rk,
+             lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS nxt
+      FROM customer),
+    edges AS (
+      SELECT c_custkey AS src, nxt AS dst FROM ranked WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT x.c_custkey AS src, y.c_custkey AS dst
+      FROM ranked x JOIN ranked y
+        ON x.c_nationkey = y.c_nationkey AND x._rk < y._rk
+      WHERE x._rk <= 6 AND y._rk <= 6),
+    sym0 AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b FROM edges WHERE src <> dst))"""
+    ]
+    for i in range(1, rounds + 1):
+        sql.append(
+            f""",
+    low{i} AS MATERIALIZED (SELECT a FROM sym{i - 1} GROUP BY a HAVING count(*) < {k}),
+    sym{i} AS MATERIALIZED (
+      SELECT s.a, s.b FROM sym{i - 1} s
+      WHERE s.a NOT IN (SELECT a FROM low{i})
+        AND s.b NOT IN (SELECT a FROM low{i}))"""
+        )
+    sql.append(
+        f"""
+    SELECT a AS node, count(*) AS degree
+    FROM sym{rounds} GROUP BY a ORDER BY node"""
+    )
+    return "".join(sql)
+
+
+# The oracle-able twin of graph_kcore_customers (VERDICT r11 #6):
+# identical graph, identical k, but the peel is replayed as a FIXED
+# 8-round unroll in DuckDB — valid because the demo graph's peeling
+# depth is ~2 and extra rounds are no-ops at the fixpoint. The Spark
+# side runs the real k_core operator (fixpoint with convergence
+# check), so a hash match here certifies the operator's answer, not a
+# relaxation of it.
+@register("graph_kcore_portable", _kcore_portable_sql())
+def q_graph_kcore_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.graph import k_core
+
+    return k_core(_kcore_demo_edges(spark, sf_dir), 4).orderBy("node")
 
 
 # Gap-filled daily counts per event type (relational.resample_counts):
@@ -8067,115 +8131,123 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(d, "source", fp)
 
 
-# r11 ROTATION NOTE (supersedes the r10 note; r10 ran 50/50 green —
-# the third consecutive perfect window — so every r10 member is
+# r12 ROTATION NOTE (supersedes the r11 note; r11 ran 50/50 green —
+# the fourth consecutive perfect window — so every r11 member is
 # freshly verified and rotates out except the two fixed slots).
-# The r11 window:
+# The r12 window:
 # (1) keeps wordcount at slot 1 (driver entry smoke) and
 #     q1_pricing_summary (the decimal-sum watch item);
-# (2) per VERDICT r10 #5, schedules the FOUR never-driver-checked
-#     rows-only-by-design queries — bpe_merges, ann_pq_topk,
-#     ann_ivfpq_topk, graph_kcore_customers — so each gets its weaker
-#     rows-only driver row (rows>0 proves they run under the driver
-#     harness; each has a hash-matched portable/exact sibling in the
-#     window history or a pytest differential). These are declared in
-#     _ROWS_ONLY_WINDOW below; _apply_driver_window still rejects any
-#     OTHER oracle-less name (the r5 pack_sequences eviction guard);
-# (3) re-verifies the four queries whose Spark code or oracle changed
-#     this round: orders_rfm_segments (ntile -> exact-percentile
-#     binning, VERDICT r10 #1), vocab_coverage_topk (windows moved
-#     after the distributed top-20 cut, VERDICT r10 #2),
-#     orders_status_priority_mi (null-safe marginal joins, ADVICE),
-#     lineitem_corr_matrix (single-explode pair fan-out, ADVICE);
-# (4) schedules the seven queries registered this round in the same
-#     round: window_ntile_binned (the ntile scale twin, VERDICT r10
-#     #3), docs_source_overlap (cross-source fingerprint overlap),
-#     dedup_span_scrub (exact-substring removal), embedding_covariance
-#     (the decimal-image twin of the PCA partial-GEMM path),
-#     events_quantile_sketch and streaming_quantile_sketch (mergeable
-#     fixed-grid histogram quantiles, batch + streaming), and
-#     events_trajectory_topk (edit-distance trajectory similarity
-#     search — window_distribution, green r5, yields its slot);
-# (5) fills the remaining slots with the OLDEST-verified greens as
-#     drift canaries (last green r5 or earlier unless noted:
-#     q4_order_priority r1, multimodal_frame_sample r2, the r5 block
-#     below; a25_null_detection and approx_distinct_parts, last green
-#     r6, rotated back out for the mid-r11 events_quantile_sketch and
-#     streaming_quantile_sketch slots).
+# (2) per VERDICT r11 #1, schedules embedding_pca_project — the one
+#     registered query with no driver CORRECTNESS row in any round
+#     (rows-only by design: driver-eigensolve PCA, pinned by the
+#     numpy full-replay differential in tests/test_similarity.py) —
+#     alongside its oracle-matched twin embedding_covariance;
+# (3) schedules the two queries registered this round in the same
+#     round: bpe_segment (VERDICT r11 #2 — deterministic merge-replay
+#     tokenization with a full-replay DuckDB oracle) and
+#     graph_kcore_portable (VERDICT r11 #6 — the fixed-round-unroll
+#     oracle twin of graph_kcore_customers);
+# (4) per VERDICT r11 #6, folds EVERY rows-only query's hash-matched
+#     portable twin into this window — dedup_minhash_portable,
+#     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
+#     ann_ivfpq_portable (plus the pairs above) — so each rows-only
+#     query and its twin are never both absent; the pairing is now
+#     declared in _ROWS_ONLY_TWINS and enforced by
+#     test_registry_hygiene.py::test_rows_only_twin_coverage;
+# (5) re-verifies the queries whose code changed this round (the r11
+#     ADVICE fixes): events_quantile_sketch and
+#     streaming_quantile_sketch (quantile label rounding + NULL
+#     filtering in sketches.py), events_trajectory_topk (query-key
+#     validation in the trajectory-similarity operator), window_ntile
+#     (row-count guard added around the global sort);
+# (6) fills the remaining 35 slots with the OLDEST-verified greens as
+#     drift canaries (ascending last-checked round: the r5 window_*
+#     block, then the r6 cohort).
 # Future rotations: fill from (a) queries registered after this note
 # (enumerate the actual registry, not a remembered count), then
 # (b) oldest-verified greens as drift canaries; keep wordcount at
-# slot 1 and q1_pricing_summary. ann_ivf_topk / dedup_minhash_lsh /
-# dedup_simhash stay rows-only outside the window (each has a
-# hash-matched portable/exact sibling with driver rows);
-# embedding_pca_project (registered mid-r11) is rows-only by design —
-# driver-eigensolve PCA, pinned by the numpy full-replay differential
-# in tests/test_similarity.py and the oracle-matched
-# embedding_covariance twin.
+# slot 1 and q1_pricing_summary; keep every _ROWS_ONLY_TWINS pair
+# covered (rows-only member or its twin in the window).
 # test_registry_hygiene.py::test_rotation_note_names_resolve asserts
 # every query name cited in this note resolves in _REGISTRY.
 _ROWS_ONLY_WINDOW: set[str] = {
-    # VERDICT r10 #5: scheduled for a rows-only driver row this round.
-    "bpe_merges",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "graph_kcore_customers",
+    # VERDICT r11 #1: the last never-driver-checked registered query.
+    "embedding_pca_project",
+}
+
+# Every rows-only-by-design query paired with its hash-matched
+# oracle-able twin (VERDICT r11 #6). The twin certifies the same
+# operator path with a portable/full-replay oracle; the rows-only
+# member carries the engine-specific variant (xxhash64 signatures,
+# iterative argmax, unbounded fixpoint, driver eigensolve). The
+# hygiene test asserts each pair is never wholly absent from the
+# current window.
+_ROWS_ONLY_TWINS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    "dedup_simhash": "dedup_simhash_portable",
+    "ann_ivf_topk": "ann_ivf_portable",
+    "ann_pq_topk": "ann_pq_portable",
+    "ann_ivfpq_topk": "ann_ivfpq_portable",
+    "bpe_merges": "bpe_segment",
+    "graph_kcore_customers": "graph_kcore_portable",
+    "embedding_pca_project": "embedding_covariance",
 }
 
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
-    # -- rows-only by design, never driver-run before (VERDICT r10 #5):
-    "bpe_merges",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "graph_kcore_customers",
-    # -- code/oracle changed this round, re-verify:
-    "orders_rfm_segments",
-    "vocab_coverage_topk",
-    "orders_status_priority_mi",
-    "lineitem_corr_matrix",
-    # -- registered mid-r11, checked same round:
-    "window_ntile_binned",
-    "docs_source_overlap",
-    "dedup_span_scrub",
+    # -- VERDICT r11 #1: last never-checked query + its oracle twin:
+    "embedding_pca_project",
     "embedding_covariance",
+    # -- registered this round, checked same round (VERDICT r11 #2/#6):
+    "bpe_segment",
+    "graph_kcore_portable",
+    # -- rows-only twins folded into the rotation (VERDICT r11 #6):
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "ann_ivf_portable",
+    "ann_pq_portable",
+    "ann_ivfpq_portable",
+    # -- code changed this round (r11 ADVICE fixes), re-verify:
     "events_quantile_sketch",
     "streaming_quantile_sketch",
     "events_trajectory_topk",
+    "window_ntile",
     # -- drift canaries (oldest-verified greens, ascending last-green):
-    "q4_order_priority",  # last green r1
-    "multimodal_frame_sample",  # last green r2
-    "a13_union_partitions",
-    "agg_stats",
-    "asof_join_nearest_event",
-    "asof_join_next_event",
-    "b1_projection",
-    "b2_expression_filter",
-    "b3_count_by",
-    "b4_group_count_sorted",
-    "b5_token_explode",
-    "b6_coerce",
-    "b7_typed_extract",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "distinct_segments",
-    "events_daily_active",
-    "events_hourly",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_full_outer",
-    "join_left_counts",
-    "join_semi",
-    "q6_forecast_revenue",
-    "rollup_quantity",
-    "sample_corpus_mix",
-    "sample_stratified",
-    "scalar_base64",
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    "window_lag_delta",
-    "window_ntile",  # the global-ntile parity row, next to its scale twin
+    "window_distribution",  # last checked r5
+    "window_moving_avg",
+    "window_range_frame",
+    "window_running_sum",
+    "a25_null_detection",  # r6 cohort from here
+    "approx_distinct_parts",
+    "array_higher_order",
+    "decontaminate_docs",
+    "dedup_cluster_components",
+    "dedup_keep_first",
+    "events_daily_gapfill",
+    "events_funnel",
+    "events_sessions_detail",
+    "grouped_map_udaf",
+    "grouping_sets",
+    "multimodal_decode",
+    "pandas_udf_scalar",
+    "percentiles",
+    "pipeline_quality_dedup_rollup",
+    "posexplode_tokens",
+    "q12_priority_by_flag",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_scalar_subquery",
+    "range_join_error_window",
+    "skew_salted_group_count",
+    "skew_salted_join",
+    "streaming_attribution",
+    "streaming_session_windows",
+    "streaming_sessionize",
+    "string_agg_names",
+    "text_chunking",
     "q1_pricing_summary",  # the decimal-sum perf/correctness watch item
 ]
 

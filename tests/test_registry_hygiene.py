@@ -204,3 +204,29 @@ def test_every_oracle_query_driver_checked_or_windowed():
         f"oracle-able queries with no driver row and no window slot: "
         f"{stranded} — rotate them into _DRIVER_WINDOW"
     )
+
+
+def test_rows_only_twin_coverage():
+    """VERDICT r11 #6: every rows-only-by-design query is paired with
+    a hash-matched oracle-able twin in ``_ROWS_ONLY_TWINS``, and each
+    pair is never wholly absent from the current driver window — so a
+    rotation can swap which half of a pair is checked, but cannot
+    leave an operator path with neither its rows-only nor its
+    oracle-certified variant scheduled."""
+    oracles = q.oracles()
+    rows_only = {n for n, (_, sql) in q._REGISTRY.items() if sql is None}
+    # the mapping covers exactly the rows-only queries, twins oracle-able
+    assert set(q._ROWS_ONLY_TWINS) == rows_only, (
+        set(q._ROWS_ONLY_TWINS) ^ rows_only
+    )
+    window = set(q._DRIVER_WINDOW)
+    uncovered = [
+        (ro, tw)
+        for ro, tw in q._ROWS_ONLY_TWINS.items()
+        if ro not in window and tw not in window
+    ]
+    assert not uncovered, (
+        f"rows-only/twin pairs with no member in _DRIVER_WINDOW: {uncovered}"
+    )
+    for ro, tw in q._ROWS_ONLY_TWINS.items():
+        assert tw in oracles, f"twin {tw} of {ro} has no oracle"
