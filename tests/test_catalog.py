@@ -254,3 +254,46 @@ def test_partition_metadata_filter_pushdown(spark, sf_dir):
         assert {p["o_year"] for p in got3} == {years[0]}
     finally:
         C.drop_table(spark, "t_meta_push")
+
+
+def test_pushed_equality_agrees_with_expression_fallback(spark):
+    """The coercion contract made executable (ADVICE r11): a QUOTED
+    equality filter must return identical specs whether it takes the
+    metastore-pushed path (``SHOW PARTITIONS .. PARTITION``) or the
+    spec-DataFrame expression fallback — across URL-escaped chars,
+    spaces, '+' (the URLDecoder trap), '%', and numeric-looking
+    strings with leading zeros (where only exact STRING compare is
+    correct). The fallback is forced by appending a no-op OR clause,
+    which knocks the filter out of the pushable grammar without
+    changing its meaning."""
+    vals = ["0401", "401", "us west", "a:b", "A+B", "100%", "x=y"]
+    C.drop_table(spark, "t_push_eq")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id INT, p STRING"
+    )
+    C.create_table(spark, "t_push_eq", df, partition_by=["p"])
+    try:
+        assert {x["p"] for x in C.partitions(spark, "t_push_eq")} == set(vals)
+        for v in vals:
+            pushed = C.partitions(spark, "t_push_eq", filter=f"p = '{v}'")
+            fallback = C.partitions(
+                spark, "t_push_eq", filter=f"(p = '{v}') or (1 = 0)"
+            )
+            assert pushed == fallback == [{"p": v}], (v, pushed, fallback)
+    finally:
+        C.drop_table(spark, "t_push_eq")
+    # unquoted numeric equality: NOT pushed, numeric coercion — '401'
+    # and '0401' BOTH match p = 401 on the expression path. (Checked
+    # on an all-numeric table: under ANSI mode the int coercion of a
+    # non-numeric partition value raises, which is the documented
+    # reason to quote values for the exact-string fast path.)
+    C.drop_table(spark, "t_push_num")
+    dfn = spark.createDataFrame(
+        [(0, "0401"), (1, "401"), (2, "500")], "id INT, p STRING"
+    )
+    C.create_table(spark, "t_push_num", dfn, partition_by=["p"])
+    try:
+        got = {x["p"] for x in C.partitions(spark, "t_push_num", filter="p = 401")}
+        assert got == {"401", "0401"}, got
+    finally:
+        C.drop_table(spark, "t_push_num")
