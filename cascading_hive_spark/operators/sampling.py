@@ -137,3 +137,117 @@ def deterministic_shuffle(
         .withColumn("global_pos", (F.col("_offset") + F.col("_rn") - 1).cast("bigint"))
         .drop("_h", "_bucket", "_rn", "_offset")
     )
+
+
+def bucket_ppm(id_col: Column) -> Column:
+    """Deterministic bucket in [0, 1_000_000) — the parts-per-million
+    refinement of ``bucket_permille`` for rates too fine for 1/1000
+    granularity (temperature mixing computes fractional per-source
+    rates). Same wrap-free Knuth-hash algebra, then reduced mod 1e6
+    (``_MOD`` is not a multiple of 1e6, so the residue is only
+    approximately uniform — off by ~1e-3 relative, irrelevant for
+    sampling)."""
+    return F.pmod(hash_order(id_col), F.lit(1_000_000))
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.3,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing — the multilingual-LLM
+    rebalance (mC4/XLM-R style): sample sources proportionally to
+    ``share**alpha`` (renormalized) instead of their raw share, so
+    alpha=1 keeps the natural mix, alpha=0 equalizes all sources, and
+    the usual 0.2-0.7 up-weights the tail without drowning the head.
+
+    ``budget`` is the target TOTAL row count (default: half the
+    corpus); each source's keep-rate is ``min(1, budget * q_s / n_s)``
+    with ``q_s = n_s**alpha / sum(n**alpha)`` — clamped sources (rate
+    1.0) simply keep everything, the standard behavior when a tiny
+    source's temperature-boosted quota exceeds its size.
+
+    Membership is content-addressed (``bucket_ppm`` of the id against
+    the source's rate in ppm), so re-runs, re-partitions, and appends
+    keep prior picks. Cost at scale: one tiny per-source count
+    aggregate, a broadcast join of the per-source rate table, one
+    narrow filter — no window, no global sort. The ppm rate is
+    round()ed so the engine-portable oracle thresholds on the same
+    integer (doubles-rounded-on-both-sides house rule).
+
+    Returns the sampled rows plus ``mix_rate_ppm`` for auditability.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # the global windows below run over the COUNTS table — one row per
+    # source, bounded — not over the corpus
+    w_global = Window.partitionBy()
+    total_budget = (
+        F.lit(float(budget))
+        if budget is not None
+        else F.sum("_n").over(w_global) / 2.0
+    )
+    w_all = F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).over(w_global)
+    q = F.pow(F.col("_n").cast("double"), F.lit(alpha)) / w_all
+    rate_ppm = F.least(
+        F.lit(1_000_000).cast("bigint"),
+        F.floor(F.lit(1_000_000.0) * total_budget * q / F.col("_n") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    rates = counts.select(source_col, rate_ppm.alias("mix_rate_ppm"))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket_ppm(F.col(id_col)) < F.col("mix_rate_ppm"))
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    test_permille: int = 100,
+    valid_permille: int = 0,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/valid/test split that near-duplicate clusters can never
+    straddle — the contamination guard a naive per-document split
+    lacks (a test document whose near-dup sits in train leaks the
+    answer). Connected components over the supplied near-dup
+    ``pairs`` (from any dedup family: MinHash bands, embedding LSH,
+    n-gram Jaccard) give each document a ``cluster_key`` (min member
+    id; singletons = their own id), and the split decision hashes the
+    CLUSTER key, so every member of a component lands in the same
+    split.
+
+    Scale: the component computation runs only over documents that
+    appear in a dup pair (≪ corpus for real dedup output); the
+    cluster map joins back on the id key (broadcast when small, AQE
+    otherwise); split assignment is one narrow hash filter. No
+    window, no global sort.
+
+    Returns ``df``'s columns plus ``cluster_key`` and ``split``.
+    """
+    from cascading_hive_spark.operators.graph import dedup_clusters
+
+    if test_permille + valid_permille > 1000:
+        raise ValueError("test_permille + valid_permille must be <= 1000")
+    clusters = dedup_clusters(pairs, id_a, id_b).withColumnRenamed("id", "_cc_id")
+    keyed = df.join(
+        clusters, df[id_col] == F.col("_cc_id"), "left"
+    ).withColumn(
+        "cluster_key", F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("bigint")
+    ).drop("_cc_id", "cluster_id")
+    b = bucket_permille(F.col("cluster_key"))
+    split = (
+        F.when(b < test_permille, F.lit("test"))
+        .when(b < test_permille + valid_permille, F.lit("valid"))
+        .otherwise(F.lit("train"))
+    )
+    return keyed.withColumn("split", split)

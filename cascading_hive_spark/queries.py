@@ -8131,6 +8131,109 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(d, "source", fp)
 
 
+# Temperature-scaled corpus mixing (sampling.temperature_mix, new
+# r12): per-source keep-rates ∝ share**alpha renormalized against a
+# total budget — the mC4/XLM-R multilingual rebalance. The oracle
+# replays the rate formula (pow + floor(x+0.5) ppm rounding on BOTH
+# sides, doubles-rounded house rule) and the same wrap-free ppm hash
+# membership; id_sum pins exact membership, not just counts.
+@register(
+    "sample_temperature_mix",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total,
+             sum(pow(CAST(n AS DOUBLE), CAST(0.3 AS DOUBLE))) AS wall
+      FROM c),
+    r AS (
+      SELECT source, n,
+             least(1000000, CAST(floor(
+               1000000.0 * (total / 2.0)
+               * (pow(CAST(n AS DOUBLE), CAST(0.3 AS DOUBLE)) / wall)
+               / n + 0.5) AS BIGINT)) AS mix_rate_ppm
+      FROM c, t),
+    k AS (
+      SELECT d.source, r.mix_rate_ppm, d.doc_id
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE ((d.doc_id % 1000000007 + 1000000007) % 1000000007
+             * 2654435761) % 1000000007 % 1000000 < r.mix_rate_ppm)
+    SELECT source, mix_rate_ppm, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM k GROUP BY source, mix_rate_ppm
+    """,
+)
+def q_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_mix(d, "doc_id", "source", alpha=0.3)
+    return out.groupBy("source", "mix_rate_ppm").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+# Leakage-safe train/test split (sampling.leakage_safe_split, new
+# r12): near-dup clusters never straddle splits — components over
+# 8-token-prefix fingerprint pairs (the docs_source_overlap recipe,
+# already hash-matched portable), split hashed on the CLUSTER key.
+# The oracle replays components with the dedup_cluster_components
+# recursive CTE and the train_test_split bucket arithmetic; id_sum
+# pins per-document assignment, n_clusters pins the key coalescing.
+@register(
+    "sample_leakage_split",
+    """
+    WITH RECURSIVE fp AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(text, ' ')[1:8], ' '))
+                 AS h
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id),
+    sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(id, l) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.l FROM sym s JOIN reach r ON r.id = s.v),
+    cl AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+    keyed AS (
+      SELECT d.doc_id,
+             CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_key
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+    lab AS (
+      SELECT doc_id, cluster_key,
+             CASE WHEN ((cluster_key % 1000 + 1000) % 1000 * 761) % 1000 < 200
+                  THEN 'test' ELSE 'train' END AS split
+      FROM keyed)
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT cluster_key) AS n_clusters,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM lab GROUP BY split
+    """,
+)
+def q_sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    withfp = d.withColumn("_fp", fp)
+    a = withfp.select(F.col("_fp"), F.col("doc_id").alias("id_a"))
+    b = withfp.select(F.col("_fp"), F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    out = leakage_safe_split(d, "doc_id", pairs, test_permille=200)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_key").alias("n_clusters"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
 # r12 ROTATION NOTE (supersedes the r11 note; r11 ran 50/50 green —
 # the fourth consecutive perfect window — so every r11 member is
 # freshly verified and rotates out except the two fixed slots).
@@ -8160,7 +8263,13 @@ def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filtering in sketches.py), events_trajectory_topk (query-key
 #     validation in the trajectory-similarity operator), window_ntile
 #     (row-count guard added around the global sort);
-# (6) fills the remaining 35 slots with the OLDEST-verified greens as
+# (6) schedules the two queries registered MID-r12 in the same round:
+#     sample_temperature_mix (alpha-temperature corpus rebalance with
+#     a ppm-rate full-replay oracle) and sample_leakage_split
+#     (near-dup-cluster-safe train/test split; components replayed by
+#     the recursive-CTE oracle) — string_agg_names and text_chunking
+#     yield their canary slots (r6 cohort, eligible again next round);
+# (7) fills the remaining 33 slots with the OLDEST-verified greens as
 #     drift canaries (ascending last-checked round: the r5 window_*
 #     block, then the r6 cohort).
 # Future rotations: fill from (a) queries registered after this note
@@ -8246,8 +8355,8 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_attribution",
     "streaming_session_windows",
     "streaming_sessionize",
-    "string_agg_names",
-    "text_chunking",
+    "sample_temperature_mix",  # registered mid-r12, checked same round
+    "sample_leakage_split",  # registered mid-r12, checked same round
     "q1_pricing_summary",  # the decimal-sum perf/correctness watch item
 ]
 

@@ -797,3 +797,26 @@ def test_sequence_similarity_topk_known_and_plan(spark):
         sequence_similarity_topk(
             df, ["user_id"], ["ts"], F.col("ch"), query_key=[1, 2]
         )
+
+
+def test_temperature_mix_broadcasts_rates_no_window_over_corpus(spark, sf_dir):
+    """sample_temperature_mix: the per-source rate table joins back
+    via BROADCAST (it is #sources rows), no CartesianProduct, and any
+    single-partition exchange feeds only the tiny counts aggregate —
+    the corpus side is one narrow filter, no global window."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "sample_temperature_mix"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_leakage_split_join_back_not_cartesian(spark, sf_dir):
+    """sample_leakage_split: the cluster map joins back to the corpus
+    as an equi-join (never CartesianProduct); the iterative component
+    step runs only over fingerprint-pair members."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "sample_leakage_split"))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan

@@ -137,3 +137,108 @@ def test_weighted_mix_honors_rate_for_extreme_ids(spark):
     kept = {r.id for r in weighted_mix(df, "id", "source", {"crawl": 50}).collect()}
     expected = {i for i in _EXTREME_IDS if (i * _MULT) % 1000 < 50}
     assert kept == expected
+
+
+def test_temperature_mix_shares_and_determinism(spark, docs):
+    from cascading_hive_spark.operators.sampling import temperature_mix
+
+    n = docs.count()
+    # alpha=1 reproduces the natural mix: every source's rate is
+    # budget/N, identical across sources
+    out1 = temperature_mix(docs, "doc_id", "source", alpha=1.0, budget=n // 2)
+    rates1 = {
+        r["source"]: r["mix_rate_ppm"]
+        for r in out1.select("source", "mix_rate_ppm").distinct().collect()
+    }
+    assert len(set(rates1.values())) == 1, rates1
+    # alpha=0 equalizes the target share: per-source expected counts
+    # are budget/n_sources, so the SMALLEST source gets the HIGHEST
+    # rate (or clamps at 1.0)
+    out0 = temperature_mix(docs, "doc_id", "source", alpha=0.0, budget=n // 2)
+    counts = dict(docs.groupBy("source").count().collect())
+    rates0 = {
+        r["source"]: r["mix_rate_ppm"]
+        for r in out0.select("source", "mix_rate_ppm").distinct().collect()
+    }
+    small = min(counts, key=counts.get)
+    big = max(counts, key=counts.get)
+    assert rates0[small] >= rates0[big], (rates0, counts)
+    # content-addressed: repartitioning changes nothing
+    a = {r.doc_id for r in out0.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in temperature_mix(
+            docs.repartition(13), "doc_id", "source", alpha=0.0, budget=n // 2
+        ).select("doc_id").collect()
+    }
+    assert a == b
+    # realized totals land near the budget (hash-Bernoulli variance)
+    assert abs(len(a) - n // 2) <= max(50, n // 8), (len(a), n)
+
+
+def test_temperature_mix_monotone_in_alpha_for_tail(spark, docs):
+    """Lowering alpha can only help the tail: the smallest source's
+    keep-rate is non-increasing in alpha."""
+    from cascading_hive_spark.operators.sampling import temperature_mix
+
+    n = docs.count()
+    counts = dict(docs.groupBy("source").count().collect())
+    small = min(counts, key=counts.get)
+    last = None
+    for alpha in (0.0, 0.3, 0.7, 1.0):
+        out = temperature_mix(docs, "doc_id", "source", alpha=alpha, budget=n // 2)
+        rate = (
+            out.filter(F.col("source") == small)
+            .select("mix_rate_ppm").first()
+        )
+        rate = rate["mix_rate_ppm"] if rate else 0
+        if last is not None:
+            assert rate <= last, (alpha, rate, last)
+        last = rate
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark, docs):
+    from cascading_hive_spark.operators.sampling import leakage_safe_split
+
+    # synthetic near-dup pairs: chain doc_id k -> k+1 within groups of
+    # three (0-1-2, 3-4-5, ...) over the first 300 docs — transitivity
+    # must put each triple in ONE split
+    base = docs.filter(F.col("doc_id") < 300)
+    pairs = (
+        base.select(F.col("doc_id").alias("id_a"))
+        .filter((F.col("id_a") % 3) < 2)
+        .withColumn("id_b", F.col("id_a") + 1)
+    )
+    out = leakage_safe_split(base, "doc_id", pairs, test_permille=300).cache()
+    rows = out.select("doc_id", "cluster_key", "split").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_key, set()).add(r.split)
+        assert r.cluster_key == (r.doc_id // 3) * 3, r  # min member id
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+    # both splits are populated and every row is assigned
+    splits = {r.split for r in rows}
+    assert splits == {"test", "train"}, splits
+    assert len(rows) == 300
+    out.unpersist()
+
+
+def test_leakage_safe_split_singletons_hash_own_id(spark, docs):
+    from cascading_hive_spark.operators.sampling import (
+        bucket_permille,
+        leakage_safe_split,
+    )
+
+    base = docs.filter(F.col("doc_id") < 100)
+    empty_pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    out = leakage_safe_split(base, "doc_id", empty_pairs, test_permille=100)
+    got = {r.doc_id: (r.cluster_key, r.split) for r in out.collect()}
+    want_bucket = {
+        r.doc_id: r.b
+        for r in base.select(
+            "doc_id", bucket_permille(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    for did, (ck, split) in got.items():
+        assert ck == did
+        assert split == ("test" if want_bucket[did] < 100 else "train")
