@@ -899,6 +899,82 @@ def smoke_catalog1m(n_parts: int = 1_000_000, batch: int = 2_000) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def smoke_tempmix(n: int = 50_000_000, n_sources: int = 20) -> None:
+    """temperature_mix at 50M rows over a zipf-skewed source mix
+    (source s gets ~1/(s+1) share): one tiny count agg + a broadcast
+    rate join + one narrow filter — wall must be scan-dominated and
+    near-linear in n, and the realized per-source counts must land on
+    rate_ppm * n_s within Bernoulli noise. Also times a 2x slice for
+    the linearity ratio."""
+    from cascading_hive_spark.operators.sampling import temperature_mix
+
+    spark = _spark()
+    # zipf-ish source: h in [0,1) via hash, source = floor(1/h)-1 capped
+    base = spark.range(n).select(
+        F.col("id"),
+        F.least(
+            F.lit(n_sources - 1),
+            F.floor(F.lit(1.0) / (
+                (F.pmod(F.abs(F.xxhash64("id")), F.lit(1_000_000))
+                 .cast("double") + 1.0) / 1_000_000.0) - 1.0
+            ).cast("int"),
+        ).alias("source"),
+    ).localCheckpoint()
+    for frac, tag in ((2, "half"), (1, "full")):
+        df = base.filter(F.col("id") % frac == 0)
+        t0 = time.monotonic()
+        out = temperature_mix(df, "id", "source", alpha=0.3)
+        kept = out.groupBy("source", "mix_rate_ppm").count().collect()
+        wall = round(time.monotonic() - t0, 1)
+        n_in = df.count()
+        n_kept = sum(r["count"] for r in kept)
+        # realized vs expected per source (3-sigma Bernoulli band)
+        counts = {r["source"]: r for r in kept}
+        srcs = dict(df.groupBy("source").count().collect())
+        for sname, r in counts.items():
+            exp = srcs[sname] * r["mix_rate_ppm"] / 1_000_000.0
+            sd = (exp * (1 - r["mix_rate_ppm"] / 1_000_000.0)) ** 0.5
+            assert abs(r["count"] - exp) <= max(50.0, 4 * sd), (sname, r, exp)
+        print(json.dumps({"smoke": "tempmix", "slice": tag, "n": n_in,
+                          "kept": n_kept, "wall_sec": wall}), flush=True)
+
+
+def smoke_leakage_split(n: int = 20_000_000, n_pairs: int = 1_000_000) -> None:
+    """leakage_safe_split at 20M docs with 1M synthetic near-dup pairs
+    (chains of length 4 -> components of 5 nodes): the component step
+    touches only pair members, the join back is an equi-join, and NO
+    cluster may straddle splits at any scale. Prints wall + the
+    straddle check (must be 0)."""
+    from cascading_hive_spark.operators.sampling import leakage_safe_split
+
+    spark = _spark()
+    docs = spark.range(n).select(F.col("id")).localCheckpoint()
+    # chains: anchor a = 5k, edges (a+i, a+i+1) for i in 0..3
+    pairs = (
+        spark.range(n_pairs)
+        .select(
+            (F.floor(F.col("id") / 4) * 5 + F.pmod(F.col("id"), F.lit(4))).alias("id_a"),
+        )
+        .withColumn("id_b", F.col("id_a") + 1)
+        .localCheckpoint()
+    )
+    t0 = time.monotonic()
+    out = leakage_safe_split(docs, "id", pairs, test_permille=100)
+    straddle = (
+        out.groupBy("cluster_key")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    dist = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    wall = round(time.monotonic() - t0, 1)
+    assert straddle == 0, straddle
+    assert sum(dist.values()) == n, dist
+    print(json.dumps({"smoke": "leakage_split", "n": n, "n_pairs": n_pairs,
+                      "straddling_clusters": straddle, "split_counts": dist,
+                      "wall_sec": wall}), flush=True)
+
+
 def smoke_streaming(n: int = 1_000_000, slices: int = 20) -> None:
     """Streaming state-boundedness smoke (VERDICT r7 #5): replay n
     synthetic events spanning 30 days through dedup_stream and
@@ -1571,6 +1647,8 @@ if __name__ == "__main__":
         "streaming": smoke_streaming,
         "catalog10k": smoke_catalog10k,
         "catalog1m": smoke_catalog1m,
+        "tempmix": smoke_tempmix,
+        "leakage": smoke_leakage_split,
         "ivfpq_disk": smoke_ivfpq_disk,
         "decontaminate": smoke_decontaminate,
         "sessions": smoke_sessions,
