@@ -42,6 +42,8 @@ HEADLINE = [
     "docs_hybrid_rrf",
     # r11: exact-substring REMOVAL (span-island scrub + reassembly)
     "dedup_span_scrub",
+    # r12: leakage-safe cluster split (CC over fingerprint pairs)
+    "sample_leakage_split",
 ]
 
 
