@@ -114,6 +114,27 @@ SCRIPT = textwrap.dedent(
     # a filter touching a DATA column cannot be metastore-evaluated
     assert C._metastore_partitions_by_filter(
         spark, "hive_nat_part", "n_nationkey = 1", ["reg"]) is None
+
+    # MULTI-COLUMN partition specs through the same metastore-side
+    # path: spec decode must follow partition-column order, and mixed
+    # grammar (equality on one col + range/LIKE on the other) must
+    # still be evaluated catalog-side
+    part2 = nation.withColumn("reg", (nation.n_regionkey % 2).cast("string")) \\
+                  .withColumn("par", (nation.n_nationkey % 3).cast("string"))
+    C.create_table(spark, "hive_nat_part2", part2, partition_by=["reg", "par"])
+    ms3 = C._metastore_partitions_by_filter(
+        spark, "hive_nat_part2", "reg = '1' and par >= '1'", ["reg", "par"])
+    assert ms3 is not None and sorted((p["reg"], p["par"]) for p in ms3) == \\
+        [("1", "1"), ("1", "2")], ms3
+    ms4 = C._metastore_partitions_by_filter(
+        spark, "hive_nat_part2", "par like '2%' or reg = '0'", ["reg", "par"])
+    assert ms4 is not None and {(p["reg"], p["par"]) for p in ms4} == \\
+        {("0", "0"), ("0", "1"), ("0", "2"), ("1", "2")}, ms4
+    # the public API takes the same path on a Hive session and agrees
+    # with the fully-enumerated answer
+    ps2 = C.partitions(spark, "hive_nat_part2", filter="par like '2%' or reg = '0'")
+    assert sorted((p["reg"], p["par"]) for p in ps2) == \\
+        sorted((p["reg"], p["par"]) for p in ms4), ps2
     print("HIVE_METASTORE_OK")
     """
 )
