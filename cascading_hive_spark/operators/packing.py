@@ -104,3 +104,75 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
             "utilization", F.round(F.col("fill_tokens") / F.lit(capacity), 4)
         )
     )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    budget: int,
+    text_col: str | None = None,
+    token_col: str | None = None,
+    seed: int = 0,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget output SHARDS — the
+    writer-side companion of ``pack_sequences`` (which fills model
+    context windows): training corpora ship as shard files of roughly
+    equal token mass, so loaders stream them uniformly. A document
+    goes to ``shard = floor(tokens_before_it / budget)`` in a
+    deterministic md5(seed|id) order; shard token totals therefore
+    land within one document of ``budget``, and same inputs → same
+    shards on any partitioning, any engine.
+
+    The global running token total uses the two-phase prefix-sum
+    pattern (the deterministic_shuffle discipline, applied to SUMS
+    instead of counts): per-bucket cumulative sums run partitioned by
+    the hash prefix (parallel), per-bucket token totals prefix-sum in
+    a ≤16**bucket_chars-row window and broadcast back as offsets —
+    no single-partition window ever touches the corpus.
+
+    Output: ``df``'s columns plus ``n_tokens`` and ``shard``.
+    """
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if (text_col is None) == (token_col is None):
+        raise ValueError("pass exactly one of text_col / token_col")
+    n_tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).cast("bigint")
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    bucketed = (
+        df.withColumn("n_tokens", n_tok)
+        .filter(F.col("n_tokens").isNotNull())
+        .withColumn("_h", h)
+        .withColumn("_bucket", F.substring(F.col("_h"), 1, bucket_chars))
+    )
+    totals = bucketed.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "_bucket", (F.sum("_tot").over(w_off) - F.col("_tot")).alias("_offset")
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("_h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.withColumn("_cum", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "shard",
+            F.floor(
+                (F.col("_offset") + F.col("_cum") - F.col("n_tokens"))
+                / F.lit(budget)
+            ).cast("bigint"),
+        )
+        .drop("_h", "_bucket", "_cum", "_offset")
+    )

@@ -8234,6 +8234,47 @@ def q_sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget SHARD assignment (packing.shard_by_token_budget, new
+# r12): writer-side sharding into ~equal-token output files, the
+# companion of pack_sequences' context windows. Deterministic
+# md5(seed|id) order; the global running token total is the two-phase
+# distributed prefix sum (no single-partition window over the
+# corpus). The oracle replays the same order + cumulative sum with
+# one SQL window; id_sum pins exact per-shard membership.
+@register(
+    "docs_shard_by_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+             md5('0|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+      FROM t)
+    SELECT CAST(floor(strt / 5000) AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM c GROUP BY 1
+    """,
+)
+def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.packing import shard_by_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    out = shard_by_token_budget(d, "doc_id", budget=5000, text_col="text")
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tok_total"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
 # r12 ROTATION NOTE (supersedes the r11 note; r11 ran 50/50 green —
 # the fourth consecutive perfect window — so every r11 member is
 # freshly verified and rotates out except the two fixed slots).
@@ -8267,9 +8308,11 @@ def q_sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     sample_temperature_mix (alpha-temperature corpus rebalance with
 #     a ppm-rate full-replay oracle) and sample_leakage_split
 #     (near-dup-cluster-safe train/test split; components replayed by
-#     the recursive-CTE oracle) — string_agg_names and text_chunking
-#     yield their canary slots (r6 cohort, eligible again next round);
-# (7) fills the remaining 33 slots with the OLDEST-verified greens as
+#     the recursive-CTE oracle), and docs_shard_by_budget
+#     (token-budget output sharding via the two-phase prefix sum) —
+#     string_agg_names, text_chunking and streaming_sessionize yield
+#     their canary slots (r6 cohort, eligible again next round);
+# (7) fills the remaining 32 slots with the OLDEST-verified greens as
 #     drift canaries (ascending last-checked round: the r5 window_*
 #     block, then the r6 cohort).
 # Future rotations: fill from (a) queries registered after this note
@@ -8354,7 +8397,7 @@ _DRIVER_WINDOW: list[str] = [
     "skew_salted_join",
     "streaming_attribution",
     "streaming_session_windows",
-    "streaming_sessionize",
+    "docs_shard_by_budget",  # registered mid-r12, checked same round
     "sample_temperature_mix",  # registered mid-r12, checked same round
     "sample_leakage_split",  # registered mid-r12, checked same round
     "q1_pricing_summary",  # the decimal-sum perf/correctness watch item

@@ -101,3 +101,55 @@ def test_token_col_and_text_col_are_exclusive(spark, docs):
         pack_sequences(docs, "doc_id", text_col="text", token_col="n_chars")
     with pytest.raises(ValueError, match="exactly one"):
         pack_sequences(docs, "doc_id")
+
+
+def test_shard_by_budget_matches_pure_python_reference(spark):
+    """shard_by_token_budget == exact pure-Python replay (hashlib md5
+    order, running token sum, floor(start/budget)) — the two-phase
+    distributed prefix sum must be indistinguishable from the
+    sequential walk."""
+    import hashlib
+
+    from cascading_hive_spark.operators.packing import shard_by_token_budget
+
+    rows = [(i * 31 + 7, (i * 13) % 40 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    out = shard_by_token_budget(
+        df, "doc_id", budget=100, token_col="n_tok", seed=3
+    )
+    got = {r.doc_id: (r.n_tokens, r.shard) for r in out.collect()}
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(f"3|{r[0]}".encode()).hexdigest(), r[0])
+    )
+    start = 0
+    for did, nt in order:
+        assert got[did] == (nt, start // 100), (did, got[did], start)
+        start += nt
+
+
+def test_shard_by_budget_partition_independent_and_balanced(spark, docs):
+    from cascading_hive_spark.operators.packing import shard_by_token_budget
+
+    a = shard_by_token_budget(docs, "doc_id", budget=5000, text_col="text")
+    b = shard_by_token_budget(
+        docs.repartition(17), "doc_id", budget=5000, text_col="text"
+    )
+    ra = {(r.doc_id, r.shard) for r in a.select("doc_id", "shard").collect()}
+    rb = {(r.doc_id, r.shard) for r in b.select("doc_id", "shard").collect()}
+    assert ra == rb
+    # every shard but the last carries budget +- max_doc tokens
+    stats = a.groupBy("shard").agg(
+        F.sum("n_tokens").alias("tot")
+    ).orderBy("shard").collect()
+    max_doc = a.agg(F.max("n_tokens")).first()[0]
+    for r in stats[:-1]:
+        assert 5000 - max_doc < r.tot < 5000 + max_doc, (r, max_doc)
+
+
+def test_shard_by_budget_validation(spark, docs):
+    from cascading_hive_spark.operators.packing import shard_by_token_budget
+
+    with pytest.raises(ValueError, match="budget"):
+        shard_by_token_budget(docs, "doc_id", budget=0, text_col="text")
+    with pytest.raises(ValueError, match="exactly one"):
+        shard_by_token_budget(docs, "doc_id", budget=10)

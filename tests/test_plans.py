@@ -820,3 +820,14 @@ def test_leakage_split_join_back_not_cartesian(spark, sf_dir):
     plan = physical_plan(_q(spark, sf_dir, "sample_leakage_split"))
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_shard_by_budget_no_global_single_partition_sort(spark, sf_dir):
+    """docs_shard_by_budget: the corpus-bearing cumulative-sum window
+    must run partitioned by the hash bucket (two-phase prefix sum);
+    only the tiny per-bucket offset table may be single-partition."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "docs_shard_by_budget"))
+    assert "hashpartitioning(_bucket" in plan, plan
+    assert "CartesianProduct" not in plan, plan
