@@ -975,6 +975,31 @@ def smoke_leakage_split(n: int = 20_000_000, n_pairs: int = 1_000_000) -> None:
                       "wall_sec": wall}), flush=True)
 
 
+def smoke_shard(n: int = 20_000_000, budget: int = 100_000) -> None:
+    """shard_by_token_budget at 20M docs (synthetic token counts in
+    1..100): the two-phase prefix sum must stay bucket-parallel (no
+    single-partition corpus window), every shard except the last must
+    carry budget +- max_doc tokens, and wall must be shuffle-of-thin-
+    rows dominated."""
+    from cascading_hive_spark.operators.packing import shard_by_token_budget
+
+    spark = _spark()
+    docs = spark.range(n).select(
+        F.col("id"),
+        (F.pmod(F.abs(F.xxhash64("id")), F.lit(100)) + 1).cast("int").alias("n_tok"),
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    out = shard_by_token_budget(docs, "id", budget=budget, token_col="n_tok")
+    stats = out.groupBy("shard").agg(F.sum("n_tokens").alias("tot")).collect()
+    wall = round(time.monotonic() - t0, 1)
+    n_shards = len(stats)
+    tots = sorted((r["shard"], r["tot"]) for r in stats)
+    bad = [t for _, t in tots[:-1] if not (budget - 100 < t < budget + 100)]
+    assert not bad, bad[:5]
+    print(json.dumps({"smoke": "shard", "n": n, "budget": budget,
+                      "n_shards": n_shards, "wall_sec": wall}), flush=True)
+
+
 def smoke_streaming(n: int = 1_000_000, slices: int = 20) -> None:
     """Streaming state-boundedness smoke (VERDICT r7 #5): replay n
     synthetic events spanning 30 days through dedup_stream and
@@ -1649,6 +1674,7 @@ if __name__ == "__main__":
         "catalog1m": smoke_catalog1m,
         "tempmix": smoke_tempmix,
         "leakage": smoke_leakage_split,
+        "shard": smoke_shard,
         "ivfpq_disk": smoke_ivfpq_disk,
         "decontaminate": smoke_decontaminate,
         "sessions": smoke_sessions,
