@@ -36,6 +36,9 @@ Usage: python scripts/scale_smoke.py <name> [args]
     pca       [n=1000000] [d=64]
     overlap   [n=1000000]
     rfm       [n_orders=10000000] [n_cust=1000000]
+    tempmix   [n=50000000] [n_sources=20]
+    leakage   [n=20000000] [n_pairs=1000000]
+    shard     [n=20000000] [budget=100000]
 
 Each prints one JSON line per measurement.
 """
