@@ -309,7 +309,11 @@ def partitions(spark: SparkSession, name: str, filter: str | None = None) -> lis
             if ms is not None:
                 return ms
     pdf = spark.sql(f"SHOW PARTITIONS {name}{clause}")
-    if filter is None or pushed is not None:
+    # `not filter` (not `filter is None`): an empty-string filter means
+    # "all partitions" exactly like None — routing it to the residual
+    # spec-DataFrame path would hand F.expr("") a ParseException
+    # (ADVICE r12).
+    if not filter or pushed is not None:
         # no residual grammar to evaluate: SHOW PARTITIONS already
         # returned only the rows the caller receives, so decode the
         # spec strings driver-side — this keeps the pushed-equality

@@ -234,16 +234,31 @@ def leakage_safe_split(
 
     Returns ``df``'s columns plus ``cluster_key`` and ``split``.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from cascading_hive_spark.operators.graph import dedup_clusters
 
     if test_permille + valid_permille > 1000:
         raise ValueError("test_permille + valid_permille must be <= 1000")
+    # The cluster key is hashed as a bigint; a non-integral id column
+    # would cast to NULL silently, every row of which falls through to
+    # 'train' — a silent loss of the test split. Fail loudly instead
+    # (ADVICE r12).
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"leakage_safe_split needs an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()} (hash a surrogate bigint id first)"
+        )
     clusters = dedup_clusters(pairs, id_a, id_b).withColumnRenamed("id", "_cc_id")
+    # reference the clusters side's column explicitly: df may already
+    # carry a cluster_id column of its own (ADVICE r12)
     keyed = df.join(
-        clusters, df[id_col] == F.col("_cc_id"), "left"
+        clusters, df[id_col] == clusters["_cc_id"], "left"
     ).withColumn(
-        "cluster_key", F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("bigint")
-    ).drop("_cc_id", "cluster_id")
+        "cluster_key",
+        F.coalesce(clusters["cluster_id"], df[id_col]).cast("bigint"),
+    ).drop(clusters["_cc_id"]).drop(clusters["cluster_id"])
     b = bucket_permille(F.col("cluster_key"))
     split = (
         F.when(b < test_permille, F.lit("test"))

@@ -712,11 +712,16 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.relational import global_ntile
 
     c = _t(spark, sf_dir, "customer")
+    # max_rows=None: the parity harness runs at bounded SFs by design,
+    # and the default 1M guard would add a count() pre-pass per run and
+    # hard-fail at SF ≳ 7 (ADVICE r12). The guard exists for library
+    # callers; at scale the registered substitute is window_ntile_binned.
     return global_ntile(
         c.select("c_custkey", "c_acctbal"),
         4,
         [F.col("c_acctbal").desc(), "c_custkey"],
         out_col="quartile",
+        max_rows=None,
     ).select("c_custkey", "quartile")
 
 

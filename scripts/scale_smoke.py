@@ -907,8 +907,10 @@ def smoke_tempmix(n: int = 50_000_000, n_sources: int = 20) -> None:
     (source s gets ~1/(s+1) share): one tiny count agg + a broadcast
     rate join + one narrow filter — wall must be scan-dominated and
     near-linear in n, and the realized per-source counts must land on
-    rate_ppm * n_s within Bernoulli noise. Also times a 2x slice for
-    the linearity ratio."""
+    rate_ppm * n_s within a 4-sigma-equivalent band (the membership
+    draw is a fixed hash, not per-run Bernoulli — the binomial sd is
+    just the natural tolerance scale for it). Also times a 2x slice
+    for the linearity ratio."""
     from cascading_hive_spark.operators.sampling import temperature_mix
 
     spark = _spark()
@@ -931,7 +933,9 @@ def smoke_tempmix(n: int = 50_000_000, n_sources: int = 20) -> None:
         wall = round(time.monotonic() - t0, 1)
         n_in = df.count()
         n_kept = sum(r["count"] for r in kept)
-        # realized vs expected per source (3-sigma Bernoulli band)
+        # realized vs expected per source: 4*sd tolerance on the fixed
+        # hash draw (deterministic, not per-run Bernoulli; sd is the
+        # binomial scale for the band — ADVICE r12 comment alignment)
         counts = {r["source"]: r for r in kept}
         srcs = dict(df.groupBy("source").count().collect())
         for sname, r in counts.items():

@@ -58,6 +58,9 @@ def test_partitioned_table_enumeration_and_pruning(spark, sf_dir, tmp_path):
         assert len(years) >= 2
         one = C.partitions(spark, "t_orders_part", filter=f"o_year={min(years)}")
         assert len(one) == 1
+        # ADVICE r12: an empty-string filter means "all partitions",
+        # exactly like None — must not reach F.expr("")
+        assert C.partitions(spark, "t_orders_part", filter="") == parts
         # partition filter prunes at plan level
         df = C.table(spark, "t_orders_part", filter=f"o_year = {min(years)}")
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -223,6 +223,46 @@ def test_leakage_safe_split_clusters_never_straddle(spark, docs):
     out.unpersist()
 
 
+def test_leakage_safe_split_rejects_non_integral_id(spark, docs):
+    # ADVICE r12: a string id would cast to NULL silently and dump
+    # every row into 'train' — the operator must fail loudly instead
+    import pytest
+
+    from cascading_hive_spark.operators.sampling import leakage_safe_split
+
+    base = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_sid", F.col("doc_id").cast("string")
+    )
+    pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    with pytest.raises(ValueError, match="integral id column"):
+        leakage_safe_split(base, "doc_sid", pairs, test_permille=100)
+
+
+def test_leakage_safe_split_survives_cluster_id_collision(spark, docs):
+    # ADVICE r12: df already carrying a cluster_id column must not
+    # collide with the components side's cluster_id
+    from cascading_hive_spark.operators.sampling import leakage_safe_split
+
+    base = docs.filter(F.col("doc_id") < 60).withColumn(
+        "cluster_id", F.lit("user-owned")
+    )
+    pairs = (
+        base.select(F.col("doc_id").alias("id_a"))
+        .filter((F.col("id_a") % 3) < 2)
+        .withColumn("id_b", F.col("id_a") + 1)
+    )
+    out = leakage_safe_split(base, "doc_id", pairs, test_permille=300)
+    rows = out.select("doc_id", "cluster_id", "cluster_key", "split").collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert r.cluster_id == "user-owned"  # user column untouched
+        assert r.cluster_key == (r.doc_id // 3) * 3
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_key, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+
+
 def test_leakage_safe_split_singletons_hash_own_id(spark, docs):
     from cascading_hive_spark.operators.sampling import (
         bucket_permille,
