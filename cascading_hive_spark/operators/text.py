@@ -10,6 +10,8 @@ oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf string type hints resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -269,6 +271,191 @@ def decontaminate(
             (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def char_ngram_buckets(
+    text: Column,
+    n: int = 3,
+    n_buckets: int = 128,
+    seed: str = "qc13|",
+    portable: bool = True,
+) -> Column:
+    """Hashed character-``n``-gram feature ids — the fastText-style
+    featurizer (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification"): every char n-gram hashes into one of
+    ``n_buckets`` weight slots. ``portable=True`` buckets via the
+    first 8 md5 hex digits (the repo-wide md5 trick) so a DuckDB
+    oracle replays it exactly; ``portable=False`` is the scale path —
+    xxhash64 buckets, ~the same distribution at a fraction of the
+    per-gram hash cost (md5 dominates the scoring scan). A weight
+    table is TIED to its featurizer: fit and score must use the same
+    ``portable``/``seed``/``n``/``n_buckets``. NULL text featurizes
+    like '' (one empty-gram bucket) — scoring stays total.
+
+    One JVM-side ``transform`` over a start-offset sequence: no
+    Python, no shuffle — a 100 TB featurize pass is a narrow
+    codegen'd scan."""
+    t = F.coalesce(text, F.lit(""))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
+    )
+    if portable:
+        bucket = lambda i: F.pmod(  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed), t.substr(i, F.lit(n)))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n_buckets),
+        )
+    else:
+        bucket = lambda i: F.pmod(  # noqa: E731
+            F.xxhash64(F.concat(F.lit(seed), t.substr(i, F.lit(n)))),
+            F.lit(n_buckets),
+        )
+    return F.transform(starts, bucket)
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    bias: float,
+    n: int = 3,
+    seed: str = "qc13|",
+    portable: bool = True,
+) -> DataFrame:
+    """Score documents with a LEARNED linear text classifier over
+    hashed char-n-gram features — the fastText-style filter every
+    production LLM pipeline runs after the Gopher heuristics
+    (``quality_score`` above is the heuristic stage; this is the
+    learned stage, weights from ``quality_classifier_fit``).
+
+    margin = (Σ_gram w[bucket(gram)]) / n_grams + bias;
+    quality_pass = margin > 0. ``sigmoid(margin)`` is the calibrated
+    probability — left to the caller because exp() differs by ulps
+    across engines while the margin is bit-exact: weights are 6-dp
+    decimals folded as BIGINT micro-units (w*1e6 — exact,
+    order-independent, and a codegen'd long add instead of an
+    interpreted decimal add: the decimal fold measured 52s/1M docs,
+    the long fold 24s), then one fixed sequence of IEEE double ops.
+
+    Scale shape: the weight table is a plan literal (any n_buckets a
+    linear model wants fits in a task binary), so scoring is MAP-ONLY
+    — no join, no shuffle, full codegen; 100 TB scores in one scan.
+    """
+    nb = len(weights)
+    w_arr = F.array(
+        *[F.lit(int(round(w * 1_000_000))).cast("bigint") for w in weights]
+    )
+    buckets = char_ngram_buckets(F.col(text_col), n, nb, seed, portable)
+    dot = F.aggregate(
+        buckets,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(buckets).cast("bigint").alias("n_grams"),
+        (dot.cast("double") / F.lit(1_000_000.0)).alias("_dot"),
+    )
+    margin = F.col("_dot") / F.col("n_grams").cast("double") + F.lit(float(bias))
+    return out.select(
+        id_col,
+        "n_grams",
+        (F.round(margin, 6) + F.lit(0.0)).alias("margin"),
+        (margin > 0).alias("quality_pass"),
+    )
+
+
+def quality_classifier_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 128,
+    n: int = 3,
+    iters: int = 8,
+    ridge: float = 1e-3,
+    seed: str = "qc13|",
+    max_train_rows: int = 100_000,
+    portable: bool = True,
+) -> tuple[list[float], float]:
+    """Fit the linear classifier ``quality_classifier_score`` serves:
+    L2-regularized logistic regression over hashed char-n-gram
+    frequencies, solved by exact IRLS (Newton) — plain gradient
+    descent on these heavily-collinear normalized-count features
+    needs hundreds of passes; IRLS converges in ~4. Labels are
+    whatever weak/gold signal the pipeline has (Gopher-rule pass,
+    human/LLM ratings) — the operator is label-agnostic.
+
+    Scale shape — the fastText/MLlib split: a quality classifier's
+    TRAINING set is label-bounded by definition (10^4–10^6 human- or
+    LLM-labeled docs), while SCORING is the 100 TB pass. So
+    featurization (map-only, the same portable buckets scoring uses)
+    runs distributed and reduces each doc to an (n_buckets+2)-value
+    row; the bounded design matrix is then collected and solved
+    exactly on the driver (the (n_buckets+1)^2 Hessian is tiny).
+    ``max_train_rows`` is the house-style guard: it RAISES (with the
+    hash-sample prescription) rather than silently melting the driver
+    — driver memory is ~rows * (n_buckets+1) * 8 bytes.
+
+    Determinism: featurization is exact integer counts; IRLS is a
+    fixed iteration count over a fixed-order matrix; returned weights
+    round to 6 dp (the score operator's decimal domain) so fitted
+    tables can be FROZEN as constants and re-derived on this
+    platform (pinned by test_text_classifier.py).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    # dense per-doc count vector: Arrow-batched bincount (a nested
+    # HOF count would interpret n_buckets*n_grams lambda evals per
+    # doc — measured ~40s on 500 docs; bincount is vectorized)
+    @pandas_udf("array<int>")
+    def _bincount(bs: pd.Series) -> pd.Series:
+        return bs.map(
+            lambda a: np.bincount(a, minlength=n_buckets).tolist()
+        )
+
+    buckets = char_ngram_buckets(F.col(text_col), n, n_buckets, seed, portable)
+    feats = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.size(buckets).alias("_n"),
+        _bincount(buckets).alias("_c"),
+    )
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("quality_classifier_fit needs a non-empty input")
+    if n_docs > max_train_rows:
+        raise ValueError(
+            f"quality_classifier_fit over {n_docs} rows exceeds "
+            f"max_train_rows={max_train_rows}: the design matrix is "
+            "collected to the driver (rows * (n_buckets+1) * 8 bytes). "
+            "Hash-sample the labeled set first (sampling.hash_sample) "
+            "or raise the bound deliberately."
+        )
+    pdf = feats.toPandas()
+    y = pdf["_y"].to_numpy(dtype="float64")
+    X = np.empty((n_docs, n_buckets + 1), dtype="float64")
+    X[:, :n_buckets] = np.stack(pdf["_c"].to_numpy()) / pdf["_n"].to_numpy(
+        dtype="float64"
+    )[:, None]
+    X[:, n_buckets] = 1.0  # bias column
+    w = np.zeros(n_buckets + 1)
+    eye = np.eye(n_buckets + 1)
+    for _ in range(iters):
+        m = np.clip(X @ w, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-m))
+        s = np.maximum(p * (1.0 - p), 1e-6)
+        g = X.T @ (p - y) + ridge * w
+        hess = (X.T * s) @ X + ridge * eye
+        w -= np.linalg.solve(hess, g)
+    return [round(float(v), 6) for v in w[:n_buckets]], round(float(w[n_buckets]), 6)
 
 
 def deterministic_split(

@@ -4126,6 +4126,86 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_rules(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Learned quality classifier (VERDICT r12 #1): fastText-style hashed
+# char-3-gram logistic filter — the LEARNED stage every production
+# pipeline runs after the Gopher heuristics above. Weights FROZEN
+# from quality_classifier_fit(documents@sf0.001, weak label =
+# function-word rate > 0.06, n_buckets=128, n=3, iters=8, ridge=1e-3,
+# seed 'qc13|'); tests/test_text_classifier.py refits with those
+# exact params and asserts bit-equality (provenance), and scoring is
+# MAP-ONLY (weights are a plan literal — no join, no shuffle;
+# plan-gated there too). The margin is bit-exact cross-engine: 6-dp
+# decimal weights folded exactly (order-independent), then one fixed
+# sequence of IEEE double ops; sigmoid is left to callers because
+# exp() differs by ulps across engines.
+_QC_WEIGHTS_V1: list[float] = [
+    0.0, 3.880185, 0.0, -16.180786, 0.949877, -25.83771, -15.434166,
+    -1.075892, -25.215687, 9.062661, -8.663641, -6.176471, -20.180306,
+    -3.879897, -3.324414, -0.550395, -4.388659, 5.809594, -2.257379,
+    -25.545645, -6.709038, 4.44114, 13.701889, -5.578346, 6.414268,
+    -7.419086, 16.797382, -4.157728, 0.0, 15.866051, 19.665964,
+    -2.114249, -20.732396, -5.803341, 3.451668, 7.345259, -35.721288,
+    10.739098, -2.058114, 20.180199, 2.216607, 12.953428, -2.122322,
+    2.042886, 7.535898, -6.506194, -21.629689, -3.06356, -7.575626,
+    -2.268477, -24.269927, -11.427632, 20.009667, -2.92022, -22.7035,
+    -8.74855, -22.666068, 13.146317, 2.493358, 5.605165, -7.54678,
+    -8.270594, 49.551557, 1.87298, -9.588494, 8.449463, -3.021578,
+    -5.065458, -13.368724, 0.0, -15.98493, 6.380728, 3.842302,
+    -21.445095, 13.511884, -23.093165, -18.565952, -2.841382, 4.500182,
+    -16.775666, -11.298132, -23.779199, -3.363759, 11.010831, 0.0,
+    -5.625182, 0.798993, -10.341152, 9.334342, 0.0, 15.195017,
+    -24.635461, -13.097483, -11.122631, 7.920074, -1.031876, -7.232692,
+    -9.154767, 0.0, -20.657856, -11.790332, 7.818205, 9.226584,
+    -20.850242, -39.300677, 10.139571, -13.292201, -3.070516, 6.504955,
+    1.436196, 107.866547, 1.698227, -0.240563, -4.222536, -8.908883,
+    97.617517, -12.202324, 22.42138, -21.069592, -20.826079, 0.305171,
+    0.612915, 12.317146, 193.080037, 0.901048, 6.107035, -0.908413,
+    16.279792,
+]
+_QC_BIAS_V1 = 2.512477
+# bigint micro-unit (w*1e6) image of the weight table — the exact,
+# codegen-friendly representation both engines fold (see
+# quality_classifier_score)
+_QC_W_SQL = (
+    "[" + ", ".join(str(int(round(w * 1_000_000))) for w in _QC_WEIGHTS_V1) + "]"
+)
+
+
+@register(
+    "text_quality_classifier",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1),
+               i -> CAST(concat('0x', substr(md5(concat('qc13|',
+                      substr(coalesce(text, ''), CAST(i AS INT), 3))),
+                      1, 8)) AS BIGINT) % 128) AS bk
+      FROM documents),
+    m AS (
+      SELECT doc_id, CAST(len(bk) AS BIGINT) AS n_grams,
+             CAST(list_sum(list_transform(bk,
+                    x -> ({_QC_W_SQL})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE)
+               / CAST(len(bk) AS DOUBLE) + CAST(2.512477 AS DOUBLE) AS margin
+      FROM b)
+    SELECT doc_id, n_grams, round(margin, 6) + 0.0 AS margin,
+           margin > 0 AS quality_pass
+    FROM m
+    """,
+)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import quality_classifier_score
+
+    return quality_classifier_score(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _QC_WEIGHTS_V1,
+        _QC_BIAS_V1,
+    )
+
+
 @register(
     "text_bigram_lm",
     """

@@ -1302,6 +1302,54 @@ def smoke_decontaminate(n: int = 1_000_000) -> None:
     }), flush=True)
 
 
+def smoke_quality_classifier(n: int = 1_000_000) -> None:
+    """Learned quality-classifier scoring at corpus scale (VERDICT
+    r12 #1): the frozen 128-bucket weight table is a plan literal, so
+    the scoring pass is MAP-ONLY — wall must be scan-dominated and
+    near-linear in n (the fold is O(n_grams) decimal adds per doc).
+    Also times a bounded 50k-doc fit (featurize + driver IRLS)."""
+    import time as _t
+
+    from cascading_hive_spark.operators.text import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.0, n_vocab=5000
+        ).localCheckpoint()
+        t0 = _t.monotonic()
+        out = quality_classifier_score(
+            docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("quality_pass").cast("long")).alias("n_pass"),
+            F.sum(F.isnull("margin").cast("long")).alias("n_null"),
+        ).first()
+        wall = round(_t.monotonic() - t0, 1)
+        assert row["n"] == size and row["n_null"] == 0, row
+        print(json.dumps({
+            "smoke": "quality_classifier", "n_docs": size,
+            "score_wall_sec": wall, "n_pass": row["n_pass"],
+        }), flush=True)
+    # bounded fit leg: 50k labeled docs through featurize + IRLS
+    sample = docs.filter(F.col("doc_id") % (n // 50_000) == 0).withColumn(
+        "y", (F.length("text") % 2 == 0).cast("int")
+    )
+    t0 = _t.monotonic()
+    w, b = quality_classifier_fit(sample, "doc_id", "text", "y")
+    print(json.dumps({
+        "smoke": "quality_classifier_fit", "n_train": sample.count(),
+        "fit_wall_sec": round(_t.monotonic() - t0, 1),
+        "n_nonzero_weights": sum(1 for x in w if x != 0.0),
+    }), flush=True)
+
+
 def smoke_ivfpq_disk(n: int = 1_000_000) -> None:
     """Disk IVF-PQ probe at corpus scale (VERDICT r7 #4): build the
     IVF-PQ index, PERSIST it (codes partitioned by coarse cell +
@@ -1691,4 +1739,5 @@ if __name__ == "__main__":
         "bpe": smoke_bpe,
         "pq": smoke_pq,
         "fuzzy": smoke_fuzzy,
+        "quality_classifier": smoke_quality_classifier,
     }[name](*args)

@@ -1,0 +1,187 @@
+"""Learned quality classifier (VERDICT r12 #1): fastText-style hashed
+char-n-gram logistic filter — fit determinism / frozen-weight
+provenance, scoring accuracy, map-only plan shape, and a pure-Python
+differential for the portable bucket hash + margin arithmetic.
+
+Reference parity note: the reference has no learned text ops (its
+only text op is the wordcount regex split, ORCFileTest.java:249-251);
+this family is north-star LLM-pipeline surface per the build brief.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from cascading_hive_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _weak_label(col):
+    # the frozen-weights training label: function-word rate > 0.06
+    toks = F.split(col, " ")
+    fw = F.size(F.filter(toks, lambda w: w.isin("the", "a"))).cast(
+        "double"
+    ) / F.size(toks).cast("double")
+    return (fw > 0.06).cast("int")
+
+
+def test_frozen_weights_reproduce_from_fit(spark, docs):
+    """_QC_WEIGHTS_V1 provenance: refitting with the documented params
+    on the documented data reproduces the frozen constants bit-for-bit
+    (fixed-order IRLS over exact integer counts)."""
+    from cascading_hive_spark.operators.text import quality_classifier_fit
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    w, b = quality_classifier_fit(
+        labeled, "doc_id", "text", "y", n_buckets=128, n=3, iters=8,
+        ridge=1e-3, seed="qc13|",
+    )
+    assert b == _QC_BIAS_V1
+    assert w == _QC_WEIGHTS_V1
+
+
+def test_score_accuracy_on_training_label(spark, docs):
+    from cascading_hive_spark.operators.text import quality_classifier_score
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    scored = quality_classifier_score(
+        docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+    )
+    acc = (
+        scored.join(labeled.select("doc_id", "y"), "doc_id")
+        .agg(F.avg((F.col("quality_pass") == (F.col("y") == 1)).cast("double")))
+        .collect()[0][0]
+    )
+    assert acc >= 0.88, acc  # measured 0.906 at freeze time
+
+
+def test_fit_generalizes_to_held_out_half(spark, docs):
+    """Learning, not memorizing: fit on even doc_ids, score odd ones —
+    must beat the majority-class rate (0.56 positive at sf0.001) by a
+    clear margin."""
+    from cascading_hive_spark.operators.text import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    train = labeled.filter(F.col("doc_id") % 2 == 0)
+    test = labeled.filter(F.col("doc_id") % 2 == 1)
+    w, b = quality_classifier_fit(train, "doc_id", "text", "y")
+    scored = quality_classifier_score(test, "doc_id", "text", w, b)
+    acc = (
+        scored.join(test.select("doc_id", "y"), "doc_id")
+        .agg(F.avg((F.col("quality_pass") == (F.col("y") == 1)).cast("double")))
+        .collect()[0][0]
+    )
+    assert acc >= 0.70, acc
+
+
+def test_scoring_plan_is_map_only(spark, docs):
+    """The weight table is a plan literal: scoring must be a single
+    narrow scan — no Exchange (shuffle), no join, no Python UDF."""
+    from cascading_hive_spark.operators.text import quality_classifier_score
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+
+    scored = quality_classifier_score(
+        docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan  # no UDF in the scoring path
+
+
+def test_null_and_empty_text_score_total(spark):
+    from cascading_hive_spark.operators.text import quality_classifier_score
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab")], "id BIGINT, text STRING"
+    )
+    rows = {
+        r.id: r
+        for r in quality_classifier_score(
+            df, "id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # NULL featurizes like '' — one (empty-)gram bucket, same margin
+    assert rows[1].n_grams == 1 and rows[2].n_grams == 1
+    assert rows[1].margin == rows[2].margin
+    assert all(r.margin is not None for r in rows.values())
+
+
+def test_margin_matches_pure_python(spark, docs):
+    """Differential oracle for the whole scoring path: portable md5
+    bucket hash + decimal-exact dot + IEEE margin, recomputed in
+    plain Python on a 40-doc sample."""
+    from cascading_hive_spark.operators.text import quality_classifier_score
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+
+    sample = docs.filter(F.col("doc_id") < 40)
+    got = {
+        r.doc_id: r
+        for r in quality_classifier_score(
+            sample, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+        ).collect()
+    }
+    for did, text in sample.select("doc_id", "text").collect():
+        t = text or ""
+        n_grams = max(len(t) - 2, 1)
+        dot = 0
+        for i in range(n_grams):
+            g = t[i : i + 3]
+            b = int(hashlib.md5(("qc13|" + g).encode()).hexdigest()[:8], 16) % 128
+            dot += round(_QC_WEIGHTS_V1[b] * 1_000_000)
+        margin = (dot / 1_000_000) / n_grams + _QC_BIAS_V1
+        assert got[did].n_grams == n_grams
+        assert got[did].margin == round(margin, 6) + 0.0, did
+        assert got[did].quality_pass == (margin > 0), did
+
+
+def test_xxhash_scale_path_learns_too(spark, docs):
+    """portable=False (xxhash64 buckets — the cheap scale featurizer):
+    fit+score through the same flag must reach the same accuracy
+    ballpark as the md5 path (weight tables are featurizer-tied)."""
+    from cascading_hive_spark.operators.text import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    w, b = quality_classifier_fit(
+        labeled, "doc_id", "text", "y", portable=False
+    )
+    scored = quality_classifier_score(
+        docs, "doc_id", "text", w, b, portable=False
+    )
+    acc = (
+        scored.join(labeled.select("doc_id", "y"), "doc_id")
+        .agg(F.avg((F.col("quality_pass") == (F.col("y") == 1)).cast("double")))
+        .collect()[0][0]
+    )
+    assert acc >= 0.85, acc
+
+
+def test_fit_bounds_training_collect(spark, docs):
+    from cascading_hive_spark.operators.text import quality_classifier_fit
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    with pytest.raises(ValueError, match="max_train_rows"):
+        quality_classifier_fit(
+            labeled, "doc_id", "text", "y", max_train_rows=10
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        quality_classifier_fit(
+            labeled.filter(F.lit(False)), "doc_id", "text", "y"
+        )
