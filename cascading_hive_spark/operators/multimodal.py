@@ -332,6 +332,162 @@ def decode_audio(df: DataFrame) -> DataFrame:
     )
 
 
+def parse_mp4_meta(b: bytes):
+    """Pure-Python ISO-BMFF (MP4) box walk: (major_brand, timescale,
+    duration, n_tracks) from the ftyp and moov/mvhd + trak boxes, or
+    (None,)*4 for anything that is not a well-formed MP4 — the video
+    leg of the container-header family (parse_image_dims /
+    parse_wav_meta above; byte-walk tradition per the reference's own
+    footer walk, ORCFile.java:264-312).
+
+    Handles the spec's size encodings: 32-bit box size, size==1 →
+    64-bit largesize follows the type, size==0 → box extends to end
+    of file/enclosing box. Unknown sibling boxes are skipped; mvhd
+    parses both version 0 (32-bit times) and version 1 (64-bit).
+    Truncated/corrupt containers (size < 8, body past EOF, missing
+    moov/mvhd) return NULLs instead of raising — at 100 TB a handful
+    of bad blobs must not kill the job."""
+
+    def walk(lo: int, hi: int):
+        # yields (box_type, body_lo, body_hi); stops on corruption
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(b[pos : pos + 4], "big")
+            tag = b[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+                body = pos + 16
+                if size < 16:
+                    return
+            elif size == 0:  # extends to end of enclosing box
+                size = hi - pos
+            elif size < 8:
+                return
+            end = pos + size
+            if end > hi:
+                return
+            yield tag, body, end
+            pos = end
+
+    if len(b) < 8:
+        return (None, None, None, None)
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    saw_moov = False
+    for tag, lo, hi in walk(0, len(b)):
+        if tag == b"ftyp" and hi - lo >= 4:
+            try:
+                brand = b[lo : lo + 4].decode("ascii")
+            except UnicodeDecodeError:
+                brand = None
+        elif tag == b"moov":
+            saw_moov = True
+            for t2, lo2, hi2 in walk(lo, hi):
+                if t2 == b"mvhd" and hi2 - lo2 >= 4:
+                    version = b[lo2]
+                    if version == 1 and hi2 - lo2 >= 4 + 8 + 8 + 4 + 8:
+                        timescale = int.from_bytes(
+                            b[lo2 + 20 : lo2 + 24], "big"
+                        )
+                        duration = int.from_bytes(
+                            b[lo2 + 24 : lo2 + 32], "big"
+                        )
+                    elif version == 0 and hi2 - lo2 >= 4 + 4 + 4 + 4 + 4:
+                        timescale = int.from_bytes(
+                            b[lo2 + 12 : lo2 + 16], "big"
+                        )
+                        duration = int.from_bytes(
+                            b[lo2 + 16 : lo2 + 20], "big"
+                        )
+                elif t2 == b"trak":
+                    n_tracks += 1
+    if brand is None or not saw_moov:
+        return (None, None, None, None)
+    return (brand, timescale, duration, n_tracks)
+
+
+def decode_video(df: DataFrame) -> DataFrame:
+    """Video metadata over the binary column — MP4/ISO-BMFF box walk
+    via ``parse_mp4_meta`` inside the same Arrow-batched mapInPandas
+    pipeline as decode_image/decode_audio (blobs never pickled
+    per-row). Real frame decode (h264/vp9 codecs, absent from this
+    container) would slot into the same batch loop; duration_ms is
+    derived here (not in SQL) so the division semantics live with the
+    parser."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf["payload"].map(lambda b: parse_mp4_meta(bytes(b)))
+            ts = parsed.map(lambda t: t[1]).astype("Int64")
+            dur = parsed.map(lambda t: t[2]).astype("Int64")
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "major_brand": parsed.map(lambda t: t[0]),
+                    "timescale": ts.astype("Int32"),
+                    "duration": dur,
+                    "duration_ms": (dur * 1000 // ts).astype("Int64"),
+                    "n_tracks": parsed.map(lambda t: t[3]).astype("Int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        "id long, major_brand string, timescale int, duration long, "
+        "duration_ms long, n_tracks int",
+    )
+
+
+def synth_mp4_payload(timescale, duration, n_tracks) -> "F.Column":
+    """Minimal-but-valid MP4 bytes (ftyp 'isom' + moov[mvhd v0 +
+    n_tracks empty trak boxes]) built ENTIRELY JVM-side, mirroring
+    synth_wav_payload: big-endian hex/lpad/unhex construction; the
+    variable-count trak run is one repeat() of the 8-byte empty-box
+    hex image. No Python in the build path."""
+
+    def be(col, nbytes: int):
+        return F.unhex(F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0"))
+
+    mvhd = F.concat(
+        F.unhex(F.lit("0000006C")),  # size 108
+        F.lit("mvhd").cast("binary"),
+        F.unhex(F.lit("00000000")),  # version 0 + flags
+        F.unhex(F.lit("0000000000000000")),  # creation + modification
+        be(timescale, 4),
+        be(duration, 4),
+        F.unhex(F.lit("00010000")),  # rate 1.0
+        F.unhex(F.lit("0100")),  # volume 1.0
+        F.unhex(F.lit("0000" + "00" * 8)),  # reserved
+        F.unhex(
+            F.lit(
+                "00010000000000000000000000000000"
+                "00010000000000000000000000000000"
+                "40000000"
+            )
+        ),  # identity matrix
+        F.unhex(F.lit("00" * 24)),  # pre_defined
+        F.unhex(F.lit("00000002")),  # next_track_ID
+    )
+    trak_run = F.unhex(
+        F.repeat(F.lit("00000008" + "7472616B"), n_tracks.cast("int"))
+    )  # n empty 'trak' boxes
+    moov_size = F.lit(8 + 108) + n_tracks.cast("bigint") * 8
+    return F.concat(
+        F.unhex(F.lit("00000010")),  # ftyp size 16
+        F.lit("ftyp").cast("binary"),
+        F.lit("isom").cast("binary"),
+        F.unhex(F.lit("00000000")),  # minor_version
+        be(moov_size, 4),
+        F.lit("moov").cast("binary"),
+        mvhd,
+        trak_run,
+    )
+
+
 def synth_wav_payload(n_channels, sample_rate, bits, n_samples) -> "F.Column":
     """Minimal-but-valid WAV header bytes (RIFF + fmt + empty-bodied
     data chunk whose declared size encodes ``n_samples``) built

@@ -4752,6 +4752,52 @@ def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(payloads)
 
 
+# Video leg of the multimodal surface (VERDICT r12 #2): JVM-built
+# MP4/ISO-BMFF containers (ftyp + moov[mvhd v0 + n empty trak boxes],
+# big-endian byte construction) round-trip through Arrow into the
+# pure-Python box walker; the oracle recomputes every field
+# arithmetically from the doc_id the payload was built of. Both
+# engines floor the nonnegative duration_ms division.
+@register(
+    "multimodal_video_meta",
+    """
+    SELECT doc_id AS id,
+           'isom' AS major_brand,
+           CAST(CASE (doc_id % 3 + 3) % 3 WHEN 0 THEN 600
+                                          WHEN 1 THEN 1000
+                                          ELSE 90000 END AS INT) AS timescale,
+           CAST(((doc_id % 100000 + 100000) % 100000 + 1) * 100 AS BIGINT)
+             AS duration,
+           (CAST(((doc_id % 100000 + 100000) % 100000 + 1) * 100 AS BIGINT)
+             * 1000) // CAST(CASE (doc_id % 3 + 3) % 3 WHEN 0 THEN 600
+                                            WHEN 1 THEN 1000
+                                            ELSE 90000 END AS BIGINT)
+             AS duration_ms,
+           CAST((doc_id % 4 + 4) % 4 AS INT) AS n_tracks
+    FROM documents
+    """,
+)
+def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.multimodal import (
+        decode_video,
+        synth_mp4_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    timescale = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, 600)
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, 1000)
+        .otherwise(90000)
+    )
+    duration = (F.pmod(F.col("doc_id"), F.lit(100000)) + 1) * 100
+    n_tracks = F.pmod(F.col("doc_id"), F.lit(4))
+    payloads = d.select(
+        F.col("doc_id").alias("id"),
+        synth_mp4_payload(timescale, duration, n_tracks).alias("payload"),
+    )
+    return decode_video(payloads)
+
+
 # Linear-interpolation gap fill (the resample step beyond
 # events_daily_gapfill's zero-fill): a 1% content-addressed sample of
 # events makes real daily gaps at every SF; each event_type's missing

@@ -228,3 +228,109 @@ def test_decode_audio_roundtrip_through_arrow(spark):
     assert rows[0].n_channels == 1 and rows[1].n_channels == 2
     assert all(r.sample_rate == 16000 for r in rows.values())
     assert rows[7].n_samples == 8
+
+
+# --- MP4/ISO-BMFF box walk (pure Python, no Spark needed) -----------
+def _box(tag: bytes, body: bytes, largesize=False, size_zero=False) -> bytes:
+    import struct
+
+    if largesize:
+        return struct.pack(">I", 1) + tag + struct.pack(">Q", 16 + len(body)) + body
+    if size_zero:
+        return struct.pack(">I", 0) + tag + body
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _mvhd(timescale=600, duration=6000, version=0) -> bytes:
+    import struct
+
+    if version == 1:
+        body = (
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + b"\x00" * 80
+        )
+    else:
+        body = (
+            bytes([0, 0, 0, 0])
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + b"\x00" * 80
+        )
+    return _box(b"mvhd", body)
+
+
+def _mp4(timescale=600, duration=6000, n_tracks=1, version=0, **moov_kw) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4)
+    moov = _box(
+        b"moov",
+        _mvhd(timescale, duration, version) + _box(b"trak", b"") * n_tracks,
+        **moov_kw,
+    )
+    return ftyp + moov
+
+
+def test_parse_mp4_meta_well_formed():
+    from cascading_hive_spark.operators.multimodal import parse_mp4_meta
+
+    assert parse_mp4_meta(_mp4()) == ("isom", 600, 6000, 1)
+    assert parse_mp4_meta(_mp4(90000, 123456789, 3)) == ("isom", 90000, 123456789, 3)
+    assert parse_mp4_meta(_mp4(n_tracks=0)) == ("isom", 600, 6000, 0)
+
+
+def test_parse_mp4_meta_version1_and_size_encodings():
+    from cascading_hive_spark.operators.multimodal import parse_mp4_meta
+
+    # version-1 mvhd: 64-bit times
+    assert parse_mp4_meta(_mp4(1000, 2**33, version=1)) == ("isom", 1000, 2**33, 1)
+    # moov carried in a 64-bit largesize box
+    assert parse_mp4_meta(_mp4(largesize=True)) == ("isom", 600, 6000, 1)
+    # moov with size==0 (extends to end of file)
+    assert parse_mp4_meta(_mp4(size_zero=True)) == ("isom", 600, 6000, 1)
+    # unknown sibling boxes before/inside moov are skipped
+    ftyp = _box(b"ftyp", b"mp42" + b"\x00" * 4)
+    moov = _box(b"moov", _box(b"junk", b"x" * 9) + _mvhd() + _box(b"trak", b""))
+    assert parse_mp4_meta(_box(b"free", b"") + ftyp + moov) == ("mp42", 600, 6000, 1)
+
+
+def test_parse_mp4_meta_corrupt_returns_nulls():
+    from cascading_hive_spark.operators.multimodal import parse_mp4_meta
+
+    assert parse_mp4_meta(b"") == (None, None, None, None)
+    assert parse_mp4_meta(b"\x00\x00\x00\x08ftyp") == (None, None, None, None)  # short ftyp, no moov
+    # declared size overruns the buffer -> walk stops, no moov seen
+    assert parse_mp4_meta(b"\x00\x00\xff\xffmoovxxxx") == (None, None, None, None)
+    # size < 8 is structurally invalid
+    assert parse_mp4_meta(b"\x00\x00\x00\x03ftypisom") == (None, None, None, None)
+    # well-formed ftyp but truncated mvhd body -> timescale/duration NULL... 
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4)
+    short_mvhd = _box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 4)
+    got = parse_mp4_meta(ftyp + _box(b"moov", short_mvhd))
+    assert got == ("isom", None, None, 0)
+    # WAV bytes are not an MP4
+    assert parse_mp4_meta(_wav()) == (None, None, None, None)
+
+
+def test_decode_video_roundtrip_through_arrow(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.multimodal import (
+        decode_video,
+        synth_mp4_payload,
+    )
+
+    df = spark.range(0, 60).select(
+        F.col("id"),
+        synth_mp4_payload(
+            F.lit(600), (F.col("id") + 1) * 100, F.pmod("id", F.lit(4))
+        ).alias("payload"),
+    )
+    rows = {r.id: r for r in decode_video(df).collect()}
+    assert all(r.major_brand == "isom" for r in rows.values())
+    assert all(r.timescale == 600 for r in rows.values())
+    assert rows[5].duration == 600 and rows[5].duration_ms == 1000
+    assert rows[7].n_tracks == 3 and rows[8].n_tracks == 0
+    # JVM-built bytes parse back identically in pure Python
+    from cascading_hive_spark.operators.multimodal import parse_mp4_meta
+
+    one = df.filter(F.col("id") == 9).collect()[0]
+    assert parse_mp4_meta(bytes(one.payload)) == ("isom", 600, 1000, 1)
