@@ -44,11 +44,58 @@ HEADLINE = [
     "dedup_span_scrub",
     # r12: leakage-safe cluster split (CC over fingerprint pairs)
     "sample_leakage_split",
+    # r13: learned quality-classifier scoring (map-only literal-weight
+    # scan) and the MP4 box-walk video leg
+    "text_quality_classifier",
+    "multimodal_video_meta",
 ]
+
+
+def _load1() -> float | None:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return None
+
+
+def _n_java() -> int | None:
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["pgrep", "-c", "java"], capture_output=True, text=True
+        ).stdout.strip()
+        return int(out) if out else 0
+    except Exception:
+        return None
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Quiet-host protocol (VERDICT r12 #3): BENCH_rN artifacts captured
+    # under ambient co-tenant load are trend-unreadable (r12: +7% on
+    # untouched code, single movers +37%). Before starting the JVM,
+    # wait up to SPARK_GRAFT_BENCH_WAIT_SEC for 1-min load to drop
+    # under SPARK_GRAFT_BENCH_MAX_LOAD and for other JVMs to exit;
+    # never refuse outright (the driver must still get an artifact) —
+    # proceed annotating quiet_host=false so readers know.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.3"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "300"))
+    waited = 0.0
+    while True:
+        load_start, java_start = _load1(), _n_java()
+        quiet = (load_start is None or load_start <= max_load) and (
+            java_start is None or java_start == 0
+        )
+        if quiet or waited >= wait_budget:
+            break
+        print(
+            f"  host busy (load {load_start}, {java_start} java procs); "
+            f"waiting ({int(waited)}/{int(wait_budget)}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
     from cascading_hive_spark import queries as Q
     from cascading_hive_spark.session import get_session
 
@@ -74,6 +121,21 @@ def main() -> int:
         .mode("overwrite")
         .save()
     )
+
+    # Fixed-work control aggregation (VERDICT r12 #3): a deterministic
+    # pure-CPU workload whose wall time calibrates THIS run's host
+    # speed — compare control_agg_sec across rounds before reading any
+    # per-query delta as a regression (same work every round, so it
+    # moves only with host conditions).
+    def control_agg() -> float:
+        t0 = time.monotonic()
+        spark.range(150_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000) AS s"
+        ).collect()
+        return time.monotonic() - t0
+
+    control_runs = sorted(control_agg() for _ in range(3))
+    control_sec = round(control_runs[1], 3)
 
     qs = Q.queries()
     timings: dict[str, float] = {}
@@ -125,6 +187,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "quiet_host": quiet,
+                "load_avg_start": round(load_start, 2)
+                if load_start is not None
+                else None,
+                "waited_for_quiet_sec": int(waited),
+                "control_agg_sec": control_sec,
                 "load_avg": load_avg,
                 "n_java_procs": n_java,
             }
