@@ -51,7 +51,17 @@ def test_ivf_recall_against_brute_force(spark, emb):
     assert assignments.count() == emb.count()  # every vector lands in a cell
     got = {r.vec_id for r in S.ivf_search(assignments, centroids, query, k=10, nprobe=4).collect()}
     recall = len(got & truth) / len(truth)
-    assert recall >= 0.5, f"IVF recall {recall} too low for nprobe=4/16 cells"
+    # floors are smoke-justified (VERDICT r12 #5): the build is
+    # deterministic (hash seeding + Lloyd on fixed data), measured
+    # 0.7 @ nprobe=4 and 1.0 @ nprobe=8 — gate just under so only a
+    # real recall regression trips, not float jitter
+    assert recall >= 0.6, f"IVF recall {recall} too low for nprobe=4/16 cells"
+    got8 = {
+        r.vec_id
+        for r in S.ivf_search(assignments, centroids, query, k=10, nprobe=8).collect()
+    }
+    recall8 = len(got8 & truth) / len(truth)
+    assert recall8 >= 0.9, f"IVF recall {recall8} too low for nprobe=8/16 cells"
     # Lloyd refinement must not LOSE recall vs the raw hash seeding
     a0, c0 = S.ivf_build(emb, n_cells=16, refine_iterations=0)
     got0 = {r.vec_id for r in S.ivf_search(a0, c0, query, k=10, nprobe=4).collect()}
@@ -180,7 +190,17 @@ def test_ivf_knn_join_recall_at_partial_probe(spark, emb):
         assert qrows[0].vec_id != q or qrows[0].cos_sim >= 0.999999  # self probe hit
         hits += len({r.vec_id for r in qrows} & truth[q])
         total += len(truth[q])
-    assert hits / total >= 0.6, f"batched IVF recall {hits/total} too low"
+    # measured 0.85 @ nprobe=4/8 on the deterministic build (VERDICT
+    # r12 #5); gate just under the measurement
+    assert hits / total >= 0.8, f"batched IVF recall {hits/total} too low"
+    # and the half-probe step to nprobe=8 (full probe) must recover
+    # >= 0.9 — it equals brute force by construction
+    rows8 = S.ivf_knn_join(assignments, centroids, queries, k=5, nprobe=8).collect()
+    by_q8: dict = {}
+    for r in rows8:
+        by_q8.setdefault(r.query_id, set()).add(r.vec_id)
+    hits8 = sum(len(by_q8[q] & truth[q]) for q in truth)
+    assert hits8 / total >= 0.9, f"batched IVF recall {hits8/total} at full probe"
 
 
 def test_ivf_knn_join_from_disk_prunes_and_agrees(spark, emb, tmp_path):
@@ -644,3 +664,43 @@ def test_covariance_and_pca_match_numpy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         pca_components(df, k=0)
+
+
+def test_pq_rerank_recall_gate_fixed_seeds(spark, emb):
+    """PQ-rerank recall floor at the deterministic fixed-seed build
+    (VERDICT r12 #5): ADC alone cannot resolve below quantization
+    noise on this random-vector worst case (measured 0.1 recall), the
+    shortlist=200 exact re-rank recovers 0.9 — gate the deployed
+    composition at >= 0.9 and the rerank's advantage over raw ADC."""
+    from pyspark.sql import functions as F
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    qlit = F.lit(qv).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    truth = {
+        r.vec_id
+        for r in emb.select("vec_id", d2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    cent = S.pq_train(emb, m=8, k=16)
+    codes = S.pq_encode(emb, cent, m=8)
+    crows = cent.collect()
+    rerank = {
+        r.vec_id
+        for r in S.pq_search_rerank(
+            codes, emb, crows, qv, m=8, topk=10, shortlist=200
+        ).collect()
+    }
+    adc = {r.vec_id for r in S.pq_search(codes, crows, qv, m=8, topk=10).collect()}
+    rerank_recall = len(rerank & truth) / len(truth)
+    adc_recall = len(adc & truth) / len(truth)
+    assert rerank_recall >= 0.9, f"PQ rerank recall {rerank_recall}"
+    assert rerank_recall > adc_recall, (rerank_recall, adc_recall)
+    # the self vector survives the whole compressed pipeline
+    assert 0 in rerank
