@@ -8406,55 +8406,65 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r12 ROTATION NOTE (supersedes the r11 note; r11 ran 50/50 green —
-# the fourth consecutive perfect window — so every r11 member is
-# freshly verified and rotates out except the two fixed slots).
-# The r12 window:
-# (1) keeps wordcount at slot 1 (driver entry smoke) and
-#     q1_pricing_summary (the decimal-sum watch item);
-# (2) per VERDICT r11 #1, schedules embedding_pca_project — the one
-#     registered query with no driver CORRECTNESS row in any round
-#     (rows-only by design: driver-eigensolve PCA, pinned by the
-#     numpy full-replay differential in tests/test_similarity.py) —
-#     alongside its oracle-matched twin embedding_covariance;
-# (3) schedules the two queries registered this round in the same
-#     round: bpe_segment (VERDICT r11 #2 — deterministic merge-replay
-#     tokenization with a full-replay DuckDB oracle) and
-#     graph_kcore_portable (VERDICT r11 #6 — the fixed-round-unroll
-#     oracle twin of graph_kcore_customers);
-# (4) per VERDICT r11 #6, folds EVERY rows-only query's hash-matched
-#     portable twin into this window — dedup_minhash_portable,
-#     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
-#     ann_ivfpq_portable (plus the pairs above) — so each rows-only
-#     query and its twin are never both absent; the pairing is now
-#     declared in _ROWS_ONLY_TWINS and enforced by
-#     test_registry_hygiene.py::test_rows_only_twin_coverage;
-# (5) re-verifies the queries whose code changed this round (the r11
-#     ADVICE fixes): events_quantile_sketch and
-#     streaming_quantile_sketch (quantile label rounding + NULL
-#     filtering in sketches.py), events_trajectory_topk (query-key
-#     validation in the trajectory-similarity operator), window_ntile
-#     (row-count guard added around the global sort);
-# (6) schedules the two queries registered MID-r12 in the same round:
-#     sample_temperature_mix (alpha-temperature corpus rebalance with
-#     a ppm-rate full-replay oracle) and sample_leakage_split
-#     (near-dup-cluster-safe train/test split; components replayed by
-#     the recursive-CTE oracle), and docs_shard_by_budget
-#     (token-budget output sharding via the two-phase prefix sum) —
-#     string_agg_names, text_chunking and streaming_sessionize yield
-#     their canary slots (r6 cohort, eligible again next round);
-# (7) fills the remaining 32 slots with the OLDEST-verified greens as
-#     drift canaries (ascending last-checked round: the r5 window_*
-#     block, then the r6 cohort).
-# Future rotations: fill from (a) queries registered after this note
-# (enumerate the actual registry, not a remembered count), then
-# (b) oldest-verified greens as drift canaries; keep wordcount at
-# slot 1 and q1_pricing_summary; keep every _ROWS_ONLY_TWINS pair
-# covered (rows-only member or its twin in the window).
-# test_registry_hygiene.py::test_rotation_note_names_resolve asserts
-# every query name cited in this note resolves in _REGISTRY.
+# r13 ROTATION NOTE (supersedes the r12 note; r12 ran 49/50 oracle-
+# green + the by-design rows-only embedding_pca_project). Per VERDICT
+# r12 #6 the r13 window is picked STALEST-FIRST by last driver
+# CORRECTNESS round over the rotation basis CORRECTNESS_r01..r12
+# (_ROTATION_BASIS_ROUND below; the policy is recomputed from those
+# artifacts and asserted by test_registry_hygiene.py::
+# test_window_rotation_policy_stalest_first):
+# (1) wordcount stays slot 1 (driver entry smoke);
+# (2) queries with NO driver row in any basis round come first —
+#     the two registered this round: text_quality_classifier (learned
+#     quality filter, VERDICT r12 #1) and multimodal_video_meta
+#     (MP4 box walk, VERDICT r12 #2);
+# (3) forced re-verification of code touched this round (r12 ADVICE):
+#     window_ntile (the max-rows guard disabled on the parity
+#     path) and sample_leakage_split (integral-id guard + the
+#     cluster-id collision fix in sampling.py);
+# (4) ALL EIGHT rows-only queries re-enter — their latest rows are
+#     the stalest in the registry (ann_ivf_topk r2, dedup_minhash_lsh
+#     and dedup_simhash r5) or their code has evolved since r11
+#     (ann_pq_topk, ann_ivfpq_topk, bpe_merges, graph_kcore_customers,
+#     embedding_pca_project) — and each carries its _ROWS_ONLY_TWINS
+#     pairing, so twin coverage holds with the rows-only member;
+# (5) the remaining 37 slots fill stalest-first: the whole r6 cohort
+#     (text_pii_redact .. train_test_split) and the alphabetically
+#     first 27 of the r7 cohort (a24_to_json .. pivot_linestatus,
+#     incl. pandas_grouped_agg); the 19 remaining r7 queries are the
+#     r14 fill head.
+# Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
+# (wordcount + this round's code-touched queries + any rows-only
+# staleness), and let the policy test recompute the fill.
+_ROTATION_BASIS_ROUND = 12
+
+# Queries forced into the window regardless of staleness rank: the
+# entry smoke, this round's code-touched re-verifications, and the
+# eight rows-only members (twin coverage + evolved-code re-check).
+_WINDOW_FORCED: list[str] = [
+    "wordcount",
+    "window_ntile",
+    "sample_leakage_split",
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "bpe_merges",
+    "graph_kcore_customers",
+    "embedding_pca_project",
+]
+
 _ROWS_ONLY_WINDOW: set[str] = {
-    # VERDICT r11 #1: the last never-driver-checked registered query.
+    # all eight rows-only-by-design queries are windowed this round
+    # (rotation note point 4); each is twinned in _ROWS_ONLY_TWINS
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "bpe_merges",
+    "graph_kcore_customers",
     "embedding_pca_project",
 }
 
@@ -8478,60 +8488,60 @@ _ROWS_ONLY_TWINS: dict[str, str] = {
 
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
-    # -- VERDICT r11 #1: last never-checked query + its oracle twin:
-    "embedding_pca_project",
-    "embedding_covariance",
-    # -- registered this round, checked same round (VERDICT r11 #2/#6):
-    "bpe_segment",
-    "graph_kcore_portable",
-    # -- rows-only twins folded into the rotation (VERDICT r11 #6):
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "ann_ivf_portable",
-    "ann_pq_portable",
-    "ann_ivfpq_portable",
-    # -- code changed this round (r11 ADVICE fixes), re-verify:
-    "events_quantile_sketch",
-    "streaming_quantile_sketch",
-    "events_trajectory_topk",
+    # -- never driver-checked (registered this round):
+    "multimodal_video_meta",
+    "text_quality_classifier",
+    # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
-    # -- drift canaries (oldest-verified greens, ascending last-green):
-    "window_distribution",  # last checked r5
-    "window_moving_avg",
-    "window_range_frame",
-    "window_running_sum",
-    "a25_null_detection",  # r6 cohort from here
-    "approx_distinct_parts",
-    "array_higher_order",
-    "decontaminate_docs",
-    "dedup_cluster_components",
-    "dedup_keep_first",
-    "events_daily_gapfill",
-    "events_funnel",
-    "events_sessions_detail",
-    "grouped_map_udaf",
-    "grouping_sets",
-    "multimodal_decode",
-    "pandas_udf_scalar",
-    "percentiles",
-    "pipeline_quality_dedup_rollup",
-    "posexplode_tokens",
-    "q12_priority_by_flag",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_scalar_subquery",
-    "range_join_error_window",
-    "skew_salted_group_count",
-    "skew_salted_join",
-    "streaming_attribution",
-    "streaming_session_windows",
-    "docs_shard_by_budget",  # registered mid-r12, checked same round
-    "sample_temperature_mix",  # registered mid-r12, checked same round
-    "sample_leakage_split",  # registered mid-r12, checked same round
-    "q1_pricing_summary",  # the decimal-sum perf/correctness watch item
+    "sample_leakage_split",
+    # -- rows-only members, stalest rows in the registry / evolved code:
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "bpe_merges",
+    "graph_kcore_customers",
+    "embedding_pca_project",
+    # -- stalest-first fill: the full r6 cohort ...
+    "streaming_sessionize",
+    "string_agg_names",
+    "text_chunking",
+    "text_clean_normalize",
+    "text_pii_redact",
+    "text_repetition",
+    "train_test_split",
+    "unpivot_measures",
+    "upsert_orders",
+    "value_histogram",
+    # -- ... then the alphabetically-first 27 of the r7 cohort:
+    "a24_to_json",
+    "ann_ivf_knn_join",
+    "approx_percentile_bounded",
+    "asof_join_last_order",
+    "bitwise_ops",
+    "cogrouped_asof_merge",
+    "conditional_scalars",
+    "cube_quantity",
+    "date_functions",
+    "dedup_minhash_incremental",
+    "dedup_span_coverage",
+    "deterministic_shuffle",
+    "embedding_quantize_int8",
+    "equiheight_histogram",
+    "events_interpolate",
+    "events_multi_rollup",
+    "fuzzy_match_customers",
+    "hll_mergeable_sketches",
+    "interleave_sources",
+    "join_runtime_prefilter",
+    "key_skew_profile",
+    "like_patterns",
+    "map_type_ops",
+    "morton_code",
+    "multimodal_audio_meta",
+    "pandas_grouped_agg",
+    "pivot_linestatus",
 ]
 
 

@@ -206,6 +206,49 @@ def test_every_oracle_query_driver_checked_or_windowed():
     )
 
 
+def test_window_rotation_policy_stalest_first():
+    """VERDICT r12 #6, made executable: the window is picked
+    STALEST-FIRST by last driver CORRECTNESS round over the frozen
+    rotation basis (CORRECTNESS_r01.._ROTATION_BASIS_ROUND — frozen so
+    artifacts landing mid-round don't shift the expectation):
+
+      window == {wordcount}
+              | {never checked in any basis round}
+              | _WINDOW_FORCED
+              | stalest fill by (last_round, name) up to 50
+
+    Recomputed here from the artifacts themselves, so a future
+    registration or rotation that drifts from the policy fails."""
+    import glob
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    basis = q._ROTATION_BASIS_ROUND
+    last: dict[str, int] = {}
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", pathlib.Path(f).name).group(1))
+        if rnd > basis:
+            continue
+        for k in json.load(open(f)):
+            if k in q._REGISTRY:
+                last[k] = max(last.get(k, 0), rnd)
+    assert last, "no basis CORRECTNESS artifacts found"
+    never = {n for n in q._REGISTRY if n not in last}
+    expected = {"wordcount"} | never | set(q._WINDOW_FORCED)
+    candidates = sorted(
+        (rnd, n) for n, rnd in last.items() if n not in expected
+    )
+    fill = [n for _, n in candidates[: 50 - len(expected)]]
+    expected |= set(fill)
+    assert len(expected) == 50, len(expected)
+    assert set(q._DRIVER_WINDOW) == expected, (
+        sorted(set(q._DRIVER_WINDOW) - expected),
+        sorted(expected - set(q._DRIVER_WINDOW)),
+    )
+
+
 def test_rows_only_twin_coverage():
     """VERDICT r11 #6: every rows-only-by-design query is paired with
     a hash-matched oracle-able twin in ``_ROWS_ONLY_TWINS``, and each
