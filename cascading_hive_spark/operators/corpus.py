@@ -136,6 +136,23 @@ def gopher_quality_rules(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     return out.withColumn("keep", keep)
 
 
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — word bigrams built array-side (transform +
+    element_at, no positional self-join); shared by bigram_lm_score
+    and lm_perplexity_buckets."""
+    words = F.filter(_word_array(F.col(text_col)), lambda x: x != F.lit(""))
+    n = F.size(words)
+    bigrams = F.transform(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(words, i.cast("int") + 2).alias("w2")
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
 def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Average add-one-smoothed bigram log-probability per document,
     with the LM trained on the same corpus — the classic cheap
@@ -152,18 +169,7 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     keep only top-K contexts and broadcast (unseen → the smoothing
     floor), which this operator's add-one floor already makes exact.
     """
-    words = F.filter(_word_array(F.col(text_col)), lambda x: x != F.lit(""))
-    n = F.size(words)
-    bigrams = F.transform(
-        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
-        lambda x, i: F.struct(
-            x.alias("w1"), F.element_at(words, i.cast("int") + 2).alias("w2")
-        ),
-    )
-    doc_bigrams = (
-        docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    )
+    doc_bigrams = _doc_bigrams(docs, id_col, text_col)
     c2 = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = doc_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
@@ -177,6 +183,83 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(
                 F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))), 4
             ).alias("lm_score"),
+        )
+    )
+
+
+def lm_perplexity_buckets(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """CCNet-style LM perplexity filtering (Wenzek et al. 2020): train
+    an add-one-smoothed bigram LM on a REFERENCE corpus, score every
+    target document's negative log-likelihood against it, and bucket
+    the corpus into head/middle/tail by exact NLL terciles — the
+    standard crawl-quality split (keep head, review middle, drop
+    tail). Unlike ``bigram_lm_score`` (in-corpus LM), the LM here is
+    cross-corpus, so unseen contexts/bigrams take the smoothing floor
+    ln(1/(c1+V)) with c1=0 — the path that matters when scoring a
+    crawl against clean reference text.
+
+    Determinism/oracle discipline: per-doc NLL accumulates through the
+    decimal-image sum (round each ln to 9 dp, exact decimal adds —
+    order-independent), divides once in double, and buckets on the
+    micro-NLL integer image with interpolated terciles (the
+    window_ntile_binned cents pattern) — both engines compute
+    identical buckets. Docs with no bigram (<2 words) come back
+    bucket='unscored' with NULL nll.
+
+    Scale shape: count tables are vocabulary-sized map-side-combined
+    aggs; scoring shuffles on the bigram key only; the tercile edges
+    are ONE percentile aggregate broadcast back onto a narrow map —
+    no global sort, no window. At 100 TB the reference corpus is tiny
+    by definition (clean text), so c2/c1 broadcast.
+    """
+    tb = _doc_bigrams(train, id_col, text_col)
+    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    sb = _doc_bigrams(score, id_col, text_col)
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    per_doc = (
+        sb.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                -F.sum(F.round(logp, 9).cast("decimal(30,9)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_nll"),
+        )
+        .withColumn("_micro", F.round(F.col("_nll") * 1e6, 0).cast("bigint"))
+    )
+    edges = per_doc.agg(
+        F.percentile(F.col("_micro"), F.lit([1.0 / 3.0, 2.0 / 3.0])).alias("_t")
+    )
+    bucketed = per_doc.crossJoin(F.broadcast(edges)).select(
+        id_col,
+        "n_bigrams",
+        (F.round(F.col("_nll"), 6) + F.lit(0.0)).alias("nll"),
+        F.when(F.col("_micro") <= F.element_at("_t", 1), "head")
+        .when(F.col("_micro") <= F.element_at("_t", 2), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        score.select(id_col)
+        .join(bucketed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "nll",
+            F.coalesce("bucket", F.lit("unscored")).alias("bucket"),
         )
     )
 

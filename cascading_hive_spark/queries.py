@@ -4233,6 +4233,59 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# CCNet-style perplexity filter (r13): bigram LM trained on a 30%
+# reference slice (doc_id % 10 < 3), every document scored CROSS-
+# corpus (unseen bigrams/contexts take the smoothing floor — the path
+# in-corpus text_bigram_lm never exercises), then head/middle/tail by
+# exact NLL terciles on the micro-NLL integer image (the
+# window_ntile_binned cents pattern). Decimal-image ln sums keep the
+# per-doc NLL order-independent and bit-identical cross-engine.
+@register(
+    "text_perplexity_buckets",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS w
+      FROM documents),
+    tb AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM w, (SELECT unnest(generate_series(1, len(w)-1)) AS i)
+      WHERE (doc_id % 10 + 10) % 10 < 3),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+    v AS (SELECT count(*) AS v FROM c1),
+    sb AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM w, (SELECT unnest(generate_series(1, len(w)-1)) AS i)),
+    scored AS (
+      SELECT sb.doc_id, count(*) AS nb,
+             - CAST(sum(CAST(round(ln((coalesce(c2.c2, 0) + 1.0)
+                                      / (coalesce(c1.c1, 0) + v.v)), 9)
+                             AS DECIMAL(30,9))) AS DOUBLE)
+               / count(*) AS nll_raw
+      FROM sb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v
+      GROUP BY sb.doc_id),
+    m AS (SELECT doc_id, nb, nll_raw,
+                 CAST(round(nll_raw * 1000000.0, 0) AS BIGINT) AS micro
+          FROM scored),
+    e AS (SELECT quantile_cont(micro, 1.0/3.0) AS t1,
+                 quantile_cont(micro, 2.0/3.0) AS t2 FROM m)
+    SELECT d.doc_id, CAST(coalesce(m.nb, 0) AS BIGINT) AS n_bigrams,
+           round(m.nll_raw, 6) + 0.0 AS nll,
+           coalesce(CASE WHEN m.micro <= e.t1 THEN 'head'
+                         WHEN m.micro <= e.t2 THEN 'middle'
+                         ELSE 'tail' END, 'unscored') AS bucket
+    FROM documents d LEFT JOIN m USING (doc_id) CROSS JOIN e
+    """,
+)
+def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import lm_perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 3)
+    return lm_perplexity_buckets(train, d, "doc_id", "text")
+
+
 @register(
     "interleave_sources",
     """

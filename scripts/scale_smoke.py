@@ -39,6 +39,8 @@ Usage: python scripts/scale_smoke.py <name> [args]
     tempmix   [n=50000000] [n_sources=20]
     leakage   [n=20000000] [n_pairs=1000000]
     shard     [n=20000000] [budget=100000]
+    quality_classifier [n=1000000]
+    perplexity [n=1000000]
 
 Each prints one JSON line per measurement.
 """
@@ -1302,6 +1304,38 @@ def smoke_decontaminate(n: int = 1_000_000) -> None:
     }), flush=True)
 
 
+def smoke_perplexity(n: int = 1_000_000) -> None:
+    """lm_perplexity_buckets at corpus scale: LM trained on a 3% slice
+    (reference corpora are small by definition), all n docs scored.
+    The scoring join shuffles on the bigram key with vocabulary-sized
+    count tables; wall must stay near-linear in n and the tercile
+    split must cover scored docs roughly evenly."""
+    import time as _t
+
+    from cascading_hive_spark.operators.corpus import lm_perplexity_buckets
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.0, n_vocab=5000
+        ).localCheckpoint()
+        train = docs.filter(F.col("doc_id") % 33 == 0)
+        t0 = _t.monotonic()
+        out = lm_perplexity_buckets(train, docs, "doc_id", "text")
+        counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        wall = round(_t.monotonic() - t0, 1)
+        n_scored = sum(v for k, v in counts.items() if k != "unscored")
+        assert sum(counts.values()) == size, counts
+        for b in ("head", "middle", "tail"):
+            assert counts.get(b, 0) >= n_scored * 0.2, counts
+        print(json.dumps({
+            "smoke": "perplexity", "n_docs": size, "wall_sec": wall,
+            "buckets": counts,
+        }), flush=True)
+
+
 def smoke_quality_classifier(n: int = 1_000_000) -> None:
     """Learned quality-classifier scoring at corpus scale (VERDICT
     r12 #1): the frozen 128-bucket weight table is a plan literal, so
@@ -1740,4 +1774,5 @@ if __name__ == "__main__":
         "pq": smoke_pq,
         "fuzzy": smoke_fuzzy,
         "quality_classifier": smoke_quality_classifier,
+        "perplexity": smoke_perplexity,
     }[name](*args)

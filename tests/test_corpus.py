@@ -404,3 +404,53 @@ def test_rrf_fuse_known_ranks(spark):
     d = spark.createDataFrame([(7, 1)], "doc_id long, r int")
     assert [r.doc_id for r in rrf_fuse([c, d], topk=None).collect()] == [7, 9]
     assert len(rrf_fuse([a, b], topk=2).collect()) == 2
+
+
+def test_perplexity_buckets_manual_floor_and_terciles(spark):
+    """CCNet-style cross-corpus scoring: the LM trains on docs 1-2
+    only; doc 4's bigram (x,y) is fully unseen so its logp is the
+    smoothing floor ln(1/(0+V)); buckets partition scored docs into
+    head/middle/tail by NLL terciles; a <2-word doc is 'unscored'."""
+    from cascading_hive_spark.operators.corpus import lm_perplexity_buckets
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b"), (2, "a b a c"),  # train slice
+            (3, "a b"), (4, "x y"), (5, "a c"), (6, "solo"),
+        ],
+    )
+    train = docs.filter(F.col("doc_id") <= 2)
+    out = {r.doc_id: r for r in
+           lm_perplexity_buckets(train, docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # train counts: bigrams (a,b)x2, (b,a), (a,c); c1: a->3, b->1; V=2
+    assert out[3].nll == pytest.approx(-round(math.log(3 / 5), 9), abs=1e-6)
+    # unseen context AND bigram -> floor ln((0+1)/(0+2))
+    assert out[4].nll == pytest.approx(-round(math.log(1 / 2), 9), abs=1e-6)
+    assert out[6].bucket == "unscored" and out[6].nll is None
+    assert out[6].n_bigrams == 0
+    scored = [r for r in out.values() if r.bucket != "unscored"]
+    buckets = {r.bucket for r in scored}
+    assert buckets <= {"head", "middle", "tail"}
+    # the lowest-NLL doc is head, the highest is tail
+    lo = min(scored, key=lambda r: r.nll)
+    hi = max(scored, key=lambda r: r.nll)
+    assert lo.bucket == "head" and hi.bucket == "tail"
+
+
+def test_perplexity_buckets_tercile_shares(spark, sf_dir):
+    """On real documents the tercile split puts ~1/3 of scored docs in
+    each bucket (exact interpolated edges; ties share a bucket)."""
+    from cascading_hive_spark.operators.corpus import lm_perplexity_buckets
+    from cascading_hive_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 3)
+    out = lm_perplexity_buckets(train, d, "doc_id", "text")
+    counts = {r.bucket: r.n for r in out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_scored = sum(v for k, v in counts.items() if k != "unscored")
+    assert n_scored >= 400
+    for b in ("head", "middle", "tail"):
+        assert counts[b] >= n_scored * 0.25, counts
