@@ -345,8 +345,14 @@ def quality_classifier_score(
 
     Scale shape: the weight table is a plan literal (any n_buckets a
     linear model wants fits in a task binary), so scoring is MAP-ONLY
-    — no join, no shuffle, full codegen; 100 TB scores in one scan.
+    — no join, no key shuffle, full codegen; 100 TB scores in one
+    scan. The per-gram hash work is compute-dense, so small
+    single-file corpora go through ``spread`` first (round-robin to
+    cluster parallelism — a no-op on an already-wide scan; the
+    text.analyze pattern).
     """
+    from cascading_hive_spark.operators.dedup import spread
+
     nb = len(weights)
     w_arr = F.array(
         *[F.lit(int(round(w * 1_000_000))).cast("bigint") for w in weights]
@@ -357,7 +363,7 @@ def quality_classifier_score(
         F.lit(0).cast("bigint"),
         lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
     )
-    out = df.select(
+    out = spread(df).select(
         F.col(id_col),
         F.size(buckets).cast("bigint").alias("n_grams"),
         (dot.cast("double") / F.lit(1_000_000.0)).alias("_dot"),

