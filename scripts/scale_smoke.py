@@ -1317,8 +1317,14 @@ def smoke_perplexity(n: int = 1_000_000) -> None:
 
     spark = _spark()
     for size in (n // 10, n):
+        # large-vocab synthetic tokens are "w123"-shaped; the LM's
+        # [a-z]+ tokenizer would collapse them all to "w" (degenerate
+        # all-tie NLLs) — map digits to letters so the 5000-word
+        # vocabulary survives tokenization
         docs = synthetic_documents(
             spark, n=size, dup_rate=0.0, n_vocab=5000
+        ).withColumn(
+            "text", F.translate("text", "0123456789", "abcdefghij")
         ).localCheckpoint()
         train = docs.filter(F.col("doc_id") % 33 == 0)
         t0 = _t.monotonic()
@@ -1328,8 +1334,10 @@ def smoke_perplexity(n: int = 1_000_000) -> None:
         wall = round(_t.monotonic() - t0, 1)
         n_scored = sum(v for k, v in counts.items() if k != "unscored")
         assert sum(counts.values()) == size, counts
+        # with the digit->letter fix above the NLLs are non-degenerate
+        # and the split is near-exact thirds (measured 33.3/33.5/33.2)
         for b in ("head", "middle", "tail"):
-            assert counts.get(b, 0) >= n_scored * 0.2, counts
+            assert counts.get(b, 0) >= n_scored * 0.25, counts
         print(json.dumps({
             "smoke": "perplexity", "n_docs": size, "wall_sec": wall,
             "buckets": counts,
@@ -1367,9 +1375,17 @@ def smoke_quality_classifier(n: int = 1_000_000) -> None:
         ).first()
         wall = round(_t.monotonic() - t0, 1)
         assert row["n"] == size and row["n_null"] == 0, row
+        # the xxhash64 scale path: same machinery, no md5 oracle tax
+        t0 = _t.monotonic()
+        quality_classifier_score(
+            docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1,
+            portable=False,
+        ).write.format("noop").mode("overwrite").save()
+        xx_wall = round(_t.monotonic() - t0, 1)
         print(json.dumps({
             "smoke": "quality_classifier", "n_docs": size,
-            "score_wall_sec": wall, "n_pass": row["n_pass"],
+            "score_wall_sec": wall, "xxhash_score_wall_sec": xx_wall,
+            "n_pass": row["n_pass"],
         }), flush=True)
     # bounded fit leg: 50k labeled docs through featurize + IRLS
     sample = docs.filter(F.col("doc_id") % (n // 50_000) == 0).withColumn(
