@@ -1043,6 +1043,79 @@ def ab_test_zscore(
     )
 
 
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    micro_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label via the
+    midrank Mann-Whitney statistic (ties get the average rank — the
+    textbook-exact AUC, not a trapezoid approximation):
+
+        AUC = (Σ midrank(positives) − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+
+    — the standard evaluation for the learned quality classifier
+    (text.quality_classifier_score) and any other scorer here.
+
+    Scale shape: scores round to a ``micro_scale`` integer image, so
+    the heavy pass is ONE map-side-combined groupBy(micro) over the
+    corpus producing at most (score range · micro_scale) count rows;
+    midranks come from a cumulative window over THAT bounded counts
+    table (the packing offset-table pattern — the corpus never sorts
+    globally), and everything stays in exact integer arithmetic until
+    the final division. NULL scores/labels are excluded (counted in
+    the output for auditability).
+
+    Returns one row: (auc, n_pos, n_neg, n_null).
+    """
+    base = df.select(
+        F.round(F.col(score_col) * micro_scale, 0).cast("bigint").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    totals = base.agg(
+        F.sum(
+            (F.col("_s").isNull() | F.col("_y").isNull()).cast("long")
+        ).alias("n_null")
+    )
+    counts = (
+        base.filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("long").alias("np_b"),
+            F.sum(1 - F.col("_y")).cast("long").alias("nn_b"),
+        )
+    )
+    # midrank in HALF-UNITS so every intermediate stays an exact
+    # integer (a double rank_sum would be accumulation-order-dependent
+    # across engines): midrank2 = 2*(count before) + (count here + 1)
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.select(
+        "np_b",
+        "nn_b",
+        (
+            2 * F.coalesce(F.sum(F.col("np_b") + F.col("nn_b")).over(w), F.lit(0))
+            + F.col("np_b")
+            + F.col("nn_b")
+            + 1
+        ).alias("midrank2"),
+    )
+    agg = ranked.agg(
+        F.sum("np_b").alias("n_pos"),
+        F.sum("nn_b").alias("n_neg"),
+        F.sum(F.col("np_b") * F.col("midrank2")).alias("rank_sum2"),
+    )
+    auc = (
+        F.col("rank_sum2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("double") / (2.0 * (F.col("n_pos") * F.col("n_neg")).cast("double"))
+    return agg.crossJoin(F.broadcast(totals)).select(
+        (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+    )
+
+
 def global_ntile(
     df: DataFrame,
     n: int,

@@ -4206,6 +4206,69 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact ROC-AUC of the frozen classifier's margin against its weak
+# training label (midrank Mann-Whitney — relational.binary_auc): the
+# evaluation leg of the learned-filter family. The oracle replays the
+# WHOLE chain — featurize, margin, label, per-micro-score counts,
+# half-unit midranks — in exact integer arithmetic until the single
+# final division, so the one output row hash-matches bit-for-bit.
+@register(
+    "classifier_auc",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             list_transform(
+               range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1),
+               i -> CAST(concat('0x', substr(md5(concat('qc13|',
+                      substr(coalesce(text, ''), CAST(i AS INT), 3))),
+                      1, 8)) AS BIGINT) % 128) AS bk
+      FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             round(CAST(list_sum(list_transform(bk,
+                     x -> ({_QC_W_SQL})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE)
+               / CAST(len(bk) AS DOUBLE) + CAST(2.512477 AS DOUBLE), 6)
+               + 0.0 AS margin
+      FROM b),
+    sc AS (
+      SELECT CAST(round(margin * 1000000.0, 0) AS BIGINT) AS s,
+             CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                w -> w = 'the' OR w = 'a')) AS DOUBLE)
+                       / len(string_split(text, ' ')) > 0.06
+                  THEN 1 ELSE 0 END AS y
+      FROM m),
+    cnt AS (SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM sc GROUP BY s),
+    r AS (
+      SELECT np, nn,
+             2 * coalesce(sum(np + nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + np + nn + 1 AS mr2
+      FROM cnt)
+    SELECT round(CAST(sum(np * mr2) - sum(np) * (sum(np) + 1) AS DOUBLE)
+                 / (2.0 * CAST(sum(np) * sum(nn) AS DOUBLE)), 6) + 0.0 AS auc,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(0 AS BIGINT) AS n_null
+    FROM r
+    """,
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import binary_auc
+    from cascading_hive_spark.operators.text import quality_classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_classifier_score(
+        d, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+    )
+    toks = F.split(F.col("text"), " ")
+    fw = F.size(F.filter(toks, lambda w: (w == "the") | (w == "a"))).cast(
+        "double"
+    ) / F.size(toks).cast("double")
+    labeled = d.select("doc_id", (fw > 0.06).cast("int").alias("y"))
+    return binary_auc(scored.join(labeled, "doc_id"), "margin", "y")
+
+
 @register(
     "text_bigram_lm",
     """
