@@ -332,6 +332,36 @@ def decode_audio(df: DataFrame) -> DataFrame:
     )
 
 
+def _walk_boxes(b: bytes, lo: int, hi: int):
+    """ISO-BMFF sibling-box generator: yields (box_type, body_lo,
+    body_hi); handles 32-bit sizes, size==1 (64-bit largesize follows
+    the type) and size==0 (box extends to the end of the enclosing
+    box); stops silently on structural corruption (size < 8, body
+    past the enclosing bound). Shared by parse_mp4_meta and
+    parse_mp4_frame_runs."""
+    pos = lo
+    while pos + 8 <= hi:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > hi:
+                return
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            body = pos + 16
+            if size < 16:
+                return
+        elif size == 0:  # extends to end of enclosing box
+            size = hi - pos
+        elif size < 8:
+            return
+        end = pos + size
+        if end > hi:
+            return
+        yield tag, body, end
+        pos = end
+
+
 def parse_mp4_meta(b: bytes):
     """Pure-Python ISO-BMFF (MP4) box walk: (major_brand, timescale,
     duration, n_tracks) from the ftyp and moov/mvhd + trak boxes, or
@@ -349,28 +379,7 @@ def parse_mp4_meta(b: bytes):
     of bad blobs must not kill the job."""
 
     def walk(lo: int, hi: int):
-        # yields (box_type, body_lo, body_hi); stops on corruption
-        pos = lo
-        while pos + 8 <= hi:
-            size = int.from_bytes(b[pos : pos + 4], "big")
-            tag = b[pos + 4 : pos + 8]
-            body = pos + 8
-            if size == 1:  # 64-bit largesize
-                if pos + 16 > hi:
-                    return
-                size = int.from_bytes(b[pos + 8 : pos + 16], "big")
-                body = pos + 16
-                if size < 16:
-                    return
-            elif size == 0:  # extends to end of enclosing box
-                size = hi - pos
-            elif size < 8:
-                return
-            end = pos + size
-            if end > hi:
-                return
-            yield tag, body, end
-            pos = end
+        return _walk_boxes(b, lo, hi)
 
     if len(b) < 8:
         return (None, None, None, None)
@@ -439,6 +448,187 @@ def decode_video(df: DataFrame) -> DataFrame:
         batches,
         "id long, major_brand string, timescale int, duration long, "
         "duration_ms long, n_tracks int",
+    )
+
+
+def parse_mp4_frame_runs(b: bytes):
+    """Frame timing from the first trak carrying an stts box:
+    (media_timescale, [(sample_count, sample_delta), ...]) via the
+    trak → mdia → (mdhd, minf → stbl → stts) walk, or (None, None)
+    when no track has sample timing. The run-length stts entries are
+    returned UN-expanded — a 2-hour 30 fps track is 216k frames but
+    usually a handful of runs, and samplers can index into runs
+    arithmetically. mdhd v0 and v1 both parsed; a malformed stts
+    (declared entries past the box end) yields (None, None)."""
+    for tag, lo, hi in _walk_boxes(b, 0, len(b)):
+        if tag != b"moov":
+            continue
+        for t2, lo2, hi2 in _walk_boxes(b, lo, hi):
+            if t2 != b"trak":
+                continue
+            timescale = None
+            runs = None
+            for t3, lo3, hi3 in _walk_boxes(b, lo2, hi2):
+                if t3 != b"mdia":
+                    continue
+                for t4, lo4, hi4 in _walk_boxes(b, lo3, hi3):
+                    if t4 == b"mdhd" and hi4 - lo4 >= 4:
+                        version = b[lo4]
+                        if version == 1 and hi4 - lo4 >= 24:
+                            timescale = int.from_bytes(
+                                b[lo4 + 20 : lo4 + 24], "big"
+                            )
+                        elif version == 0 and hi4 - lo4 >= 16:
+                            timescale = int.from_bytes(
+                                b[lo4 + 12 : lo4 + 16], "big"
+                            )
+                    elif t4 == b"minf":
+                        for t5, lo5, hi5 in _walk_boxes(b, lo4, hi4):
+                            if t5 != b"stbl":
+                                continue
+                            for t6, lo6, hi6 in _walk_boxes(b, lo5, hi5):
+                                if t6 != b"stts" or hi6 - lo6 < 8:
+                                    continue
+                                n_entries = int.from_bytes(
+                                    b[lo6 + 4 : lo6 + 8], "big"
+                                )
+                                if lo6 + 8 + 8 * n_entries > hi6:
+                                    return (None, None)  # malformed
+                                runs = [
+                                    (
+                                        int.from_bytes(
+                                            b[lo6 + 8 + 8 * j : lo6 + 12 + 8 * j],
+                                            "big",
+                                        ),
+                                        int.from_bytes(
+                                            b[lo6 + 12 + 8 * j : lo6 + 16 + 8 * j],
+                                            "big",
+                                        ),
+                                    )
+                                    for j in range(n_entries)
+                                ]
+            if runs is not None:
+                return (timescale, runs)
+    return (None, None)
+
+
+def video_frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Container-aware frame sampling: every ``every_k``-th frame's
+    presentation time from the stts (decoding time-to-sample) box —
+    the REAL offsets a video pipeline hands to a codec's seek, vs
+    ``frame_sample``'s raw byte stride. Emits (id, frame_idx, pts,
+    timescale) per sampled frame; pts is the cumulative sum of
+    sample deltas up to the frame, computed arithmetically from the
+    run-length stts entries (never materializing per-frame rows
+    Python-side beyond the sampled ones). Same Arrow mapInPandas
+    pipeline as the other decode legs; docs without sample timing
+    emit no rows (filter-join semantics, like frame extraction on a
+    non-video blob)."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ptss, tss = [], [], [], []
+            for did, blob in zip(pdf["id"], pdf["payload"]):
+                ts, runs = parse_mp4_frame_runs(bytes(blob))
+                if runs is None:
+                    continue
+                base_t = 0
+                base_i = 0
+                for count, delta in runs:
+                    # sampled indices inside this run
+                    first = ((base_i + every_k - 1) // every_k) * every_k
+                    for i in range(first, base_i + count, every_k):
+                        ids.append(did)
+                        idxs.append(i)
+                        ptss.append(base_t + (i - base_i) * delta)
+                        tss.append(ts)
+                    base_t += count * delta
+                    base_i += count
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "pts": pd.Series(ptss, dtype="int64"),
+                    "timescale": pd.Series(tss, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches, "id long, frame_idx long, pts long, timescale int"
+    )
+
+
+def synth_mp4_with_stts(
+    timescale, n1, d1, n2, d2
+) -> "F.Column":
+    """MP4 with real sample timing: ftyp + moov[mvhd + trak[mdia[
+    mdhd v0(timescale) + minf[stbl[stts(two runs (n1,d1),(n2,d2))]]]]]
+    — built ENTIRELY JVM-side like the other synth payloads. Box
+    sizes are fixed (two stts runs), so every size field is a literal.
+    """
+
+    def be(col, nbytes: int):
+        return F.unhex(F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0"))
+
+    stts = F.concat(
+        F.unhex(F.lit("00000020")),  # 8 + 4 + 4 + 2*8 = 32
+        F.lit("stts").cast("binary"),
+        F.unhex(F.lit("00000000")),  # version/flags
+        F.unhex(F.lit("00000002")),  # entry_count = 2
+        be(n1, 4), be(d1, 4), be(n2, 4), be(d2, 4),
+    )
+    stbl = F.concat(
+        F.unhex(F.lit("00000028")), F.lit("stbl").cast("binary"), stts
+    )  # 8 + 32 = 40
+    minf = F.concat(
+        F.unhex(F.lit("00000030")), F.lit("minf").cast("binary"), stbl
+    )  # 8 + 40 = 48
+    mdhd = F.concat(
+        F.unhex(F.lit("00000020")),  # 32
+        F.lit("mdhd").cast("binary"),
+        F.unhex(F.lit("00000000")),  # v0 + flags
+        F.unhex(F.lit("0000000000000000")),  # creation + modification
+        be(timescale, 4),
+        be((n1.cast("bigint") * d1 + n2.cast("bigint") * d2), 4),  # duration
+        F.unhex(F.lit("00000000")),  # language + pre_defined
+    )
+    mdia = F.concat(
+        F.unhex(F.lit("00000058")), F.lit("mdia").cast("binary"), mdhd, minf
+    )  # 8 + 32 + 48 = 88
+    trak = F.concat(
+        F.unhex(F.lit("00000060")), F.lit("trak").cast("binary"), mdia
+    )  # 8 + 88 = 96
+    mvhd = F.concat(
+        F.unhex(F.lit("0000006C")),
+        F.lit("mvhd").cast("binary"),
+        F.unhex(F.lit("00000000")),
+        F.unhex(F.lit("0000000000000000")),
+        be(timescale, 4),
+        be((n1.cast("bigint") * d1 + n2.cast("bigint") * d2), 4),
+        F.unhex(F.lit("00010000")),
+        F.unhex(F.lit("0100")),
+        F.unhex(F.lit("0000" + "00" * 8)),
+        F.unhex(
+            F.lit(
+                "00010000000000000000000000000000"
+                "00010000000000000000000000000000"
+                "40000000"
+            )
+        ),
+        F.unhex(F.lit("00" * 24)),
+        F.unhex(F.lit("00000002")),
+    )
+    moov = F.concat(
+        be(F.lit(8 + 108 + 96), 4), F.lit("moov").cast("binary"), mvhd, trak
+    )
+    return F.concat(
+        F.unhex(F.lit("00000010")),
+        F.lit("ftyp").cast("binary"),
+        F.lit("isom").cast("binary"),
+        F.unhex(F.lit("00000000")),
+        moov,
     )
 
 

@@ -4914,6 +4914,55 @@ def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video(payloads)
 
 
+# Container-aware frame sampling (r13): every 2nd frame's presentation
+# time from REAL stts (time-to-sample) boxes — JVM-built MP4s with a
+# full trak→mdia→(mdhd, minf→stbl→stts) chain and TWO timing runs,
+# walked back by the pure-Python parser; the oracle expands the
+# run-length arithmetic directly (idx < n1 ? idx*d1 : n1*d1 +
+# (idx-n1)*d2). Exercises the box walk three levels deeper than
+# multimodal_video_meta.
+@register(
+    "multimodal_video_frames",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(600 + ((doc_id % 3 + 3) % 3) * 200 AS INT) AS timescale,
+             ((doc_id % 7 + 7) % 7) + 1 AS n1,
+             100 + ((doc_id % 5 + 5) % 5) * 10 AS d1,
+             ((doc_id % 4 + 4) % 4) AS n2,
+             250 AS d2
+      FROM documents),
+    f AS (
+      SELECT doc_id, timescale, n1, d1, n2, d2, i AS frame_idx
+      FROM p, (SELECT unnest(range(0, CAST(n1 + n2 AS BIGINT))) AS i)
+      WHERE i % 2 = 0)
+    SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN frame_idx < n1 THEN frame_idx * d1
+                     ELSE n1 * d1 + (frame_idx - n1) * d2 END AS BIGINT) AS pts,
+           timescale
+    FROM f
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.multimodal import (
+        synth_mp4_with_stts,
+        video_frame_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        F.col("doc_id").alias("id"),
+        synth_mp4_with_stts(
+            (F.pmod(F.col("doc_id"), F.lit(3)) * 200 + 600).cast("int"),
+            F.pmod(F.col("doc_id"), F.lit(7)) + 1,
+            F.pmod(F.col("doc_id"), F.lit(5)) * 10 + 100,
+            F.pmod(F.col("doc_id"), F.lit(4)),
+            F.lit(250),
+        ).alias("payload"),
+    )
+    return video_frame_sample(payloads, every_k=2)
+
+
 # Linear-interpolation gap fill (the resample step beyond
 # events_daily_gapfill's zero-fill): a 1% content-addressed sample of
 # events makes real daily gaps at every SF; each event_type's missing

@@ -334,3 +334,103 @@ def test_decode_video_roundtrip_through_arrow(spark):
 
     one = df.filter(F.col("id") == 9).collect()[0]
     assert parse_mp4_meta(bytes(one.payload)) == ("isom", 600, 1000, 1)
+
+
+# --- stts frame-timing walk (pure Python + Arrow round-trip) --------
+def _stts(runs) -> bytes:
+    import struct
+
+    body = bytes([0, 0, 0, 0]) + struct.pack(">I", len(runs))
+    for c, d in runs:
+        body += struct.pack(">II", c, d)
+    return _box(b"stts", body)
+
+
+def _video_mp4(timescale=600, runs=((3, 100),), mdhd_version=0) -> bytes:
+    import struct
+
+    if mdhd_version == 1:
+        mdhd = _box(
+            b"mdhd",
+            bytes([1, 0, 0, 0]) + struct.pack(">QQIQ", 0, 0, timescale, 0) + b"\x00" * 4,
+        )
+    else:
+        mdhd = _box(
+            b"mdhd",
+            bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, timescale, 0) + b"\x00" * 4,
+        )
+    stbl = _box(b"stbl", _stts(runs))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + minf)
+    trak = _box(b"trak", mdia)
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4)
+    return ftyp + _box(b"moov", _mvhd() + trak)
+
+
+def test_parse_mp4_frame_runs_well_formed_and_v1():
+    from cascading_hive_spark.operators.multimodal import parse_mp4_frame_runs
+
+    assert parse_mp4_frame_runs(_video_mp4()) == (600, [(3, 100)])
+    assert parse_mp4_frame_runs(
+        _video_mp4(90000, ((24, 3750), (1, 7500)))
+    ) == (90000, [(24, 3750), (1, 7500)])
+    assert parse_mp4_frame_runs(_video_mp4(1000, mdhd_version=1)) == (
+        1000,
+        [(3, 100)],
+    )
+
+
+def test_parse_mp4_frame_runs_corrupt_and_absent():
+    import struct
+
+    from cascading_hive_spark.operators.multimodal import parse_mp4_frame_runs
+
+    # metadata-only MP4 (no trak timing chain) -> no runs
+    assert parse_mp4_frame_runs(_mp4()) == (None, None)
+    assert parse_mp4_frame_runs(b"") == (None, None)
+    assert parse_mp4_frame_runs(_wav()) == (None, None)
+    # stts declaring more entries than its box holds -> malformed
+    bad_stts = _box(
+        b"stts", bytes([0, 0, 0, 0]) + struct.pack(">I", 99) + struct.pack(">II", 1, 1)
+    )
+    mdia = _box(b"mdia", _box(b"minf", _box(b"stbl", bad_stts)))
+    blob = _box(b"ftyp", b"isom" + b"\x00" * 4) + _box(
+        b"moov", _mvhd() + _box(b"trak", mdia)
+    )
+    assert parse_mp4_frame_runs(blob) == (None, None)
+
+
+def test_video_frame_sample_roundtrip_and_run_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.multimodal import (
+        synth_mp4_with_stts,
+        video_frame_sample,
+    )
+
+    # id=0: runs (3,100),(2,250) -> frames at 0,100,200,300,550;
+    # every_k=2 samples idx 0,2,4 -> pts 0,200,550 (crosses the run
+    # boundary: idx 4 = 300 + 1*250)
+    df = spark.range(0, 1).select(
+        F.col("id"),
+        synth_mp4_with_stts(
+            F.lit(600), F.lit(3), F.lit(100), F.lit(2), F.lit(250)
+        ).alias("payload"),
+    )
+    rows = sorted(
+        video_frame_sample(df, every_k=2).collect(), key=lambda r: r.frame_idx
+    )
+    assert [(r.frame_idx, r.pts) for r in rows] == [(0, 0), (2, 200), (4, 550)]
+    assert all(r.timescale == 600 for r in rows)
+    # every_k=1 materializes every frame
+    all_rows = video_frame_sample(df, every_k=1).collect()
+    assert sorted(r.pts for r in all_rows) == [0, 100, 200, 300, 550]
+    # non-video blobs emit no rows
+    nonvideo = spark.createDataFrame(
+        [(9, bytearray(b"not an mp4"))], "id long, payload binary"
+    )
+    assert video_frame_sample(nonvideo).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="every_k"):
+        video_frame_sample(df, every_k=0)
