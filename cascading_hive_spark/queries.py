@@ -8580,9 +8580,11 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_window_rotation_policy_stalest_first):
 # (1) wordcount stays slot 1 (driver entry smoke);
 # (2) queries with NO driver row in any basis round come first —
-#     the two registered this round: text_quality_classifier (learned
-#     quality filter, VERDICT r12 #1) and multimodal_video_meta
-#     (MP4 box walk, VERDICT r12 #2);
+#     the five registered this round: text_quality_classifier
+#     (learned quality filter, VERDICT r12 #1), multimodal_video_meta
+#     (MP4 box walk, VERDICT r12 #2), text_perplexity_buckets
+#     (CCNet cross-corpus LM filter), classifier_auc (exact midrank
+#     AUC) and multimodal_video_frames (stts frame sampling);
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -8593,11 +8595,11 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (ann_pq_topk, ann_ivfpq_topk, bpe_merges, graph_kcore_customers,
 #     embedding_pca_project) — and each carries its _ROWS_ONLY_TWINS
 #     pairing, so twin coverage holds with the rows-only member;
-# (5) the remaining 37 slots fill stalest-first: the whole r6 cohort
+# (5) the remaining 34 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 27 of the r7 cohort (a24_to_json .. pivot_linestatus,
-#     incl. pandas_grouped_agg); the 19 remaining r7 queries are the
-#     r14 fill head.
+#     first 24 of the r7 cohort (a24_to_json .. morton_code); the 22
+#     remaining r7 queries (multimodal_audio_meta onward) are the r14
+#     fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
 # staleness), and let the policy test recompute the fill.
@@ -8654,7 +8656,10 @@ _ROWS_ONLY_TWINS: dict[str, str] = {
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- never driver-checked (registered this round):
+    "classifier_auc",
+    "multimodal_video_frames",
     "multimodal_video_meta",
+    "text_perplexity_buckets",
     "text_quality_classifier",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
@@ -8704,9 +8709,6 @@ _DRIVER_WINDOW: list[str] = [
     "like_patterns",
     "map_type_ops",
     "morton_code",
-    "multimodal_audio_meta",
-    "pandas_grouped_agg",
-    "pivot_linestatus",
 ]
 
 
