@@ -45,9 +45,11 @@ HEADLINE = [
     # r12: leakage-safe cluster split (CC over fingerprint pairs)
     "sample_leakage_split",
     # r13: learned quality-classifier scoring (map-only literal-weight
-    # scan) and the MP4 box-walk video leg
+    # scan), the MP4 box-walk video leg, and the CCNet cross-corpus
+    # perplexity filter
     "text_quality_classifier",
     "multimodal_video_meta",
+    "text_perplexity_buckets",
 ]
 
 
