@@ -139,7 +139,12 @@ def gopher_quality_rules(docs: DataFrame, id_col: str, text_col: str) -> DataFra
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — word bigrams built array-side (transform +
     element_at, no positional self-join); shared by bigram_lm_score
-    and lm_perplexity_buckets."""
+    and lm_perplexity_buckets. Tokenize+explode is compute-dense, so
+    single-file corpora go through spread() first (round-robin to
+    cluster parallelism; no-op on already-wide scans)."""
+    from cascading_hive_spark.operators.dedup import spread
+
+    docs = spread(docs)
     words = F.filter(_word_array(F.col(text_col)), lambda x: x != F.lit(""))
     n = F.size(words)
     bigrams = F.transform(
