@@ -1105,14 +1105,20 @@ def binary_auc(
         F.sum("nn_b").alias("n_neg"),
         F.sum(F.col("np_b") * F.col("midrank2")).alias("rank_sum2"),
     )
-    auc = (
-        F.col("rank_sum2") - F.col("n_pos") * (F.col("n_pos") + 1)
-    ).cast("double") / (2.0 * (F.col("n_pos") * F.col("n_neg")).cast("double"))
+    # try_divide: AUC is undefined when either class is absent (or the
+    # input is empty) — return NULL auc with the audit counts instead
+    # of an ANSI DIVIDE_BY_ZERO crash
+    auc = F.try_divide(
+        (F.col("rank_sum2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+            "double"
+        ),
+        2.0 * (F.col("n_pos") * F.col("n_neg")).cast("double"),
+    )
     return agg.crossJoin(F.broadcast(totals)).select(
         (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
-        F.col("n_pos").cast("bigint").alias("n_pos"),
-        F.col("n_neg").cast("bigint").alias("n_neg"),
-        F.col("n_null").cast("bigint").alias("n_null"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
+        F.coalesce(F.col("n_null"), F.lit(0)).cast("bigint").alias("n_null"),
     )
 
 

@@ -63,6 +63,18 @@ def test_auc_excludes_nulls_and_counts_them(spark):
     assert got.auc == 1.0
 
 
+def test_auc_degenerate_inputs_yield_null_not_crash(spark):
+    """AUC is undefined without both classes: single-class and empty
+    inputs must return NULL auc with audit counts — not an ANSI
+    DIVIDE_BY_ZERO (the bug this test pinned)."""
+    one_class = _df(spark, [(1.0, 1), (2.0, 1)])
+    row = binary_auc(one_class, "score", "y").first()
+    assert row.auc is None and (row.n_pos, row.n_neg) == (2, 0)
+    empty = spark.createDataFrame([], "score double, y int")
+    row = binary_auc(empty, "score", "y").first()
+    assert row.auc is None and (row.n_pos, row.n_neg, row.n_null) == (0, 0, 0)
+
+
 def test_auc_corpus_never_sorts_globally(spark, sf_dir):
     """The only window runs over the bounded per-micro-score COUNTS
     table — the corpus pass is a map-side-combined groupBy. Assert
