@@ -227,9 +227,15 @@ def lm_perplexity_buckets(
     c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     sb = _doc_bigrams(score, id_col, text_col)
+    # try_divide: an EMPTY reference corpus has V=0, making the
+    # smoothing floor 1/0 — scoring against no LM is undefined, so
+    # logp (and the doc's NLL/bucket) degrade to NULL/'unscored'
+    # instead of an ANSI divide-by-zero crash
     logp = F.log(
-        (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
-        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        F.try_divide(
+            F.coalesce(F.col("c2"), F.lit(0)) + 1.0,
+            F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"),
+        )
     )
     per_doc = (
         sb.join(c2, ["w1", "w2"], "left")
@@ -252,7 +258,8 @@ def lm_perplexity_buckets(
         id_col,
         "n_bigrams",
         (F.round(F.col("_nll"), 6) + F.lit(0.0)).alias("nll"),
-        F.when(F.col("_micro") <= F.element_at("_t", 1), "head")
+        F.when(F.col("_micro").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_micro") <= F.element_at("_t", 1), "head")
         .when(F.col("_micro") <= F.element_at("_t", 2), "middle")
         .otherwise("tail")
         .alias("bucket"),

@@ -309,3 +309,47 @@ def test_late_r10_operators_empty_and_degenerate(spark):
     # a global agg over zero rows still yields its one summary row,
     # with NULL means/z (0/0 never raises)
     assert len(ab) == 1 and ab[0].n_a == 0 and ab[0].mean_a is None
+
+
+def test_r13_operators_empty_inputs(spark):
+    from cascading_hive_spark.operators.corpus import lm_perplexity_buckets
+    from cascading_hive_spark.operators.multimodal import (
+        decode_video,
+        video_frame_sample,
+    )
+    from cascading_hive_spark.operators.text import quality_classifier_score
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+
+    docs = _empty_docs(spark)
+    scored = quality_classifier_score(
+        docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+    )
+    assert scored.count() == 0
+    assert scored.columns == ["doc_id", "n_grams", "margin", "quality_pass"]
+    # empty train side: every scored doc takes the V=0-free smoothing
+    # floor path via NULL counts... and empty score side: empty out
+    out = lm_perplexity_buckets(docs, docs, "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_bigrams", "nll", "bucket"]
+    blobs = spark.createDataFrame([], "id long, payload binary")
+    assert decode_video(blobs).count() == 0
+    frames = video_frame_sample(blobs)
+    assert frames.count() == 0
+    assert frames.columns == ["id", "frame_idx", "pts", "timescale"]
+
+
+def test_perplexity_empty_train_scores_all_unscored(spark):
+    """LM trained on an EMPTY reference has V=0 — the smoothing floor
+    1/(0+0) is undefined, so scoring against no LM must degrade every
+    doc to bucket='unscored' with NULL nll (try_divide path), not an
+    ANSI divide-by-zero (the bug this test pinned)."""
+    from cascading_hive_spark.operators.corpus import lm_perplexity_buckets
+
+    train = _empty_docs(spark)
+    score = spark.createDataFrame(
+        [(1, "a b c"), (2, "x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in
+            lm_perplexity_buckets(train, score, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}
+    assert all(r.bucket == "unscored" and r.nll is None for r in rows.values())
