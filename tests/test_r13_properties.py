@@ -95,3 +95,69 @@ def test_auc_corpus_never_sorts_globally(spark, sf_dir):
     # output (appears above a HashAggregate feeding it)
     assert "partial_sum" in plan or "HashAggregate" in plan
     assert out.first().auc is not None
+
+
+def test_mp4_timing_roundtrip_hypothesis():
+    """Pure-Python property: random run-length stts tables, wrapped in
+    randomly-noised ISO-BMFF containers (junk sibling boxes, optional
+    largesize moov), round-trip through parse_mp4_frame_runs exactly.
+    No Spark needed — this is the byte-walk contract."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cascading_hive_spark.operators.multimodal import parse_mp4_frame_runs
+
+    def box(tag: bytes, body: bytes, largesize=False) -> bytes:
+        if largesize:
+            return struct.pack(">I", 1) + tag + struct.pack(">Q", 16 + len(body)) + body
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    runs_s = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**31 - 1),
+            st.integers(min_value=0, max_value=2**31 - 1),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        runs=runs_s,
+        timescale=st.integers(min_value=1, max_value=2**31 - 1),
+        junk=st.binary(min_size=0, max_size=12),
+        largesize=st.booleans(),
+        mdhd_version=st.sampled_from([0, 1]),
+    )
+    def check(runs, timescale, junk, largesize, mdhd_version):
+        stts_body = bytes([0, 0, 0, 0]) + struct.pack(">I", len(runs))
+        for c, d in runs:
+            stts_body += struct.pack(">II", c, d)
+        if mdhd_version == 1:
+            mdhd = box(
+                b"mdhd",
+                bytes([1, 0, 0, 0])
+                + struct.pack(">QQIQ", 0, 0, timescale, 0)
+                + b"\x00" * 4,
+            )
+        else:
+            mdhd = box(
+                b"mdhd",
+                bytes([0, 0, 0, 0])
+                + struct.pack(">IIII", 0, 0, timescale, 0)
+                + b"\x00" * 4,
+            )
+        noise = box(b"free", junk)
+        mdia = box(b"mdia", noise + mdhd + box(b"minf", box(b"stbl", noise + box(b"stts", stts_body))))
+        moov = box(b"moov", noise + box(b"trak", mdia), largesize=largesize)
+        blob = box(b"ftyp", b"isom\x00\x00\x00\x00") + noise + moov
+        got_ts, got_runs = parse_mp4_frame_runs(blob)
+        assert got_ts == timescale
+        assert got_runs == list(runs)
+        # and a truncated tail never raises (totality under corruption)
+        for cut in (len(blob) - 1, len(blob) // 2, 7, 0):
+            parse_mp4_frame_runs(blob[:cut])
+
+    check()
