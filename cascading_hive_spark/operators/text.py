@@ -327,6 +327,7 @@ def quality_classifier_score(
     n: int = 3,
     seed: str = "qc13|",
     portable: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """Score documents with a LEARNED linear text classifier over
     hashed char-n-gram features — the fastText-style filter every
@@ -363,7 +364,10 @@ def quality_classifier_score(
         F.lit(0).cast("bigint"),
         lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
     )
-    out = spread(df).select(
+    # widen=False: streaming plans score in place (spread's
+    # inputFiles probe and round-robin exchange are batch concepts;
+    # a stream's parallelism follows its source)
+    out = (spread(df) if widen else df).select(
         F.col(id_col),
         F.size(buckets).cast("bigint").alias("n_grams"),
         (dot.cast("double") / F.lit(1_000_000.0)).alias("_dot"),

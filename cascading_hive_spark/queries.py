@@ -4269,6 +4269,60 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_auc(scored.join(labeled, "doc_id"), "margin", "y")
 
 
+# The learned quality filter on a document STREAM (r13): scoring is a
+# stateless narrow projection (the weight table is a plan literal), so
+# the exact batch expression chain runs unchanged under Structured
+# Streaming — no watermark, no state store; the streamed rows equal
+# the batch scorer's, so the oracle is SHARED with
+# text_quality_classifier. This is the ingest-time quality gate shape:
+# score documents as they land, route on quality_pass.
+@register(
+    "streaming_quality_filter",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1),
+               i -> CAST(concat('0x', substr(md5(concat('qc13|',
+                      substr(coalesce(text, ''), CAST(i AS INT), 3))),
+                      1, 8)) AS BIGINT) % 128) AS bk
+      FROM documents),
+    m AS (
+      SELECT doc_id, CAST(len(bk) AS BIGINT) AS n_grams,
+             CAST(list_sum(list_transform(bk,
+                    x -> ({_QC_W_SQL})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE)
+               / CAST(len(bk) AS DOUBLE) + CAST(2.512477 AS DOUBLE) AS margin
+      FROM b)
+    SELECT doc_id, n_grams, round(margin, 6) + 0.0 AS margin,
+           margin > 0 AS quality_pass
+    FROM m
+    """,
+)
+def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import (
+        quality_filter_stream,
+        stream_documents,
+    )
+
+    tune_for_queries(spark)
+    name = f"q_stream_qc_{uuid.uuid4().hex[:8]}"
+    stream = quality_filter_stream(
+        stream_documents(spark, sf_dir), _QC_WEIGHTS_V1, _QC_BIAS_V1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @register(
     "text_bigram_lm",
     """
@@ -8580,11 +8634,13 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_window_rotation_policy_stalest_first):
 # (1) wordcount stays slot 1 (driver entry smoke);
 # (2) queries with NO driver row in any basis round come first —
-#     the five registered this round: text_quality_classifier
+#     the six registered this round: text_quality_classifier
 #     (learned quality filter, VERDICT r12 #1), multimodal_video_meta
 #     (MP4 box walk, VERDICT r12 #2), text_perplexity_buckets
 #     (CCNet cross-corpus LM filter), classifier_auc (exact midrank
-#     AUC) and multimodal_video_frames (stts frame sampling);
+#     AUC), multimodal_video_frames (stts frame sampling) and
+#     streaming_quality_filter (the learned filter as an ingest-time
+#     stream gate);
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -8595,11 +8651,11 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (ann_pq_topk, ann_ivfpq_topk, bpe_merges, graph_kcore_customers,
 #     embedding_pca_project) — and each carries its _ROWS_ONLY_TWINS
 #     pairing, so twin coverage holds with the rows-only member;
-# (5) the remaining 34 slots fill stalest-first: the whole r6 cohort
+# (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 24 of the r7 cohort (a24_to_json .. morton_code); the 22
-#     remaining r7 queries (multimodal_audio_meta onward) are the r14
-#     fill head.
+#     first 23 of the r7 cohort (a24_to_json .. map_type_ops); the 23
+#     remaining r7 queries (morton_code onward) are the r14 fill
+#     head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
 # staleness), and let the policy test recompute the fill.
@@ -8659,6 +8715,7 @@ _DRIVER_WINDOW: list[str] = [
     "classifier_auc",
     "multimodal_video_frames",
     "multimodal_video_meta",
+    "streaming_quality_filter",
     "text_perplexity_buckets",
     "text_quality_classifier",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
@@ -8708,7 +8765,6 @@ _DRIVER_WINDOW: list[str] = [
     "key_skew_profile",
     "like_patterns",
     "map_type_ops",
-    "morton_code",
 ]
 
 

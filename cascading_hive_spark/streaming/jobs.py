@@ -481,3 +481,37 @@ def histogram_stream(
         F.least(F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
     ).cast("int")
     return events.groupBy(bin_expr.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet — the file-stream replay
+    source for text-pipeline streaming (the stream_events pattern;
+    file-stream sources need an explicit schema, probed from the
+    static footer)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def quality_filter_stream(
+    docs: DataFrame, weights: list[float], bias: float
+) -> DataFrame:
+    """The learned quality filter on a document STREAM: scoring is a
+    stateless narrow projection (the weight table is a plan literal),
+    so the exact batch expression chain runs unchanged under
+    Structured Streaming — no watermark, no state store, output rows
+    identical to the batch scorer on the same input (oracle-shared
+    with text_quality_classifier). This is the shape of an
+    ingest-time quality gate: score-as-it-lands, route on
+    quality_pass."""
+    from cascading_hive_spark.operators.text import quality_classifier_score
+
+    return quality_classifier_score(
+        docs, "doc_id", "text", weights, bias, widen=False
+    )

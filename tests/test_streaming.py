@@ -445,3 +445,38 @@ def test_histogram_stream_matches_batch_grid(spark, sf_dir):
     est = quantile_from_histogram(got, lo=0.0, hi=1000.0).collect()[0]
     assert est.n == ev.count()
     assert 0.0 < est.q500 < est.q950 < est.q990 <= 1000.0
+
+
+def test_streaming_quality_filter_equals_batch(spark, sf_dir):
+    """Stateless learned-filter scoring: the streamed rows must equal
+    the batch scorer's EXACTLY (same ids, margins, verdicts) — the
+    shared-expression-chain duality is the whole point of running the
+    quality gate at ingest time."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.text import quality_classifier_score
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+    from cascading_hive_spark.streaming.jobs import (
+        quality_filter_stream,
+        run_available_now,
+        stream_documents,
+    )
+    from cascading_hive_spark.tables import load_table
+
+    stream = quality_filter_stream(
+        stream_documents(spark, sf_dir), _QC_WEIGHTS_V1, _QC_BIAS_V1
+    )
+    assert stream.isStreaming
+    got = {
+        r.doc_id: (r.n_grams, r.margin, r.quality_pass)
+        for r in run_available_now(stream, "qc_filter_stream").collect()
+    }
+    batch = {
+        r.doc_id: (r.n_grams, r.margin, r.quality_pass)
+        for r in quality_classifier_score(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1,
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) == 500
