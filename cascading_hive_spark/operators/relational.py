@@ -1088,17 +1088,41 @@ def binary_auc(
     )
     # midrank in HALF-UNITS so every intermediate stays an exact
     # integer (a double rank_sum would be accumulation-order-dependent
-    # across engines): midrank2 = 2*(count before) + (count here + 1)
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = counts.select(
-        "np_b",
-        "nn_b",
-        (
-            2 * F.coalesce(F.sum(F.col("np_b") + F.col("nn_b")).over(w), F.lit(0))
-            + F.col("np_b")
-            + F.col("nn_b")
-            + 1
-        ).alias("midrank2"),
+    # across engines): midrank2 = 2*(count before) + (count here + 1).
+    # "count before" comes from a TWO-PHASE prefix sum (the packing
+    # offset-table pattern): a window partitioned by an order-
+    # preserving coarse bucket of the score (arithmetic >>20 keeps
+    # ordering for negatives too), plus a global offset window over
+    # the per-bucket totals — a table with ~score_range/2^20 rows, so
+    # no corpus- or counts-sized single-partition sort anywhere.
+    bucketed = counts.withColumn("_bk", F.shiftright(F.col("_s"), 20))
+    w_in = (
+        Window.partitionBy("_bk")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(
+        F.sum(F.col("np_b") + F.col("nn_b")).over(w_in), F.lit(0)
+    )
+    bucket_totals = bucketed.groupBy("_bk").agg(
+        F.sum(F.col("np_b") + F.col("nn_b")).alias("_tot")
+    )
+    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "_bk", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "_bk")
+        .select(
+            "np_b",
+            "nn_b",
+            (
+                2 * (F.col("_off") + within)
+                + F.col("np_b")
+                + F.col("nn_b")
+                + 1
+            ).alias("midrank2"),
+        )
     )
     agg = ranked.agg(
         F.sum("np_b").alias("n_pos"),

@@ -76,10 +76,11 @@ def test_auc_degenerate_inputs_yield_null_not_crash(spark):
 
 
 def test_auc_corpus_never_sorts_globally(spark, sf_dir):
-    """The only window runs over the bounded per-micro-score COUNTS
-    table — the corpus pass is a map-side-combined groupBy. Assert
-    the single-partition window sorts the aggregated counts, not the
-    input: the plan's window must sit above the HashAggregate."""
+    """The corpus pass is a map-side-combined groupBy; the cumulative
+    midrank uses the two-phase prefix (window PARTITIONED by the
+    order-preserving score bucket + a global offset window over the
+    tiny per-bucket totals) — no corpus- or counts-sized single-
+    partition sort in the plan."""
     from cascading_hive_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -88,12 +89,9 @@ def test_auc_corpus_never_sorts_globally(spark, sf_dir):
     )
     out = binary_auc(d, "score", "y")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    widx = plan.find("Window")
-    aggidx = plan.find("HashAggregate")
-    assert widx != -1 and aggidx != -1
-    # executed plans print top-down: the Window consumes aggregate
-    # output (appears above a HashAggregate feeding it)
-    assert "partial_sum" in plan or "HashAggregate" in plan
+    # the counts-table cumulative window is hash-partitioned by _bk
+    assert "hashpartitioning(_bk" in plan, plan
+    assert "HashAggregate" in plan
     assert out.first().auc is not None
 
 
