@@ -41,6 +41,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     shard     [n=20000000] [budget=100000]
     quality_classifier [n=1000000]
     perplexity [n=1000000]
+    auc       [n=50000000]
 
 Each prints one JSON line per measurement.
 """
@@ -1344,6 +1345,44 @@ def smoke_perplexity(n: int = 1_000_000) -> None:
         }), flush=True)
 
 
+def smoke_auc(n: int = 50_000_000) -> None:
+    """binary_auc at 50M rows: the corpus pass is one map-side-
+    combined groupBy(micro-score); midranks run over the bounded
+    counts table via the two-phase bucketed prefix. Wall must be
+    near-linear in n. Construction: score = permille hash in [0,1);
+    y = 1 when a SECOND independent hash lands under score (so
+    P(y=1|s) = s with s ~ U[0,1)) — the analytic AUC for that model
+    is P(S+ > S-) with densities 2s / 2(1-s):
+    4*int_0^1 a(a - a^2/2) da = 5/6; the realized value must land
+    within the CLT band."""
+    import time as _t
+
+    from cascading_hive_spark.operators.relational import binary_auc
+
+    spark = _spark()
+    base = spark.range(n).select(
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).cast("double") / 1000.0
+         ).alias("score"),
+        F.col("id"),
+    ).select(
+        "score",
+        (
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).cast("double") / 1000.0
+            < F.col("score")
+        ).cast("int").alias("y"),
+    ).localCheckpoint()
+    for frac, tag in ((10, "tenth"), (1, "full")):
+        df = base.sample(1.0) if frac == 1 else base.limit(n // frac)
+        t0 = _t.monotonic()
+        row = binary_auc(df, "score", "y").first()
+        wall = round(_t.monotonic() - t0, 1)
+        assert abs(row["auc"] - 5.0 / 6.0) < 0.01, row
+        print(json.dumps({
+            "smoke": "auc", "slice": tag, "n": row["n_pos"] + row["n_neg"],
+            "auc": row["auc"], "wall_sec": wall,
+        }), flush=True)
+
+
 def smoke_quality_classifier(n: int = 1_000_000) -> None:
     """Learned quality-classifier scoring at corpus scale (VERDICT
     r12 #1): the frozen 128-bucket weight table is a plan literal, so
@@ -1791,4 +1830,5 @@ if __name__ == "__main__":
         "fuzzy": smoke_fuzzy,
         "quality_classifier": smoke_quality_classifier,
         "perplexity": smoke_perplexity,
+        "auc": smoke_auc,
     }[name](*args)
