@@ -1634,3 +1634,130 @@ def pca_project(
             yield pd.DataFrame(out)
 
     return vectors.select(id_col, vec_col).mapInPandas(_proj, schema)
+
+
+def knn_density(
+    vectors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean cosine similarity of each vector to its ``k`` nearest
+    neighbors (self excluded) — the kNN-density / prototypicality
+    signal data-pruning curricula rank on (Sorscher et al. 2022,
+    "Beyond neural scaling laws"; the density cousin of SemDeDup's
+    within-cluster redundancy): a HIGH density vector sits in a
+    crowded region (redundant — prune first), a LOW density vector is
+    an outlier (or noise). Returns ``(id, knn_density, n_neighbors)``;
+    ``n_neighbors < k`` only when the corpus has fewer than k+1 rows.
+
+    EXACT brute-force path: the corpus is broadcast against itself
+    (norms precomputed per side, self-pairs filtered BEFORE the
+    ranking window so exact-duplicate ties can never displace a real
+    neighbor). Same broadcast bound as ``knn_join`` (<~10 MB of
+    vectors); past that, ``knn_density_blocked`` is the scale path.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        vectors.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    scored = (
+        vectors.withColumn("_n", norm(F.col(vec_col)))
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid"),
+            F.col(id_col).alias("_nbr"),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_nbr"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy(F.col("_qid").alias(id_col))
+        .agg(
+            F.round(F.avg("_cos"), 6).alias("knn_density"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+    )
+
+
+def knn_density_blocked(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``knn_density`` past the broadcast bound: candidates come from
+    an IVF index (``ivf_build`` / ``ivf_build_portable``) instead of
+    the full cross product — each vector is scored only against the
+    ``nprobe`` cells nearest it, so pair work is the nprobe/n_cells
+    fraction of brute force (``ivf_knn_join``'s exact plan shape:
+    broadcast-centroid probe selection, shuffle-hash join ON CELL,
+    thin (qid, nbr, cos) ranking rows). Approximate the same way IVF
+    search is: a true neighbor in an unprobed cell is unseen, which
+    BIASES DENSITY DOWN for vectors near cell boundaries —
+    differential-gated against the exact path in
+    tests/test_similarity.py. nprobe = n_cells degenerates to brute
+    force and must equal ``knn_density`` bit-for-bit (same gate).
+
+    At 100 TB: n_cells >> cluster cores keeps cells small and the
+    cell join parallel; skewed cells split under AQE since the join
+    is declarative. Density ranking then feeds the prune decision
+    (drop the densest q% — Sorscher's prototypicality schedule)
+    without any all-pairs stage.
+    """
+    from pyspark.sql import Window
+
+    q = assignments.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    cscored = q.crossJoin(F.broadcast(centroids)).select(
+        "_qid",
+        "_qv",
+        "_qn",
+        "cell",
+        cosine(F.col("_qv"), F.col("centroid")).alias("_csim"),
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.col("_csim").desc(), F.col("cell"))
+    probes = (
+        cscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("_qid", "_qv", "_qn", "cell")
+    )
+    corpus = assignments.select(
+        "cell", F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+    )
+    scored = (
+        corpus.join(probes.hint("shuffle_hash"), "cell")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid"),
+            F.col(id_col).alias("_nbr"),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_nbr"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy(F.col("_qid").alias(id_col))
+        .agg(
+            F.round(F.avg("_cos"), 6).alias("knn_density"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+    )

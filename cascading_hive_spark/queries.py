@@ -8625,6 +8625,116 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# kNN-density data pruning (Sorscher et al. 2022 prototypicality):
+# mean cosine to each vector's k nearest neighbors, the redundancy
+# signal pruning curricula rank on. Exact brute-force leg below (the
+# oracle replays the full pairwise ranking); the blocked leg after it
+# is the scale path — IVF-probed candidates only — with a FULL-replay
+# oracle too, because the index build is ivf_build_portable (Knuth-
+# hash seed cells + exact decimal-sum centroid means, bit-identical
+# cross-engine; see ann_ivf_portable).
+_KD_K = 5
+
+
+@register(
+    "embedding_knn_density",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nbr,
+             round({_COS}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    top AS (
+      SELECT qid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC, nbr) AS rn
+      FROM scored)
+    SELECT qid AS vec_id, round(avg(cos_sim), 6) AS knn_density,
+           count(*) AS n_neighbors
+    FROM top WHERE rn <= {_KD_K} GROUP BY qid
+    """,
+)
+def q_embedding_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import knn_density
+
+    return knn_density(_t(spark, sf_dir, "embeddings"), k=_KD_K)
+
+
+def _knn_density_blocked_oracle() -> str:
+    # Replays ivf_build_portable (same csum/cents/assigned CTEs as
+    # _ivf_portable_oracle) + per-vector top-nprobe probe cells +
+    # self-filtered candidate ranking + the density mean.
+    dim, nc, npr = _IVFP_DIM, _IVFP_CELLS, _IVFP_NPROBE
+
+    def cos(a_vec: str, b_vec: str) -> str:
+        def dot_(x: str, y: str) -> str:
+            return (
+                f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
+            )
+
+        return (
+            f"({dot_(a_vec, b_vec)} / "
+            f"(sqrt({dot_(a_vec, a_vec)}) * sqrt({dot_(b_vec, b_vec)})))"
+        )
+
+    sums = ",\n             ".join(
+        f"CAST(sum(CAST(round(embedding[{i + 1}]::DOUBLE, 6) AS DECIMAL(18,6))) "
+        f"AS DOUBLE) / count(*) AS c{i}"
+        for i in range(dim)
+    )
+    centroid_arr = "[" + ", ".join(f"c{i}" for i in range(dim)) + "]"
+    return f"""
+    WITH csum AS (
+      SELECT ((vec_id % 1000000007 + 1000000007) % 1000000007
+              * 2654435761) % 1000000007 % {nc} AS cell,
+             {sums}
+      FROM embeddings GROUP BY 1),
+    cents AS (SELECT cell, {centroid_arr} AS centroid FROM csum),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos('e.embedding', 'c.centroid')} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {cos('q.embedding', 'c.centroid')} DESC, c.cell) AS rn
+        FROM embeddings q CROSS JOIN cents c)
+      WHERE rn <= {npr}),
+    scored AS (
+      SELECT p.query_id AS qid, a.vec_id AS nbr,
+             round({cos('a.embedding', 'p.qv')}, 6) AS cos_sim
+      FROM assigned a JOIN probes p
+        ON a.cell = p.cell AND a.vec_id <> p.query_id),
+    top AS (
+      SELECT qid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC, nbr) AS rn
+      FROM scored)
+    SELECT qid AS vec_id, round(avg(cos_sim), 6) AS knn_density,
+           count(*) AS n_neighbors
+    FROM top WHERE rn <= {_KD_K} GROUP BY qid
+    """
+
+
+@register("embedding_knn_density_blocked", _knn_density_blocked_oracle())
+def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import (
+        ivf_build_portable,
+        knn_density_blocked,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_build_portable(e, n_cells=_IVFP_CELLS)
+    return knn_density_blocked(
+        assignments, centroids, k=_KD_K, nprobe=_IVFP_NPROBE
+    )
+
+
 # r13 ROTATION NOTE (supersedes the r12 note; r12 ran 49/50 oracle-
 # green + the by-design rows-only embedding_pca_project). Per VERDICT
 # r12 #6 the r13 window is picked STALEST-FIRST by last driver
@@ -8640,7 +8750,11 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (CCNet cross-corpus LM filter), classifier_auc (exact midrank
 #     AUC), multimodal_video_frames (stts frame sampling) and
 #     streaming_quality_filter (the learned filter as an ingest-time
-#     stream gate);
+#     stream gate) — plus the continuation-session registrations
+#     embedding_knn_density and embedding_knn_density_blocked (kNN-
+#     density data pruning, exact + IVF-blocked), which join the
+#     never-checked group and shrink the stalest fill by the same
+#     count from its tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -8653,9 +8767,9 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 23 of the r7 cohort (a24_to_json .. map_type_ops); the 23
-#     remaining r7 queries (morton_code onward) are the r14 fill
-#     head.
+#     first 21 of the r7 cohort (a24_to_json .. key_skew_profile);
+#     the remaining r7 queries (like_patterns onward) are the r14
+#     fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
 # staleness), and let the policy test recompute the fill.
@@ -8718,6 +8832,8 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_quality_filter",
     "text_perplexity_buckets",
     "text_quality_classifier",
+    "embedding_knn_density",
+    "embedding_knn_density_blocked",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -8763,8 +8879,6 @@ _DRIVER_WINDOW: list[str] = [
     "interleave_sources",
     "join_runtime_prefilter",
     "key_skew_profile",
-    "like_patterns",
-    "map_type_ops",
 ]
 
 

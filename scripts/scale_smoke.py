@@ -42,6 +42,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     quality_classifier [n=1000000]
     perplexity [n=1000000]
     auc       [n=50000000]
+    knn_density [n=100000] [dim=16]
 
 Each prints one JSON line per measurement.
 """
@@ -1345,6 +1346,60 @@ def smoke_perplexity(n: int = 1_000_000) -> None:
         }), flush=True)
 
 
+def smoke_knn_density(n: int = 100_000, dim: int = 16) -> None:
+    """knn_density_blocked over a FULL corpus (every vector is a
+    query — the data-pruning shape, much heavier than an n-query ANN
+    join): per-query candidate work is nprobe * avg_cell, so with
+    n_cells grown proportionally to n (constant cell size ~200) total
+    work is O(n * nprobe * cell) — the wall between the half and full
+    slice must stay near-linear (a flat n_cells would make it
+    quadratic). Sanity: one density row per vector, densities in
+    [-1, 1], blocked never exceeds the exact density on a 2k probe
+    slice (candidate subset property)."""
+    from cascading_hive_spark.operators.similarity import (
+        ivf_build,
+        knn_density,
+        knn_density_blocked,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_embeddings
+
+    spark = _spark()
+    for n_slice, n_cells in ((n // 2, max(n // 400, 8)), (n, max(n // 200, 8))):
+        emb = synthetic_embeddings(
+            spark, n=n_slice, dim=dim, n_clusters=64
+        ).localCheckpoint()
+        t0 = time.monotonic()
+        assignments, centroids = ivf_build(emb, n_cells=n_cells)
+        assignments = assignments.localCheckpoint()
+        build_wall = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        out = knn_density_blocked(
+            assignments, centroids, k=10, nprobe=4
+        ).localCheckpoint()
+        stats = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("knn_density").alias("dmin"),
+            F.max("knn_density").alias("dmax"),
+        ).first()
+        wall = round(time.monotonic() - t0, 1)
+        assert stats["rows"] == n_slice, stats
+        assert -1.0 <= stats["dmin"] <= stats["dmax"] <= 1.0, stats
+        print(json.dumps({
+            "smoke": "knn_density", "n": n_slice, "n_cells": n_cells,
+            "build_wall_sec": build_wall, "density_wall_sec": wall,
+        }), flush=True)
+    # subset property on a bounded slice: blocked candidates are a
+    # subset of brute force, so blocked density never exceeds exact
+    probe = emb.filter(F.col("vec_id") < 2_000).localCheckpoint()
+    exact = {r.vec_id: r.knn_density for r in knn_density(probe, k=10).collect()}
+    a2, c2 = ivf_build(probe, n_cells=8)
+    blocked = knn_density_blocked(a2, c2, k=10, nprobe=4).collect()
+    over = [r.vec_id for r in blocked if r.knn_density > exact[r.vec_id] + 1e-9]
+    assert not over, over[:5]
+    print(json.dumps({"smoke": "knn_density", "stage": "subset_check",
+                      "n": 2000, "violations": 0}), flush=True)
+
+
 def smoke_auc(n: int = 50_000_000) -> None:
     """binary_auc at 50M rows: the corpus pass is one map-side-
     combined groupBy(micro-score); midranks run over the bounded
@@ -1831,4 +1886,5 @@ if __name__ == "__main__":
         "quality_classifier": smoke_quality_classifier,
         "perplexity": smoke_perplexity,
         "auc": smoke_auc,
+        "knn_density": smoke_knn_density,
     }[name](*args)
