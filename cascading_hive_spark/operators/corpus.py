@@ -673,3 +673,194 @@ def rrf_fuse(
         .orderBy(F.col("_sum").desc(), F.col(id_col))
     )
     return fused.limit(topk) if topk else fused
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    text_col: str,
+    n_buckets: int = 128,
+    n: int = 3,
+    seed: str = "dsir13|",
+    portable: bool = True,
+) -> DataFrame:
+    """Hashed char-n-gram occurrence counts per bucket — the corpus
+    distribution estimate DSIR's importance weights are built from.
+    Shares ``text.char_ngram_buckets`` (the classifier featurizer) so
+    weight estimation and scoring can never disagree on the feature
+    space. One explode + map-side-combined groupBy to ``n_buckets``
+    rows — bounded output regardless of corpus size."""
+    from cascading_hive_spark.operators.text import char_ngram_buckets
+
+    return (
+        docs.select(
+            F.explode(
+                char_ngram_buckets(F.col(text_col), n, n_buckets, seed, portable)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    n_buckets: int = 128,
+    n: int = 3,
+    seed: str = "dsir13|",
+    portable: bool = True,
+) -> list[float]:
+    """DSIR importance weights: per-bucket log(p_target / p_raw) under
+    add-one-smoothed hashed-n-gram bag models (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — the
+    published alternative to classifier-based selection when what you
+    have is a TARGET corpus, not labels). Dense list indexed by
+    bucket; buckets unseen in both corpora still carry the nonzero
+    smoothing weight log((R+B)/(T+B)) implied by the models.
+
+    Two bounded aggregations (``n_buckets`` rows each) collected
+    driver-side — the k-centroids/BPE-argmax precedent, never
+    corpus-sized. Weights are rounded to 6 dp so the scoring fold's
+    micro-unit image is exact cross-engine."""
+    import math
+
+    rc = {r["bucket"]: r["cnt"] for r in
+          dsir_bucket_counts(raw, text_col, n_buckets, n, seed, portable).collect()}
+    tc = {r["bucket"]: r["cnt"] for r in
+          dsir_bucket_counts(target, text_col, n_buckets, n, seed, portable).collect()}
+    big_r, big_t = sum(rc.values()), sum(tc.values())
+    return [
+        round(
+            math.log((tc.get(b, 0) + 1) / (big_t + n_buckets))
+            - math.log((rc.get(b, 0) + 1) / (big_r + n_buckets)),
+            6,
+        )
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_weights_df(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    n_buckets: int = 128,
+    n: int = 3,
+    seed: str = "dsir13|",
+    portable: bool = True,
+) -> DataFrame:
+    """``dsir_weights`` as a fully distributed DataFrame — (bucket,
+    raw_cnt, target_cnt, weight) for every bucket observed in either
+    corpus (absent-in-both buckets carry only the constant smoothing
+    weight; emitting them would be n_buckets - observed rows of the
+    same number). Full outer join of two bounded count tables with
+    broadcast scalar totals — no driver collect at all, so this leg
+    is usable inside a larger plan."""
+    rc = dsir_bucket_counts(raw, text_col, n_buckets, n, seed, portable)
+    tc = dsir_bucket_counts(target, text_col, n_buckets, n, seed, portable)
+    rt = F.broadcast(rc.agg(F.sum("cnt").alias("_R")))
+    tt = F.broadcast(tc.agg(F.sum("cnt").alias("_T")))
+    joined = (
+        rc.withColumnRenamed("cnt", "raw_cnt")
+        .join(tc.withColumnRenamed("cnt", "target_cnt"), "bucket", "full_outer")
+        .crossJoin(rt)
+        .crossJoin(tt)
+    )
+    b = F.lit(n_buckets)
+    r_cnt = F.coalesce(F.col("raw_cnt"), F.lit(0))
+    t_cnt = F.coalesce(F.col("target_cnt"), F.lit(0))
+    big_r = F.coalesce(F.col("_R"), F.lit(0))
+    big_t = F.coalesce(F.col("_T"), F.lit(0))
+    weight = F.round(
+        F.log((t_cnt + 1).cast("double") / (big_t + b).cast("double"))
+        - F.log((r_cnt + 1).cast("double") / (big_r + b).cast("double")),
+        6,
+    ) + F.lit(0.0)
+    return joined.select(
+        "bucket",
+        r_cnt.cast("bigint").alias("raw_cnt"),
+        t_cnt.cast("bigint").alias("target_cnt"),
+        weight.alias("weight"),
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    n: int = 3,
+    seed: str = "dsir13|",
+    portable: bool = True,
+    widen: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance ratio: Σ over the document's
+    hashed n-grams of weight[bucket] — the log of the bag-model
+    likelihood ratio p_target(doc)/p_raw(doc). Same map-only shape as
+    ``text.quality_classifier_score`` (weights are a plan literal
+    folded as exact BIGINT micro-units; no join, no shuffle — 100 TB
+    scores in one codegen'd scan), but a SUM, not a length-normalized
+    margin: DSIR resamples on the full-document ratio.
+
+    Returns (id, n_grams, dsir_logratio)."""
+    from cascading_hive_spark.operators.dedup import spread
+    from cascading_hive_spark.operators.text import char_ngram_buckets
+
+    nb = len(weights)
+    w_arr = F.array(
+        *[F.lit(int(round(w * 1_000_000))).cast("bigint") for w in weights]
+    )
+    buckets = char_ngram_buckets(F.col(text_col), n, nb, seed, portable)
+    micro = F.aggregate(
+        buckets,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
+    )
+    return (spread(df) if widen else df).select(
+        F.col(id_col),
+        F.size(buckets).cast("bigint").alias("n_grams"),
+        (F.round(micro.cast("double") / F.lit(1_000_000.0), 6) + F.lit(0.0)).alias(
+            "dsir_logratio"
+        ),
+    )
+
+
+def dsir_gumbel_topk(
+    scored: DataFrame,
+    id_col: str,
+    k: int,
+    score_col: str = "dsir_logratio",
+    seed: str = "dsirsel|",
+) -> DataFrame:
+    """DSIR's selection step: Gumbel top-k — adding i.i.d. Gumbel
+    noise to each log-weight and taking the top k samples WITHOUT
+    replacement with probability proportional to the importance
+    weights (the Gumbel-max trick; what the DSIR paper implements).
+    The noise here is DETERMINISTIC — Gumbel inverse-CDF of an md5
+    hash of the id — so reruns, retries and cross-engine replays pick
+    the same k documents (the repo-wide reproducible-sampling rule).
+
+    The selection key is rounded to 6 dp BEFORE ranking (with the id
+    as tiebreak) so engines whose ln() differs in the last ulp still
+    rank identically. Plan shape: one narrow projection feeding a
+    top-k (TakeOrderedAndProject) — no global sort, no full shuffle.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    g = -F.log(-F.log(u))
+    key = F.round(F.col(score_col) + g, 6) + F.lit(0.0)
+    return (
+        scored.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -8626,6 +8626,103 @@ def q_docs_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+# the published target-corpus-driven selection method (hashed-n-gram
+# bag models for target and raw, per-bucket log-ratio weights, Gumbel
+# top-k resampling). Target here = the English slice of documents;
+# raw = the whole corpus. Both legs replay end-to-end in SQL: the
+# featurizer is the classifier's portable md5 bucketing, counts are
+# exact integers, weights are 6-dp-rounded logs folded as BIGINT
+# micro-units, and the Gumbel noise is the inverse-CDF of an md5 hash
+# — so selection is deterministic and engine-portable.
+_DSIR_BK = (
+    "list_transform(range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1), "
+    "i -> CAST(concat('0x', substr(md5(concat('dsir13|', "
+    "substr(coalesce(text, ''), CAST(i AS INT), 3))), 1, 8)) AS BIGINT) % 128)"
+)
+_DSIR_COUNTS = f"""
+    bk AS (
+      SELECT doc_id, lang, {_DSIR_BK} AS bk
+      FROM documents),
+    rc AS (
+      SELECT bucket, count(*) AS c
+      FROM (SELECT unnest(bk) AS bucket FROM bk) GROUP BY 1),
+    tc AS (
+      SELECT bucket, count(*) AS c
+      FROM (SELECT unnest(bk) AS bucket FROM bk WHERE lang = 'en') GROUP BY 1),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM rc) AS R,
+             (SELECT CAST(sum(c) AS BIGINT) FROM tc) AS T)
+"""
+
+
+@register(
+    "docs_dsir_weights",
+    f"""
+    WITH {_DSIR_COUNTS}
+    SELECT coalesce(r.bucket, t.bucket) AS bucket,
+           CAST(coalesce(r.c, 0) AS BIGINT) AS raw_cnt,
+           CAST(coalesce(t.c, 0) AS BIGINT) AS target_cnt,
+           round(ln((coalesce(t.c, 0) + 1)::DOUBLE / CAST(tot.T + 128 AS DOUBLE))
+                 - ln((coalesce(r.c, 0) + 1)::DOUBLE / CAST(tot.R + 128 AS DOUBLE)),
+                 6) + 0.0 AS weight
+    FROM rc r FULL OUTER JOIN tc t ON r.bucket = t.bucket, tot
+    """,
+)
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import dsir_weights_df
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights_df(d, d.filter(F.col("lang") == "en"), "text")
+
+
+@register(
+    "docs_dsir_select",
+    f"""
+    WITH {_DSIR_COUNTS},
+    wt AS (
+      SELECT gs.b AS bucket,
+             CAST(round(
+               round(ln((coalesce(t.c, 0) + 1)::DOUBLE
+                        / CAST(tot.T + 128 AS DOUBLE))
+                     - ln((coalesce(r.c, 0) + 1)::DOUBLE
+                          / CAST(tot.R + 128 AS DOUBLE)), 6)
+               * 1000000.0, 0) AS BIGINT) AS wm
+      FROM range(0, 128) gs(b)
+      LEFT JOIN rc r ON r.bucket = gs.b
+      LEFT JOIN tc t ON t.bucket = gs.b, tot),
+    warr AS (SELECT list(wm ORDER BY bucket) AS wa FROM wt),
+    sc AS (
+      SELECT doc_id, CAST(len(bk) AS BIGINT) AS n_grams,
+             round(CAST(list_sum(list_transform(bk,
+                     x -> wa[CAST(x AS INT) + 1])) AS BIGINT)::DOUBLE
+                   / 1000000.0, 6) + 0.0 AS dsir_logratio
+      FROM bk, warr),
+    keyed AS (
+      SELECT doc_id, n_grams, dsir_logratio,
+             round(dsir_logratio
+                   + (-ln(-ln((CAST(CAST(concat('0x', substr(md5(
+                        concat('dsirsel|', CAST(doc_id AS VARCHAR))), 1, 8))
+                        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0))),
+                   6) + 0.0 AS gumbel_key
+      FROM sc)
+    SELECT doc_id, n_grams, dsir_logratio, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+    """,
+)
+def q_docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import (
+        dsir_gumbel_topk,
+        dsir_score,
+        dsir_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_weights(d, d.filter(F.col("lang") == "en"), "text")
+    scored = dsir_score(d, "doc_id", "text", w)
+    return dsir_gumbel_topk(scored, "doc_id", k=50)
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -8752,7 +8849,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     streaming_quality_filter (the learned filter as an ingest-time
 #     stream gate) — plus the continuation-session registrations
 #     embedding_knn_density and embedding_knn_density_blocked (kNN-
-#     density data pruning, exact + IVF-blocked), which join the
+#     density data pruning, exact + IVF-blocked) and docs_dsir_weights
+#     / docs_dsir_select (DSIR importance resampling), which join the
 #     never-checked group and shrink the stalest fill by the same
 #     count from its tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
@@ -8767,9 +8865,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 21 of the r7 cohort (a24_to_json .. key_skew_profile);
-#     the remaining r7 queries (like_patterns onward) are the r14
-#     fill head.
+#     first 19 of the r7 cohort (a24_to_json .. interleave_sources);
+#     the remaining r7 queries (join_runtime_prefilter onward) are
+#     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
 # staleness), and let the policy test recompute the fill.
@@ -8834,6 +8932,8 @@ _DRIVER_WINDOW: list[str] = [
     "text_quality_classifier",
     "embedding_knn_density",
     "embedding_knn_density_blocked",
+    "docs_dsir_weights",
+    "docs_dsir_select",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -8877,8 +8977,6 @@ _DRIVER_WINDOW: list[str] = [
     "fuzzy_match_customers",
     "hll_mergeable_sketches",
     "interleave_sources",
-    "join_runtime_prefilter",
-    "key_skew_profile",
 ]
 
 

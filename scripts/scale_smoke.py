@@ -43,6 +43,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     perplexity [n=1000000]
     auc       [n=50000000]
     knn_density [n=100000] [dim=16]
+    dsir      [n=1000000]
 
 Each prints one JSON line per measurement.
 """
@@ -1346,6 +1347,46 @@ def smoke_perplexity(n: int = 1_000_000) -> None:
         }), flush=True)
 
 
+def smoke_dsir(n: int = 1_000_000) -> None:
+    """DSIR end-to-end at corpus scale: weight estimation is two
+    map-side-combined explode+groupBy passes to 128 rows (bounded
+    collect), scoring is the classifier's map-only micro-unit fold
+    (xxhash64 scale path here — the md5 portable leg pays the oracle
+    tax, measured separately in the classifier smoke), selection is
+    one TakeOrderedAndProject top-k. Wall must stay near-linear
+    between the half and full slice."""
+    import time as _t
+
+    from cascading_hive_spark.operators.corpus import (
+        dsir_gumbel_topk,
+        dsir_score,
+        dsir_weights,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 2, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.0, n_vocab=5000
+        ).localCheckpoint()
+        target = docs.filter(F.col("doc_id") % 10 == 0)
+        t0 = _t.monotonic()
+        w = dsir_weights(docs, target, "text", portable=False)
+        w_wall = round(_t.monotonic() - t0, 1)
+        t0 = _t.monotonic()
+        picked = dsir_gumbel_topk(
+            dsir_score(docs, "doc_id", "text", w, portable=False),
+            "doc_id",
+            k=1000,
+        ).collect()
+        sel_wall = round(_t.monotonic() - t0, 1)
+        assert len(picked) == 1000
+        print(json.dumps({
+            "smoke": "dsir", "n_docs": size,
+            "weights_wall_sec": w_wall, "score_select_wall_sec": sel_wall,
+        }), flush=True)
+
+
 def smoke_knn_density(n: int = 100_000, dim: int = 16) -> None:
     """knn_density_blocked over a FULL corpus (every vector is a
     query — the data-pruning shape, much heavier than an n-query ANN
@@ -1887,4 +1928,5 @@ if __name__ == "__main__":
         "perplexity": smoke_perplexity,
         "auc": smoke_auc,
         "knn_density": smoke_knn_density,
+        "dsir": smoke_dsir,
     }[name](*args)

@@ -454,3 +454,115 @@ def test_perplexity_buckets_tercile_shares(spark, sf_dir):
     assert n_scored >= 400
     for b in ("head", "middle", "tail"):
         assert counts[b] >= n_scored * 0.25, counts
+
+
+# --- DSIR importance resampling -------------------------------------------
+
+
+def test_dsir_weights_favor_target_ngrams(spark):
+    """Documents built from TARGET-corpus n-grams must outscore
+    documents built from raw-only n-grams — the defining property of
+    an importance log-ratio."""
+    from cascading_hive_spark.operators.corpus import dsir_score, dsir_weights
+
+    target = _docs(spark, [(i, "the quick brown fox jumps") for i in range(10)])
+    raw = _docs(
+        spark,
+        [(i, "the quick brown fox jumps") for i in range(10)]
+        + [(100 + i, "zzzz qqqq kkkk wwww vvvv") for i in range(40)],
+    )
+    w = dsir_weights(raw, target, "text")
+    scored = dsir_score(
+        _docs(
+            spark,
+            [(1, "quick brown fox"), (2, "zzzz qqqq kkkk")],
+        ),
+        "doc_id",
+        "text",
+        w,
+    ).collect()
+    by_id = {r.doc_id: r.dsir_logratio for r in scored}
+    assert by_id[1] > by_id[2], by_id
+
+
+def test_dsir_weights_list_agrees_with_df(spark):
+    """The driver-side dense list and the distributed DataFrame leg
+    are two views of the same model: observed buckets must carry the
+    same 6-dp weight, and unobserved buckets the constant smoothing
+    weight log((R+B)/(T+B))."""
+    import math
+
+    from cascading_hive_spark.operators.corpus import (
+        dsir_bucket_counts,
+        dsir_weights,
+        dsir_weights_df,
+    )
+
+    target = _docs(spark, [(1, "alpha beta gamma")])
+    raw = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    w = dsir_weights(raw, target, "text")
+    assert len(w) == 128
+    rows = dsir_weights_df(raw, target, "text").collect()
+    assert rows, "no observed buckets?"
+    observed = set()
+    for r in rows:
+        assert w[r.bucket] == pytest.approx(r.weight, abs=1e-6), r
+        observed.add(r.bucket)
+    big_r = sum(r["cnt"] for r in dsir_bucket_counts(raw, "text").collect())
+    big_t = sum(r["cnt"] for r in dsir_bucket_counts(target, "text").collect())
+    smoothing = round(
+        math.log(1 / (big_t + 128)) - math.log(1 / (big_r + 128)), 6
+    )
+    for b in range(128):
+        if b not in observed:
+            assert w[b] == pytest.approx(smoothing, abs=1e-9)
+
+
+def test_dsir_gumbel_topk_deterministic_and_weight_biased(spark):
+    """Same input -> same k selections (hash Gumbel, no RNG state);
+    and with a huge score gap the selection must be dominated by the
+    high-weight group (Gumbel noise spans ~[-2, 5], so +50 in
+    log-ratio can never be beaten)."""
+    from cascading_hive_spark.operators.corpus import dsir_gumbel_topk
+
+    scored = spark.createDataFrame(
+        [(i, 50.0 if i < 30 else 0.0) for i in range(100)],
+        "doc_id long, dsir_logratio double",
+    )
+    picked1 = {r.doc_id for r in dsir_gumbel_topk(scored, "doc_id", k=20).collect()}
+    picked2 = {r.doc_id for r in dsir_gumbel_topk(scored, "doc_id", k=20).collect()}
+    assert picked1 == picked2
+    assert len(picked1) == 20
+    assert picked1 <= set(range(30)), picked1
+
+
+def test_dsir_degenerate_inputs(spark):
+    """Empty target corpus and NULL text must not crash: smoothing
+    keeps every log argument positive, and NULL featurizes as ''
+    (the classifier-featurizer contract)."""
+    from cascading_hive_spark.operators.corpus import (
+        dsir_score,
+        dsir_weights,
+        dsir_weights_df,
+    )
+
+    raw = _docs(spark, [(1, "some raw text"), (2, None)])
+    empty_target = raw.filter(F.col("doc_id") < 0)
+    w = dsir_weights(raw, empty_target, "text")
+    assert len(w) == 128 and all(x == x for x in w)  # no NaN
+    out = dsir_score(raw, "doc_id", "text", w).collect()
+    assert len(out) == 2  # NULL-text row scored, not dropped
+    assert dsir_weights_df(raw, empty_target, "text").count() > 0
+
+
+def test_dsir_score_plan_is_map_only(spark):
+    """The weight table is a plan literal: scoring must add NO
+    hash-partitioning Exchange (widen=False — spread's round-robin is
+    the one allowed batch Exchange, exactly like the classifier)."""
+    from cascading_hive_spark.operators.corpus import dsir_score
+
+    df = _docs(spark, [(1, "abc def"), (2, "ghi jkl")])
+    plan = dsir_score(
+        df, "doc_id", "text", [0.1] * 128, widen=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
