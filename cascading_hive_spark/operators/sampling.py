@@ -266,3 +266,69 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
     )
     return keyed.withColumn("split", split)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 0,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen deterministically by
+    md5 hash order of the id — the per-domain quota every crawl
+    curation pipeline applies so no single host dominates the corpus
+    (and the per-source / per-license quota, with a different key).
+    Same rows survive on any partitioning, any engine, and under
+    appends the already-kept rows keep their verdict only if still
+    within the cap — the selection is a pure function of (key's ids,
+    cap, seed).
+
+    A naive ``row_number() OVER (PARTITION BY key ORDER BY hash)``
+    funnels the hottest key through ONE task — exactly the skewed-
+    domain case the cap exists for. Two-phase instead (the
+    deterministic_shuffle / AUC-midrank prefix trick, made per-key):
+    the first ``bucket_chars`` hex chars of the hash range-bucket each
+    key's rows; the per-(key, bucket) count table (≤ 16^bucket_chars
+    rows per key) takes a per-key prefix sum; buckets whose prefix
+    already reaches the cap drop WITHOUT RANKING — so the ranking
+    window's input per key is at most cap + one bucket (~n_key/256 at
+    2 chars; raise bucket_chars at 100 TB so the hottest domain's
+    boundary bucket stays task-sized). Under-cap keys pass through
+    the same plan with every bucket surviving.
+
+    If ``cap`` must instead be approximate-but-one-pass (no count
+    table at all), filter on ``bucket_ppm(id) < cap * 1e6 / n_key``
+    with a precomputed key-count broadcast — this exact version costs
+    one extra bounded aggregation and is what the quota semantics
+    usually require.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    bucketed = df.withColumn("_h", h).withColumn(
+        "_b", F.substring(F.col("_h"), 1, bucket_chars)
+    )
+    counts = bucketed.groupBy(key_col, "_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_pref = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = counts.select(
+        key_col,
+        "_b",
+        (F.sum("_cnt").over(w_pref) - F.col("_cnt")).alias("_before"),
+    )
+    survivors = bucketed.join(before, [key_col, "_b"]).filter(
+        F.col("_before") < cap
+    )
+    w_rank = Window.partitionBy(key_col).orderBy(F.col("_h"), F.col(id_col))
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= cap)
+        .drop("_h", "_b", "_before", "_rn")
+    )

@@ -486,3 +486,21 @@ def deterministic_split(
     return df.withColumn(
         "split", F.when(bucket < test_permille, "test").otherwise("train")
     )
+
+
+def url_host(url: Column) -> Column:
+    """Host component of a URL — JVM-side ``parse_url`` (the same
+    extraction Hive's parse_url UDF does; codegen'd, no Python)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def registered_domain_lite(host: Column) -> Column:
+    """Last two dot-labels of a host — the public-suffix-LITE
+    registered domain ('a.b.example.com' -> 'example.com'). A real
+    eTLD+1 needs the public-suffix list (ship it as a broadcast join
+    table when exactness matters — 'x.co.uk' is wrong under this
+    lite rule); single-label hosts pass through unchanged."""
+    labels = F.split(host, r"\.")
+    return F.when(F.size(labels) <= 2, host).otherwise(
+        F.concat_ws(".", F.slice(labels, -2, 2))
+    )

@@ -8723,6 +8723,56 @@ def q_docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_gumbel_topk(scored, "doc_id", k=50)
 
 
+# Per-domain cap (the FineWeb/CCNet-style host quota): no single
+# domain may contribute more than `cap` documents, survivors chosen
+# by deterministic md5 hash order. The operator is the two-phase
+# per-key prefix selection (sampling.cap_per_key — the hottest
+# domain never funnels through one ranking task); at this SF the
+# oracle's plain QUALIFY window replays the same selection because
+# the kept set is a pure function of (ids, cap, seed). URLs are
+# synthesized from source + doc_id (the driver tables carry no URL
+# column); the host comes out of Spark's JVM parse_url vs the
+# oracle's anchored regexp — identical on well-formed URLs.
+@register(
+    "docs_domain_cap",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
+               || '.example.com/p' AS url
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+             md5('0|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM u)
+    SELECT doc_id, domain FROM (
+      SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+      FROM d)
+    WHERE rn <= 4
+    """,
+)
+def q_docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sampling import cap_per_key
+    from cascading_hive_spark.operators.text import url_host
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            F.lit(".example.com/p"),
+        ).alias("url"),
+    )
+    hosted = d.select("doc_id", url_host(F.col("url")).alias("domain"))
+    return cap_per_key(hosted, "domain", "doc_id", cap=4).select(
+        "doc_id", "domain"
+    )
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -8850,7 +8900,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     stream gate) — plus the continuation-session registrations
 #     embedding_knn_density and embedding_knn_density_blocked (kNN-
 #     density data pruning, exact + IVF-blocked) and docs_dsir_weights
-#     / docs_dsir_select (DSIR importance resampling), which join the
+#     / docs_dsir_select (DSIR importance resampling) and
+#     docs_domain_cap (two-phase per-host quota), which join the
 #     never-checked group and shrink the stalest fill by the same
 #     count from its tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
@@ -8865,8 +8916,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 19 of the r7 cohort (a24_to_json .. interleave_sources);
-#     the remaining r7 queries (join_runtime_prefilter onward) are
+#     first 18 of the r7 cohort (a24_to_json .. hll_mergeable_sketches);
+#     the remaining r7 queries (interleave_sources onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -8934,6 +8985,7 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_knn_density_blocked",
     "docs_dsir_weights",
     "docs_dsir_select",
+    "docs_domain_cap",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -8976,7 +9028,6 @@ _DRIVER_WINDOW: list[str] = [
     "events_multi_rollup",
     "fuzzy_match_customers",
     "hll_mergeable_sketches",
-    "interleave_sources",
 ]
 
 

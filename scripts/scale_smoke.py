@@ -44,6 +44,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     auc       [n=50000000]
     knn_density [n=100000] [dim=16]
     dsir      [n=1000000]
+    domain_cap [n_hot=10000000] [n_keys=100000]
 
 Each prints one JSON line per measurement.
 """
@@ -1387,6 +1388,44 @@ def smoke_dsir(n: int = 1_000_000) -> None:
         }), flush=True)
 
 
+def smoke_domain_cap(n_hot: int = 10_000_000, n_keys: int = 100_000) -> None:
+    """cap_per_key under planted domain skew: ONE hot key holding
+    n_hot rows next to n_keys normal keys (100 rows each), cap=50.
+    The naive per-key ranking window would funnel the hot key through
+    one task sorting n_hot rows; the two-phase prefix drops its
+    past-cap buckets before any ranking, so the hot key's window
+    input is ~cap + n_hot/256 and wall must stay in the same band as
+    the no-skew half slice. Exactness asserted: hot key keeps exactly
+    cap, every normal key exactly cap, nothing else."""
+    import time as _t
+
+    from cascading_hive_spark.operators.sampling import cap_per_key
+
+    spark = _spark()
+    normal = spark.range(n_keys * 100).select(
+        F.col("id"),
+        F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias("domain"),
+    )
+    hot = spark.range(n_keys * 100, n_keys * 100 + n_hot).select(
+        "id", F.lit("hotdomain").alias("domain")
+    )
+    for tag, df in (("no_skew", normal), ("skewed", normal.unionByName(hot))):
+        df = df.localCheckpoint()
+        t0 = _t.monotonic()
+        out = cap_per_key(df, "domain", "id", cap=50)
+        agg = out.groupBy("domain").agg(F.count(F.lit(1)).alias("c"))
+        bad = agg.filter(F.col("c") != 50).count()
+        total = out.count()
+        wall = round(_t.monotonic() - t0, 1)
+        assert bad == 0, f"{bad} keys not at cap"
+        expect = n_keys * 50 + (50 if tag == "skewed" else 0)
+        assert total == expect, (total, expect)
+        print(json.dumps({
+            "smoke": "domain_cap", "variant": tag,
+            "rows": df.count(), "kept": total, "wall_sec": wall,
+        }), flush=True)
+
+
 def smoke_knn_density(n: int = 100_000, dim: int = 16) -> None:
     """knn_density_blocked over a FULL corpus (every vector is a
     query — the data-pruning shape, much heavier than an n-query ANN
@@ -1929,4 +1968,5 @@ if __name__ == "__main__":
         "auc": smoke_auc,
         "knn_density": smoke_knn_density,
         "dsir": smoke_dsir,
+        "domain_cap": smoke_domain_cap,
     }[name](*args)

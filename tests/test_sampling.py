@@ -282,3 +282,104 @@ def test_leakage_safe_split_singletons_hash_own_id(spark, docs):
     for did, (ck, split) in got.items():
         assert ck == did
         assert split == ("test" if want_bucket[did] < 100 else "train")
+
+
+# --- per-key cap (domain quota) --------------------------------------------
+
+
+def _keyed(spark, n_keys=5, per_key=40):
+    rows = [
+        (k * 1000 + i, f"key{k}")
+        for k in range(n_keys)
+        for i in range(per_key if k else 2)  # key0 is under-cap
+    ]
+    return spark.createDataFrame(rows, "id long, domain string")
+
+
+def test_cap_per_key_equals_naive_window(spark):
+    """The two-phase prefix selection must equal the textbook
+    QUALIFY row_number() OVER (PARTITION BY key ORDER BY md5, id)
+    definition row-for-row."""
+    from pyspark.sql import Window
+
+    from cascading_hive_spark.operators.sampling import cap_per_key
+
+    df = _keyed(spark)
+    cap = 7
+    h = F.md5(F.concat(F.lit("0|"), F.col("id").cast("string")))
+    w = Window.partitionBy("domain").orderBy(h, F.col("id"))
+    naive = {
+        (r.id, r.domain)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("id", "domain")
+        .collect()
+    }
+    got = {
+        (r.id, r.domain)
+        for r in cap_per_key(df, "domain", "id", cap=cap).collect()
+    }
+    assert got == naive
+
+
+def test_cap_per_key_binds_and_under_cap_passes(spark):
+    from cascading_hive_spark.operators.sampling import cap_per_key
+
+    df = _keyed(spark)
+    out = cap_per_key(df, "domain", "id", cap=10)
+    sizes = {r.domain: r.c for r in out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert sizes["key0"] == 2  # under-cap key keeps everything
+    assert all(c == 10 for d, c in sizes.items() if d != "key0"), sizes
+
+
+def test_cap_per_key_partition_independent_and_monotone(spark):
+    """Same kept set on any input partitioning; and the cap=3 winners
+    are a prefix of the cap=8 winners (hash order is a fixed
+    permutation, so raising the cap only ADDS survivors — the
+    append-stability quota semantics need)."""
+    from cascading_hive_spark.operators.sampling import cap_per_key
+
+    df = _keyed(spark)
+    kept8 = {r.id for r in cap_per_key(df, "domain", "id", cap=8).collect()}
+    kept8_rep = {
+        r.id
+        for r in cap_per_key(df.repartition(7), "domain", "id", cap=8).collect()
+    }
+    assert kept8 == kept8_rep
+    kept3 = {r.id for r in cap_per_key(df, "domain", "id", cap=3).collect()}
+    assert kept3 <= kept8
+
+
+def test_cap_per_key_rejects_nonpositive_cap(spark):
+    from cascading_hive_spark.operators.sampling import cap_per_key
+
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(_keyed(spark), "domain", "id", cap=0)
+
+
+def test_url_host_and_registered_domain_lite(spark):
+    from cascading_hive_spark.operators.text import (
+        registered_domain_lite,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.b.example.com/path?q=1"),
+            (2, "http://localhost/x"),
+            (3, "https://example.com/"),
+        ],
+        "id long, url string",
+    )
+    rows = {
+        r.id: (r.host, r.reg)
+        for r in df.select(
+            "id",
+            url_host(F.col("url")).alias("host"),
+            registered_domain_lite(url_host(F.col("url"))).alias("reg"),
+        ).collect()
+    }
+    assert rows[1] == ("a.b.example.com", "example.com")
+    assert rows[2] == ("localhost", "localhost")  # single label passes through
+    assert rows[3] == ("example.com", "example.com")
