@@ -50,6 +50,11 @@ HEADLINE = [
     "text_quality_classifier",
     "multimodal_video_meta",
     "text_perplexity_buckets",
+    # r13 continuation: DSIR selection (weights + map-only score +
+    # Gumbel top-k), blocked kNN-density pruning, per-domain quota
+    "docs_dsir_select",
+    "embedding_knn_density_blocked",
+    "docs_domain_cap",
 ]
 
 

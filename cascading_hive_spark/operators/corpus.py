@@ -864,3 +864,58 @@ def dsir_gumbel_topk(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def corpus_js_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    n_buckets: int = 128,
+    n: int = 3,
+    seed: str = "dsir13|",
+    portable: bool = True,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus snapshots' hashed
+    n-gram distributions — the drift monitor an ingest pipeline runs
+    between yesterday's and today's crawl (the documents-level twin of
+    events_psi_drift). JS rather than KL because zero-count buckets
+    need no smoothing: each side's term p·ln(p/m) is defined to be 0
+    at p = 0 and the mixture m is positive wherever either side is.
+
+    One row: (js_divergence in [0, ln 2], n_grams_a, n_grams_b).
+    Engine-portable: probabilities are double divisions of exact
+    integer counts, per-bucket terms are 9-dp decimal images summed
+    exactly (order-independent), one final rounding. Scale shape: two
+    map-side-combined count passes to ``n_buckets`` rows, one bounded
+    join — corpus size only ever streams through the counts.
+    Degenerate inputs (an empty side) yield NULL divergence via
+    try_divide, never a DIVIDE_BY_ZERO crash."""
+    ca = dsir_bucket_counts(a, text_col, n_buckets, n, seed, portable)
+    cb = dsir_bucket_counts(b, text_col, n_buckets, n, seed, portable)
+    ta = F.broadcast(ca.agg(F.sum("cnt").alias("_Ta")))
+    tb = F.broadcast(cb.agg(F.sum("cnt").alias("_Tb")))
+    j = (
+        ca.withColumnRenamed("cnt", "cnt_a")
+        .join(cb.withColumnRenamed("cnt", "cnt_b"), "bucket", "full_outer")
+        .crossJoin(ta)
+        .crossJoin(tb)
+    )
+    cnt_a = F.coalesce(F.col("cnt_a"), F.lit(0)).cast("double")
+    cnt_b = F.coalesce(F.col("cnt_b"), F.lit(0)).cast("double")
+    p = F.try_divide(cnt_a, F.col("_Ta").cast("double"))
+    q = F.try_divide(cnt_b, F.col("_Tb").cast("double"))
+    m = (p + q) / F.lit(2.0)
+    term = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        q > 0, q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.round(term, 9).cast("decimal(38,9)").alias("_t"),
+        F.coalesce(F.col("cnt_a"), F.lit(0)).alias("_ca"),
+        F.coalesce(F.col("cnt_b"), F.lit(0)).alias("_cb"),
+    ).agg(
+        (F.round(F.sum("_t").cast("double") / F.lit(2.0), 6) + F.lit(0.0)).alias(
+            "js_divergence"
+        ),
+        F.sum("_ca").cast("bigint").alias("n_grams_a"),
+        F.sum("_cb").cast("bigint").alias("n_grams_b"),
+    )

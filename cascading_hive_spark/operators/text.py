@@ -504,3 +504,19 @@ def registered_domain_lite(host: Column) -> Column:
     return F.when(F.size(labels) <= 2, host).otherwise(
         F.concat_ws(".", F.slice(labels, -2, 2))
     )
+
+
+def dedupe_lines(text: Column, sep: str = "\n") -> Column:
+    """Remove repeated lines within a document, keeping the FIRST
+    occurrence and the original order of survivors — the C4/
+    RefinedWeb within-document cleanup (cross-document span removal
+    is dedup.scrub_duplicate_spans; this is the cheap per-row leg).
+    Pure column expression: split, keep positions where the first
+    index of the value is the position itself, rejoin. NULL text
+    stays NULL. Per-doc cost is O(lines²) array ops on bounded
+    documents — still map-only, no shuffle, no Python."""
+    lines = F.split(text, sep)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return F.array_join(kept, sep)

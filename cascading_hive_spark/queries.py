@@ -8773,6 +8773,98 @@ def q_docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus drift monitoring: Jensen-Shannon divergence between two
+# snapshots' hashed n-gram distributions (the documents-level twin of
+# events_psi_drift; JS, not KL, so zero-count buckets need no
+# smoothing). Here: the English slice vs the rest — a deliberately
+# large drift. One row; counts are exact integers, per-bucket terms
+# 9-dp decimal images summed exactly, one final rounding.
+@register(
+    "docs_corpus_divergence",
+    f"""
+    WITH bk AS (
+      SELECT doc_id, lang, {_DSIR_BK} AS bk
+      FROM documents),
+    ca AS (
+      SELECT bucket, count(*) AS c
+      FROM (SELECT unnest(bk) AS bucket FROM bk WHERE lang = 'en') GROUP BY 1),
+    cb AS (
+      SELECT bucket, count(*) AS c
+      FROM (SELECT unnest(bk) AS bucket FROM bk WHERE lang <> 'en') GROUP BY 1),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ca) AS Ta,
+             (SELECT CAST(sum(c) AS BIGINT) FROM cb) AS Tb),
+    j AS (
+      SELECT coalesce(a.c, 0) AS ia, coalesce(b.c, 0) AS ib,
+             coalesce(a.c, 0)::DOUBLE / CAST(tot.Ta AS DOUBLE) AS p,
+             coalesce(b.c, 0)::DOUBLE / CAST(tot.Tb AS DOUBLE) AS q
+      FROM ca a FULL OUTER JOIN cb b ON a.bucket = b.bucket, tot),
+    terms AS (
+      SELECT ia, ib,
+             CAST(round(
+               (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+               + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END),
+               9) AS DECIMAL(38,9)) AS t
+      FROM j)
+    SELECT round(CAST(sum(t) AS DOUBLE) / 2.0, 6) + 0.0 AS js_divergence,
+           CAST(sum(ia) AS BIGINT) AS n_grams_a,
+           CAST(sum(ib) AS BIGINT) AS n_grams_b
+    FROM terms
+    """,
+)
+def q_docs_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import corpus_js_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_js_divergence(
+        d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en"), "text"
+    )
+
+
+# Within-document duplicate-line removal (the C4/RefinedWeb per-row
+# cleanup; cross-document span removal is dedup_span_scrub). The
+# documents table is single-line text, so the query synthesizes a
+# 4-line document with two repeats and checks the first-occurrence
+# order-preserving scrub — a pure column expression on both sides.
+@register(
+    "text_line_dedup",
+    """
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS c FROM documents),
+    x AS (
+      SELECT doc_id,
+             c || chr(10) || substr(c, 1, 10) || chr(10) || c
+               || chr(10) || substr(c, 1, 10) AS t2
+      FROM t),
+    s AS (SELECT doc_id, string_split(t2, chr(10)) AS l FROM x)
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_lines_in,
+           CAST(len(list_filter(l, (v, i) -> list_position(l, v) = i))
+                AS BIGINT) AS n_lines_out,
+           array_to_string(
+             list_filter(l, (v, i) -> list_position(l, v) = i),
+             chr(10)) AS text_dedup
+    FROM s
+    """,
+)
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import dedupe_lines
+
+    c = F.coalesce(F.col("text"), F.lit(""))
+    t2 = F.concat_ws(
+        "\n", c, F.substring(c, 1, 10), c, F.substring(c, 1, 10)
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", t2.alias("_t2"))
+    lines = F.split(F.col("_t2"), "\n")
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines_in"),
+        F.size(F.split(dedupe_lines(F.col("_t2")), "\n"))
+        .cast("bigint")
+        .alias("n_lines_out"),
+        dedupe_lines(F.col("_t2")).alias("text_dedup"),
+    )
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -8901,7 +8993,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     embedding_knn_density and embedding_knn_density_blocked (kNN-
 #     density data pruning, exact + IVF-blocked) and docs_dsir_weights
 #     / docs_dsir_select (DSIR importance resampling) and
-#     docs_domain_cap (two-phase per-host quota), which join the
+#     docs_domain_cap (two-phase per-host quota),
+#     docs_corpus_divergence (hashed-n-gram JS drift monitor) and
+#     text_line_dedup (C4-style within-doc line scrub), which join the
 #     never-checked group and shrink the stalest fill by the same
 #     count from its tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
@@ -8916,8 +9010,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 18 of the r7 cohort (a24_to_json .. hll_mergeable_sketches);
-#     the remaining r7 queries (interleave_sources onward) are
+#     first 16 of the r7 cohort (a24_to_json .. events_multi_rollup);
+#     the remaining r7 queries (fuzzy_match_customers onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -8986,6 +9080,8 @@ _DRIVER_WINDOW: list[str] = [
     "docs_dsir_weights",
     "docs_dsir_select",
     "docs_domain_cap",
+    "docs_corpus_divergence",
+    "text_line_dedup",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9026,8 +9122,6 @@ _DRIVER_WINDOW: list[str] = [
     "equiheight_histogram",
     "events_interpolate",
     "events_multi_rollup",
-    "fuzzy_match_customers",
-    "hll_mergeable_sketches",
 ]
 
 

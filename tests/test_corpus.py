@@ -566,3 +566,63 @@ def test_dsir_score_plan_is_map_only(spark):
         df, "doc_id", "text", [0.1] * 128, widen=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+# --- corpus drift (JS divergence) ------------------------------------------
+
+
+def test_js_divergence_laws(spark):
+    """JS(a, a) = 0; symmetric; bounded by ln 2; and a disjoint-
+    alphabet pair diverges far more than a near-identical pair."""
+    import math
+
+    from cascading_hive_spark.operators.corpus import corpus_js_divergence
+
+    a = _docs(spark, [(i, "aaa bbb ccc ddd") for i in range(20)])
+    b = _docs(spark, [(i, "xxx yyy zzz www") for i in range(20)])
+    a2 = _docs(spark, [(i, "aaa bbb ccc dde") for i in range(20)])
+    self_js = corpus_js_divergence(a, a, "text").first()
+    assert self_js["js_divergence"] == 0.0
+    assert self_js["n_grams_a"] == self_js["n_grams_b"] > 0
+    ab = corpus_js_divergence(a, b, "text").first()["js_divergence"]
+    ba = corpus_js_divergence(b, a, "text").first()["js_divergence"]
+    near = corpus_js_divergence(a, a2, "text").first()["js_divergence"]
+    assert ab == ba  # symmetric by construction
+    assert 0.0 < near < ab <= math.log(2) + 1e-9, (near, ab)
+
+
+def test_js_divergence_empty_side_is_null(spark):
+    """An empty snapshot cannot crash the monitor (ANSI divide-by-
+    zero): the divergence degrades to NULL, counts stay honest."""
+    from cascading_hive_spark.operators.corpus import corpus_js_divergence
+
+    a = _docs(spark, [(1, "some text here")])
+    empty = a.filter(F.col("doc_id") < 0)
+    row = corpus_js_divergence(a, empty, "text").first()
+    assert row["js_divergence"] is None
+    assert row["n_grams_a"] > 0 and row["n_grams_b"] == 0
+
+
+def test_dedupe_lines_semantics(spark):
+    """First occurrence kept, order preserved, NULL passes through,
+    idempotent."""
+    from cascading_hive_spark.operators.text import dedupe_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, None), (3, ""), (4, "x\nx\nx")],
+        "id long, t string",
+    )
+    out = {
+        r.id: (r.d, r.dd)
+        for r in df.select(
+            "id",
+            dedupe_lines(F.col("t")).alias("d"),
+            dedupe_lines(dedupe_lines(F.col("t"))).alias("dd"),
+        ).collect()
+    }
+    assert out[1][0] == "a\nb\nc"
+    assert out[2][0] is None
+    assert out[3][0] == ""
+    assert out[4][0] == "x"
+    for i in (1, 3, 4):
+        assert out[i][1] == out[i][0]  # idempotent
