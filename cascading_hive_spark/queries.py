@@ -8865,6 +8865,120 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The END-TO-END curation funnel: Gopher structural rules -> learned
+# classifier gate -> per-domain cap, reported as survivor counts per
+# stage (the acceptance report every curation run ships with). Each
+# stage is an operator already hash-verified on its own; this query
+# certifies their COMPOSITION — the oracle replays all three stages
+# and the funnel arithmetic in one SQL statement.
+@register(
+    "pipeline_curation_funnel",
+    rf"""
+    WITH gs AS (
+      SELECT doc_id,
+             (n_words BETWEEN 50 AND 100000)
+               AND (3*n_words <= n_chars AND n_chars <= 10*n_words)
+               AND (10*(n_hash + n_ellipsis) <= n_words)
+               AND (10*n_bullet <= 9*n_lines)
+               AND (10*n_ell_lines <= 3*n_lines) AS g
+      FROM (
+        SELECT doc_id,
+          len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                          x -> x <> '')) AS n_words,
+          length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+          length(text) - length(replace(text, '#', '')) AS n_hash,
+          len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+          len(regexp_split_to_array(text, '\n')) AS n_lines,
+          len(list_filter(regexp_split_to_array(text, '\n'),
+                          l -> regexp_matches(l, '^\s*[-*]'))) AS n_bullet,
+          len(list_filter(regexp_split_to_array(text, '\n'),
+                          l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell_lines
+        FROM documents
+      )),
+    b AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1),
+               i -> CAST(concat('0x', substr(md5(concat('qc13|',
+                      substr(coalesce(text, ''), CAST(i AS INT), 3))),
+                      1, 8)) AS BIGINT) % 128) AS bk
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(bk,
+                    x -> ({_QC_W_SQL})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE)
+               / CAST(len(bk) AS DOUBLE) + CAST(2.512477 AS DOUBLE) AS margin
+      FROM b),
+    flags AS (
+      SELECT d.doc_id, d.source, gs.g, (m.margin > 0) AS c
+      FROM documents d
+      JOIN gs ON gs.doc_id = d.doc_id
+      JOIN m ON m.doc_id = d.doc_id),
+    s2 AS (SELECT doc_id, source FROM flags WHERE g AND c),
+    capped AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 PARTITION BY source || '-' || CAST(doc_id % 3 AS VARCHAR)
+                 ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM s2)
+      WHERE rn <= 4)
+    SELECT CAST(count(*) AS BIGINT) AS n_all,
+           CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+           CAST(sum(CASE WHEN g AND c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classifier,
+           (SELECT CAST(count(*) AS BIGINT) FROM capped) AS n_domain_cap
+    FROM flags
+    """,
+)
+def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.corpus import gopher_quality_rules
+    from cascading_hive_spark.operators.sampling import cap_per_key
+    from cascading_hive_spark.operators.text import quality_classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    # the stopword rule is English-prose-specific and the synthetic
+    # corpus is random-vocab (it zeroes the whole funnel) — stage 1 is
+    # the five STRUCTURAL Gopher rules so every stage shows real
+    # attrition; `keep` (all six) stays the text_gopher_rules contract
+    g = gopher_quality_rules(d, "doc_id", "text").select(
+        "doc_id",
+        (
+            F.col("word_count_ok")
+            & F.col("word_len_ok")
+            & F.col("symbol_ok")
+            & F.col("bullet_ok")
+            & F.col("ellipsis_ok")
+        ).alias("g"),
+    )
+    c = quality_classifier_score(
+        d, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+    ).select("doc_id", F.col("quality_pass").alias("c"))
+    flags = d.select("doc_id", "source").join(g, "doc_id").join(c, "doc_id")
+    s2 = flags.filter(F.col("g") & F.col("c")).select(
+        "doc_id",
+        F.concat(
+            F.col("source"),
+            F.lit("-"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        ).alias("domain"),
+    )
+    capped = cap_per_key(s2, "domain", "doc_id", cap=4).select(
+        "doc_id", F.lit(1).alias("_k")
+    )
+    return flags.join(capped, "doc_id", "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.col("g").cast("long")).cast("bigint").alias("n_gopher"),
+        F.sum((F.col("g") & F.col("c")).cast("long"))
+        .cast("bigint")
+        .alias("n_classifier"),
+        F.sum(F.coalesce(F.col("_k"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_domain_cap"),
+    )
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -8995,9 +9109,10 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     / docs_dsir_select (DSIR importance resampling) and
 #     docs_domain_cap (two-phase per-host quota),
 #     docs_corpus_divergence (hashed-n-gram JS drift monitor) and
-#     text_line_dedup (C4-style within-doc line scrub), which join the
-#     never-checked group and shrink the stalest fill by the same
-#     count from its tail;
+#     text_line_dedup (C4-style within-doc line scrub) and
+#     pipeline_curation_funnel (gopher -> classifier -> domain-cap
+#     composition report), which join the never-checked group and
+#     shrink the stalest fill by the same count from its tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -9010,8 +9125,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 16 of the r7 cohort (a24_to_json .. events_multi_rollup);
-#     the remaining r7 queries (fuzzy_match_customers onward) are
+#     first 15 of the r7 cohort (a24_to_json .. events_interpolate);
+#     the remaining r7 queries (events_multi_rollup onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -9082,6 +9197,7 @@ _DRIVER_WINDOW: list[str] = [
     "docs_domain_cap",
     "docs_corpus_divergence",
     "text_line_dedup",
+    "pipeline_curation_funnel",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9121,7 +9237,6 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_quantize_int8",
     "equiheight_histogram",
     "events_interpolate",
-    "events_multi_rollup",
 ]
 
 

@@ -626,3 +626,16 @@ def test_dedupe_lines_semantics(spark):
     assert out[4][0] == "x"
     for i in (1, 3, 4):
         assert out[i][1] == out[i][0]  # idempotent
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """The composed funnel is monotone (each stage only removes) and
+    the domain-cap stage respects the hard bound n_domains * cap."""
+    from cascading_hive_spark.queries import _REGISTRY
+
+    fn, _ = _REGISTRY["pipeline_curation_funnel"]
+    row = fn(spark, sf_dir).first()
+    assert row.n_all >= row.n_gopher >= row.n_classifier >= row.n_domain_cap
+    assert row.n_gopher > 0, "stage 1 must not be degenerate"
+    # 20 sources x (doc_id % 3) = at most 60 domains, cap 4 each
+    assert row.n_domain_cap <= 60 * 4
