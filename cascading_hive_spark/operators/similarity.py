@@ -1697,37 +1697,57 @@ def knn_density_blocked(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int = 100_000,
 ) -> DataFrame:
     """``knn_density`` past the broadcast bound: candidates come from
     an IVF index (``ivf_build`` / ``ivf_build_portable``) instead of
     the full cross product — each vector is scored only against the
     ``nprobe`` cells nearest it, so pair work is the nprobe/n_cells
-    fraction of brute force (``ivf_knn_join``'s exact plan shape:
-    broadcast-centroid probe selection, shuffle-hash join ON CELL,
-    thin (qid, nbr, cos) ranking rows). Approximate the same way IVF
-    search is: a true neighbor in an unprobed cell is unseen, which
-    BIASES DENSITY DOWN for vectors near cell boundaries —
-    differential-gated against the exact path in
-    tests/test_similarity.py. nprobe = n_cells degenerates to brute
-    force and must equal ``knn_density`` bit-for-bit (same gate).
+    fraction of brute force. Approximate the same way IVF search is:
+    a true neighbor in an unprobed cell is unseen, which BIASES
+    DENSITY DOWN for vectors near cell boundaries — differential-gated
+    against the exact path in tests/test_similarity.py. nprobe =
+    n_cells degenerates to brute force and must equal ``knn_density``
+    bit-for-bit (same gate).
 
-    At 100 TB: n_cells >> cluster cores keeps cells small and the
-    cell join parallel; skewed cells split under AQE since the join
-    is declarative. Density ranking then feeds the prune decision
-    (drop the densest q% — Sorscher's prototypicality schedule)
-    without any all-pairs stage.
+    Plan shape (the semantic_dedup_pairs formulation — full-corpus
+    density is |corpus| x nprobe x cell pair work, far past where a
+    per-pair HOF fold is sane; the expression-per-pair version
+    measured ~6x slower on 2k x 64 at the bench SF):
+
+    1. probe selection: broadcast-centroid window, (qid, cell) thin
+       rows;
+    2. one COGROUPED Arrow task per cell (members x probing queries):
+       a chunked (queries x dim) @ (dim x members) GEMM ranks that
+       cell's candidates, per-query top-(k + slack) survive
+       (slack absorbs BLAS-vs-sequential ulp reorder; if x is in the
+       true global top-k, fewer than k candidates beat it anywhere,
+       so x is within its own cell's top-k <= top-m) and ONLY those
+       get the exact LEFT-TO-RIGHT double fold (the cross-engine
+       contract shared with similarity.dot and DuckDB's list_sum);
+    3. a per-query window over the <= nprobe * (k + slack) exact-
+       scored survivors ranks by the 6-dp-rounded fold (JVM round,
+       identical to the exact path and the SQL oracle) and the top k
+       average into the density.
+
+    At 100 TB: n_cells >> cluster cores keeps cells small and tasks
+    parallel; per-task memory is one query-block x cell sim matrix
+    (chunked at ~64 MB) plus the cell's vectors, both bounded by
+    ``max_cell`` — the guard RAISES inside the cell task (skyline's
+    max_frontier discipline). Density ranking then feeds the prune
+    decision (drop the densest q% — Sorscher's prototypicality
+    schedule) without any all-pairs stage.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    q = assignments.select(
+    q0 = assignments.select(
         F.col(id_col).alias("_qid"),
         F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
     )
-    cscored = q.crossJoin(F.broadcast(centroids)).select(
+    cscored = q0.crossJoin(F.broadcast(centroids)).select(
         "_qid",
         "_qv",
-        "_qn",
         "cell",
         cosine(F.col("_qv"), F.col("centroid")).alias("_csim"),
     )
@@ -1735,20 +1755,104 @@ def knn_density_blocked(
     probes = (
         cscored.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= nprobe)
-        .select("_qid", "_qv", "_qn", "cell")
+        .select("_qid", "_qv", "cell")
     )
-    corpus = assignments.select(
-        "cell", F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+    members = assignments.select(
+        "cell", F.col(id_col).alias("_mid"), F.col(vec_col).alias("_mv")
     )
+    id_type = members.schema["_mid"].dataType
+    out_schema = StructType(
+        [
+            StructField("_qid", id_type),
+            StructField("_nbr", id_type),
+            StructField("_cos", DoubleType()),
+        ]
+    )
+    m_keep = k + 8  # ulp-reorder slack over the per-cell top-k bound
+
+    def _cell_topm(mem_pdf, probe_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"_qid": [], "_nbr": [], "_cos": []})
+        c, nq = len(mem_pdf), len(probe_pdf)
+        if c == 0 or nq == 0:
+            return empty
+        if max_cell is not None and c > max_cell:
+            raise ValueError(
+                f"knn_density_blocked: cell of {c} rows exceeds "
+                f"max_cell={max_cell} — raise n_cells (tighter cells), "
+                "raise/disable max_cell, or pre-split the corpus"
+            )
+        mids = mem_pdf["_mid"].tolist()
+        mmat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in mem_pdf["_mv"]],
+            dtype=np.float64,
+        )
+        mnrm = np.sqrt(np.einsum("ij,ij->i", mmat, mmat))
+        mnrm[mnrm == 0.0] = 1.0
+        # members sorted by id so GEMM ties resolve to the lower nbr id,
+        # matching the (cos DESC, nbr) ranking downstream
+        order = np.argsort(np.asarray(mids))
+        mids = [mids[i] for i in order.tolist()]
+        mmat, mnrm = mmat[order], mnrm[order]
+        qids = probe_pdf["_qid"].tolist()
+        out_q, out_n, out_c = [], [], []
+        block = max(1, min(nq, 8_388_608 // max(c, 1)))  # ~64 MB sims
+        for lo in range(0, nq, block):
+            hi = min(lo + block, nq)
+            qmat = np.asarray(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in probe_pdf["_qv"].iloc[lo:hi]
+                ],
+                dtype=np.float64,
+            )
+            qnrm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+            qnrm[qnrm == 0.0] = 1.0
+            sims = (qmat @ mmat.T) / np.outer(qnrm, mnrm)
+            for bi in range(hi - lo):
+                qid = qids[lo + bi]
+                row = sims[bi]
+                # stable argsort descending: ties keep ascending-id order
+                top = np.argsort(-row, kind="stable")[: m_keep + 1]
+                for j in top.tolist():
+                    nbr = mids[j]
+                    if nbr == qid:
+                        continue
+                    # exact sequential fold — the cross-engine contract
+                    a, b = qmat[bi], mmat[j]
+                    prod = a * b
+                    dot_ = 0.0
+                    for t in prod.tolist():
+                        dot_ += t
+                    sa = 0.0
+                    for t in (a * a).tolist():
+                        sa += t
+                    sb = 0.0
+                    for t in (b * b).tolist():
+                        sb += t
+                    import math as _m
+
+                    out_q.append(qid)
+                    out_n.append(nbr)
+                    out_c.append(dot_ / (_m.sqrt(sa) * _m.sqrt(sb)))
+        return pd.DataFrame({"_qid": out_q, "_nbr": out_n, "_cos": out_c})
+
     scored = (
-        corpus.join(probes.hint("shuffle_hash"), "cell")
-        .filter(F.col(id_col) != F.col("_qid"))
-        .select(
-            F.col("_qid"),
-            F.col(id_col).alias("_nbr"),
-            F.round(
-                dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
-            ).alias("_cos"),
+        members.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(_cell_topm, out_schema)
+        .select("_qid", "_nbr", F.round(F.col("_cos"), 6).alias("_cos"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_nbr"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy(F.col("_qid").alias(id_col))
+        .agg(
+            F.round(F.avg("_cos"), 6).alias("knn_density"),
+            F.count(F.lit(1)).alias("n_neighbors"),
         )
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_nbr"))
