@@ -831,3 +831,29 @@ def test_shard_by_budget_no_global_single_partition_sort(spark, sf_dir):
     plan = physical_plan(_q(spark, sf_dir, "docs_shard_by_budget"))
     assert "hashpartitioning(_bucket" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_cap_no_single_partition_no_cartesian(spark, sf_dir):
+    """docs_domain_cap: both windows (per-key bucket prefix and the
+    boundary ranking) must run hash-partitioned by the key — a global
+    SinglePartition exchange would resurrect the hot-domain funnel
+    the two-phase design exists to avoid."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "docs_domain_cap"))
+    assert "hashpartitioning(domain" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_select_is_scan_plus_topk(spark, sf_dir):
+    """docs_dsir_select: after the bounded weight estimation, scoring
+    is a plan-literal fold and selection a TakeOrderedAndProject —
+    no SinglePartition exchange, no cartesian, no corpus-wide hash
+    shuffle beyond the two count aggregations."""
+    from cascading_hive_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "docs_dsir_select"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

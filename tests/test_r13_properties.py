@@ -159,3 +159,88 @@ def test_mp4_timing_roundtrip_hypothesis():
             parse_mp4_frame_runs(blob[:cut])
 
     check()
+
+
+def test_cap_per_key_equals_naive_hypothesis(spark):
+    """Property (r13 continuation): on arbitrary (id, key) multisets
+    and caps, the two-phase prefix selection equals the naive
+    QUALIFY row_number() OVER (PARTITION BY key ORDER BY md5, id)
+    definition as a SET — the prefix/boundary/bucket plumbing must
+    never change WHICH rows survive."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.sampling import cap_per_key
+
+    rows_s = st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.sampled_from(["a", "b", "c", "hot"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows=rows_s, cap=st.integers(min_value=1, max_value=7))
+    def prop(rows, cap):
+        df = spark.createDataFrame(rows, "id long, domain string")
+        h = F.md5(F.concat(F.lit("0|"), F.col("id").cast("string")))
+        w = Window.partitionBy("domain").orderBy(h, F.col("id"))
+        naive = {
+            (r.id, r.domain)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .select("id", "domain")
+            .collect()
+        }
+        got = {
+            (r.id, r.domain)
+            for r in cap_per_key(df, "domain", "id", cap=cap).collect()
+        }
+        assert got == naive
+
+    prop()
+
+
+def test_dedupe_lines_properties_hypothesis(spark):
+    """Properties: output lines are exactly the input's distinct lines
+    in first-occurrence order (pure-Python model), and the operator is
+    idempotent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.text import dedupe_lines
+
+    line_s = st.text(
+        alphabet=st.sampled_from("ab x"), min_size=0, max_size=4
+    )
+    docs_s = st.lists(
+        st.lists(line_s, min_size=1, max_size=8), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=docs_s)
+    def prop(docs):
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+        df = spark.createDataFrame(rows, "id long, t string")
+        out = {
+            r.id: (r.d, r.dd)
+            for r in df.select(
+                "id",
+                dedupe_lines(F.col("t")).alias("d"),
+                dedupe_lines(dedupe_lines(F.col("t"))).alias("dd"),
+            ).collect()
+        }
+        for i, ls in enumerate(docs):
+            model = list(dict.fromkeys(ls))
+            assert out[i][0] == "\n".join(model), (ls, out[i][0])
+            assert out[i][1] == out[i][0]
+
+    prop()
