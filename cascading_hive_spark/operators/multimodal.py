@@ -715,3 +715,147 @@ def synth_wav_payload(n_channels, sample_rate, bits, n_samples) -> "F.Column":
         # body intentionally absent: the parser reads declared sizes,
         # and a truncated data body is exactly the streaming case
     )
+
+
+def wav_pcm_samples(b: bytes):
+    """Pure-Python PCM extraction: walk the RIFF chunks like
+    ``parse_wav_meta`` but return the 16-bit little-endian mono
+    samples of the data chunk as a list of ints in [-32768, 32767]
+    (None for anything that is not 16-bit PCM WAV, or whose data
+    chunk is absent). A declared size larger than the remaining bytes
+    is honored up to truncation (the streaming-tail case) — whole
+    samples only."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    bits = channels = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if data is None or bits != 16 or channels != 1:
+        return None
+    usable = len(data) - (len(data) % 2)
+    return [
+        int.from_bytes(data[i : i + 2], "little", signed=True)
+        for i in range(0, usable, 2)
+    ]
+
+
+def analyze_pcm(
+    df: DataFrame,
+    clip_at: int = 32767,
+    silence_below: int = 328,
+) -> DataFrame:
+    """Audio QUALITY statistics over the PCM payload — the filter an
+    audio-corpus curation pass runs before transcription (drop
+    clipped takes, drop silence): per blob the sample count, peak
+    amplitude, exact energy (Σ s², a bigint — reported instead of a
+    float RMS so the row is integer-exact and hash-stable
+    cross-engine), clipped-sample count (|s| >= clip_at) and
+    near-silence count (|s| < silence_below, ~1% FS by default).
+
+    Same Arrow mapInPandas shape as decode_audio; the hot loop is
+    ``np.frombuffer`` + vectorized numpy reductions, never per-sample
+    Python. Non-PCM / malformed blobs yield NULL stats, not errors.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "id": pdf["id"],
+                "n_samples": [],
+                "peak": [],
+                "energy": [],
+                "n_clipped": [],
+                "n_silent": [],
+            }
+            for b in pdf["payload"]:
+                samples = wav_pcm_samples(bytes(b))
+                if samples is None:
+                    for k in ("n_samples", "peak", "energy", "n_clipped", "n_silent"):
+                        out[k].append(None)
+                    continue
+                s = np.asarray(samples, dtype=np.int64)
+                a = np.abs(s)
+                out["n_samples"].append(len(s))
+                out["peak"].append(int(a.max()) if len(s) else 0)
+                out["energy"].append(int((s * s).sum()))
+                out["n_clipped"].append(int((a >= clip_at).sum()))
+                out["n_silent"].append(int((a < silence_below).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": out["id"],
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int64"),
+                    "peak": pd.Series(out["peak"], dtype="Int64"),
+                    "energy": pd.Series(out["energy"], dtype="Int64"),
+                    "n_clipped": pd.Series(out["n_clipped"], dtype="Int64"),
+                    "n_silent": pd.Series(out["n_silent"], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        "id long, n_samples long, peak long, energy long, "
+        "n_clipped long, n_silent long",
+    )
+
+
+def synth_wav_pcm_payload(id_expr, n_samples) -> "F.Column":
+    """16-bit mono PCM WAV with a REAL data body, built ENTIRELY
+    JVM-side: sample i is the deterministic integer
+    ``(id*37 + i*1009) % 65536`` (two's-complement image — values
+    >= 32768 read back negative), so a SQL oracle can regenerate the
+    exact waveform arithmetically while the Spark side must decode it
+    from actual bytes. Body construction is one transform over the
+    sample index + a binary-concat fold (bounded n_samples)."""
+
+    def le(col, nbytes: int):
+        v = col.cast("bigint")
+        parts = []
+        for i in range(nbytes):
+            parts.append(
+                F.unhex(
+                    F.lpad(F.hex((v / (256**i)).cast("bigint") % 256), 2, "0")
+                )
+            )
+        return F.concat(*parts)
+
+    idx = F.sequence(F.lit(0), n_samples - 1)
+    body = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: le(
+                F.pmod(id_expr.cast("bigint") * 37 + i.cast("bigint") * 1009, F.lit(65536)),
+                2,
+            ),
+        ),
+        F.lit(b""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    data_size = (n_samples * 2).cast("bigint")
+    return F.concat(
+        F.lit("RIFF").cast("binary"),
+        le(data_size + 36, 4),
+        F.lit("WAVE").cast("binary"),
+        F.lit("fmt ").cast("binary"),
+        le(F.lit(16), 4),
+        le(F.lit(1), 2),
+        le(F.lit(1), 2),  # mono
+        le(F.lit(16000), 4),
+        le(F.lit(32000), 4),
+        le(F.lit(2), 2),
+        le(F.lit(16), 2),
+        F.lit("data").cast("binary"),
+        le(data_size, 4),
+        body,
+    )

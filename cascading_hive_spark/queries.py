@@ -8979,6 +8979,51 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio QUALITY stats over real PCM bytes (the curation filter before
+# transcription: drop clipped takes, drop silence). The WAV container
+# AND its 16-bit PCM body are built JVM-side from a deterministic
+# integer waveform, so the Spark side must genuinely byte-decode
+# (RIFF walk -> np.frombuffer -> vectorized reductions) while the
+# oracle regenerates the exact waveform arithmetically — every output
+# is an integer (energy = sum of squares instead of float RMS), so
+# the row is hash-stable by construction.
+@register(
+    "multimodal_audio_pcm_stats",
+    """
+    WITH n AS (SELECT doc_id, 150 + doc_id % 97 AS ns FROM documents),
+    s AS (
+      SELECT doc_id, ns, (doc_id * 37 + i * 1009) % 65536 AS raw
+      FROM n CROSS JOIN generate_series(0, 245) t(i) WHERE i < ns),
+    v AS (
+      SELECT doc_id, ns,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS x
+      FROM s)
+    SELECT doc_id,
+           CAST(max(ns) AS BIGINT) AS n_samples,
+           CAST(max(abs(x)) AS BIGINT) AS peak,
+           CAST(sum(x * x) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN abs(x) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           CAST(sum(CASE WHEN abs(x) < 328 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_silent
+    FROM v GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.multimodal import (
+        analyze_pcm,
+        synth_wav_pcm_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        synth_wav_pcm_payload(
+            F.col("doc_id"), (F.lit(150) + F.pmod(F.col("doc_id"), F.lit(97)))
+        ).alias("payload"),
+    )
+    return analyze_pcm(d).withColumnRenamed("id", "doc_id")
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -9111,8 +9156,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     docs_corpus_divergence (hashed-n-gram JS drift monitor) and
 #     text_line_dedup (C4-style within-doc line scrub) and
 #     pipeline_curation_funnel (gopher -> classifier -> domain-cap
-#     composition report), which join the never-checked group and
-#     shrink the stalest fill by the same count from its tail;
+#     composition report) and multimodal_audio_pcm_stats (real PCM
+#     byte-decode quality stats), which join the never-checked group
+#     and shrink the stalest fill by the same count from its tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -9125,8 +9171,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 15 of the r7 cohort (a24_to_json .. events_interpolate);
-#     the remaining r7 queries (events_multi_rollup onward) are
+#     first 14 of the r7 cohort (a24_to_json .. equiheight_histogram);
+#     the remaining r7 queries (events_interpolate onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -9198,6 +9244,7 @@ _DRIVER_WINDOW: list[str] = [
     "docs_corpus_divergence",
     "text_line_dedup",
     "pipeline_curation_funnel",
+    "multimodal_audio_pcm_stats",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9236,7 +9283,6 @@ _DRIVER_WINDOW: list[str] = [
     "deterministic_shuffle",
     "embedding_quantize_int8",
     "equiheight_histogram",
-    "events_interpolate",
 ]
 
 

@@ -434,3 +434,74 @@ def test_video_frame_sample_roundtrip_and_run_boundaries(spark):
 
     with pytest.raises(ValueError, match="every_k"):
         video_frame_sample(df, every_k=0)
+
+
+# --- PCM quality stats -------------------------------------------------------
+
+
+def _wav(samples: list[int], bits=16, channels=1, declared=None, extra=b"") -> bytes:
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    size = declared if declared is not None else len(body)
+    fmt = struct.pack("<HHIIHH", 1, channels, 16000, 32000, 2 * channels, bits)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + size)
+        + b"WAVE"
+        + extra
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", size)
+        + body
+    )
+
+
+def test_wav_pcm_samples_pure_python():
+    assert M.wav_pcm_samples(_wav([0, 100, -100, 32767, -32768])) == [
+        0, 100, -100, 32767, -32768,
+    ]
+    # unknown chunk before fmt/data is skipped (RIFF chunk-order law)
+    junk = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    assert M.wav_pcm_samples(_wav([7, -7], extra=junk)) == [7, -7]
+    # declared size past the real bytes: whole samples only (stream tail)
+    truncated = _wav([1, 2, 3], declared=10)
+    assert M.wav_pcm_samples(truncated) == [1, 2, 3]
+    # odd byte dangling: the half sample is dropped
+    assert M.wav_pcm_samples(_wav([1, 2]) + b"x") == [1, 2]
+    # non-mono / non-16-bit / non-WAV refuse with None, never raise
+    assert M.wav_pcm_samples(_wav([1], channels=2)) is None
+    assert M.wav_pcm_samples(_wav([1], bits=8)) is None
+    assert M.wav_pcm_samples(b"RIFFxxxx") is None
+    assert M.wav_pcm_samples(b"") is None
+
+
+def test_analyze_pcm_stats_and_nulls(spark):
+    rows = [
+        (1, bytearray(_wav([0, 10, -32768, 32767, 300, -328]))),
+        (2, bytearray(b"not a wav")),
+        (3, bytearray(_wav([]))),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in M.analyze_pcm(df).collect()}
+    r1 = out[1]
+    assert r1.n_samples == 6
+    assert r1.peak == 32768
+    assert r1.energy == 0 + 100 + 32768**2 + 32767**2 + 300**2 + 328**2
+    assert r1.n_clipped == 2  # |s| >= 32767: the two rail samples
+    assert r1.n_silent == 3  # |0|, |10|, |300| < 328 (|-328| is not)
+    assert out[2].n_samples is None and out[2].energy is None
+    assert out[3].n_samples == 0 and out[3].peak == 0 and out[3].energy == 0
+
+
+def test_synth_wav_pcm_payload_matches_python_model(spark):
+    df = spark.range(5).select(
+        "id", M.synth_wav_pcm_payload(F.col("id"), F.lit(9)).alias("payload")
+    )
+    for r in df.collect():
+        got = M.wav_pcm_samples(bytes(r.payload))
+        exp = [(r.id * 37 + i * 1009) % 65536 for i in range(9)]
+        exp = [x - 65536 if x >= 32768 else x for x in exp]
+        assert got == exp, (r.id, got, exp)
