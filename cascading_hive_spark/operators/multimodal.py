@@ -859,3 +859,74 @@ def synth_wav_pcm_payload(id_expr, n_samples) -> "F.Column":
         le(data_size, 4),
         body,
     )
+
+
+def image_dhash_hex(b: bytes, width: int = 9, height: int = 8):
+    """Difference-hash (dHash) of a row-major 8-bit grayscale bitmap:
+    bit (r, c) = px[r][c] > px[r][c+1], packed row-major into a
+    16-hex-char string (the perceptual fingerprint image pipelines
+    dedup near-identical crops/re-encodes with — exact-match grouping
+    here; banded hamming blocking composes via dedup.simhash
+    machinery when tolerance is needed). Hex, not a bigint, so the
+    64th bit never fights two's complement across engines. None for
+    payloads of the wrong size — malformed blobs must not kill a
+    100 TB scan."""
+    if len(b) != width * height:
+        return None
+    bits = []
+    for r in range(height):
+        row = b[r * width : (r + 1) * width]
+        for c in range(width - 1):
+            bits.append(1 if row[c] > row[c + 1] else 0)
+    out = []
+    for n in range(0, len(bits), 4):
+        nib = bits[n] * 8 + bits[n + 1] * 4 + bits[n + 2] * 2 + bits[n + 3]
+        out.append("0123456789abcdef"[nib])
+    return "".join(out)
+
+
+def dhash_images(df: DataFrame, width: int = 9, height: int = 8) -> DataFrame:
+    """dHash over the binary column — same Arrow mapInPandas shape as
+    decode_image; the per-blob work is a numpy reshape + one
+    vectorized column comparison, packed to hex in bounded Python
+    (64 bits/blob)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            hashes = []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                if len(b) != width * height:
+                    hashes.append(None)
+                    continue
+                mat = np.frombuffer(b, dtype=np.uint8).reshape(height, width)
+                bits = (mat[:, :-1] > mat[:, 1:]).flatten()
+                val = 0
+                for bit in bits.tolist():
+                    val = (val << 1) | int(bit)
+                hashes.append(format(val, f"0{(width - 1) * height // 4}x"))
+            yield pd.DataFrame({"id": pdf["id"], "dhash": hashes})
+
+    return df.mapInPandas(batches, "id long, dhash string")
+
+
+def synth_gray_bitmap_payload(cls_expr, width: int = 9, height: int = 8) -> "F.Column":
+    """Row-major 8-bit grayscale bitmap built ENTIRELY JVM-side:
+    pixel (r, c) = (cls*131 + r*2003 + c*307) % 256 — deterministic in
+    the class id, so equal classes yield byte-identical bitmaps
+    (planted exact near-dups) and a SQL oracle can replay every pixel
+    comparison arithmetically."""
+    idx = F.sequence(F.lit(0), F.lit(width * height - 1))
+    px = lambda i: F.pmod(  # noqa: E731
+        cls_expr.cast("bigint") * 131
+        + (i / width).cast("bigint") * 2003
+        + F.pmod(i.cast("bigint"), F.lit(width)) * 307,
+        F.lit(256),
+    )
+    return F.aggregate(
+        F.transform(idx, lambda i: F.unhex(F.lpad(F.hex(px(i)), 2, "0"))),
+        F.lit(b""),
+        lambda acc, x: F.concat(acc, x),
+    )

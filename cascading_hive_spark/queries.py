@@ -9024,6 +9024,59 @@ def q_multimodal_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_pcm(d).withColumnRenamed("id", "doc_id")
 
 
+# Image perceptual-hash (dHash) dedup: the fingerprint image corpora
+# dedup near-identical crops/re-encodes with. Bitmaps are built
+# JVM-side from a class-deterministic pixel formula (doc_id % 50 ->
+# planted exact duplicate groups); the Spark side byte-decodes and
+# hashes via Arrow mapInPandas, while the oracle replays all 64 pixel
+# comparisons arithmetically and groups on the same hex fingerprint.
+def _dhash_oracle() -> str:
+    def px(r: int, c: int) -> str:
+        return f"((d.cls * 131 + {r} * 2003 + {c} * 307) % 256)"
+
+    bits = [(r, c) for r in range(8) for c in range(8)]
+    nibbles = []
+    for n in range(0, 64, 4):
+        terms = [
+            f"(CASE WHEN {px(r, c)} > {px(r, c + 1)} THEN {w} ELSE 0 END)"
+            for w, (r, c) in zip((8, 4, 2, 1), bits[n : n + 4])
+        ]
+        nibbles.append(
+            f"substr('0123456789abcdef', ({' + '.join(terms)}) + 1, 1)"
+        )
+    dh = "\n             || ".join(nibbles)
+    return f"""
+    WITH d AS (SELECT doc_id, doc_id % 50 AS cls FROM documents),
+    h AS (SELECT doc_id, {dh} AS dhash FROM d)
+    SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM h GROUP BY dhash
+    """
+
+
+@register("multimodal_image_dhash_dedup", _dhash_oracle())
+def q_multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.multimodal import (
+        dhash_images,
+        synth_gray_bitmap_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        synth_gray_bitmap_payload(F.pmod(F.col("doc_id"), F.lit(50))).alias(
+            "payload"
+        ),
+    )
+    return (
+        dhash_images(d)
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("id").cast("bigint").alias("keeper"),
+        )
+    )
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -9156,9 +9209,11 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     docs_corpus_divergence (hashed-n-gram JS drift monitor) and
 #     text_line_dedup (C4-style within-doc line scrub) and
 #     pipeline_curation_funnel (gopher -> classifier -> domain-cap
-#     composition report) and multimodal_audio_pcm_stats (real PCM
-#     byte-decode quality stats), which join the never-checked group
-#     and shrink the stalest fill by the same count from its tail;
+#     composition report), multimodal_audio_pcm_stats (real PCM
+#     byte-decode quality stats) and multimodal_image_dhash_dedup
+#     (perceptual-hash dedup groups), which join the never-checked
+#     group and shrink the stalest fill by the same count from its
+#     tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -9171,8 +9226,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 14 of the r7 cohort (a24_to_json .. equiheight_histogram);
-#     the remaining r7 queries (events_interpolate onward) are
+#     first 13 of the r7 cohort (a24_to_json .. embedding_quantize_int8);
+#     the remaining r7 queries (equiheight_histogram onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -9245,6 +9300,7 @@ _DRIVER_WINDOW: list[str] = [
     "text_line_dedup",
     "pipeline_curation_funnel",
     "multimodal_audio_pcm_stats",
+    "multimodal_image_dhash_dedup",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9282,7 +9338,6 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_span_coverage",
     "deterministic_shuffle",
     "embedding_quantize_int8",
-    "equiheight_histogram",
 ]
 
 

@@ -505,3 +505,43 @@ def test_synth_wav_pcm_payload_matches_python_model(spark):
         exp = [(r.id * 37 + i * 1009) % 65536 for i in range(9)]
         exp = [x - 65536 if x >= 32768 else x for x in exp]
         assert got == exp, (r.id, got, exp)
+
+
+# --- perceptual hash ---------------------------------------------------------
+
+
+def test_image_dhash_pure_python_laws():
+    # identical bitmaps -> identical hash; a single pixel flip that
+    # crosses a comparison boundary flips at most 2 bits
+    base = bytes((r * 31 + c * 7) % 256 for r in range(8) for c in range(9))
+    h1 = M.image_dhash_hex(base)
+    assert h1 == M.image_dhash_hex(bytes(base))
+    assert len(h1) == 16 and all(ch in "0123456789abcdef" for ch in h1)
+    mutated = bytearray(base)
+    mutated[0] = (mutated[0] + 128) % 256
+    h2 = M.image_dhash_hex(bytes(mutated))
+    diff = bin(int(h1, 16) ^ int(h2, 16)).count("1")
+    assert 0 <= diff <= 2
+    # wrong-size payload refuses with None
+    assert M.image_dhash_hex(b"short") is None
+
+
+def test_dhash_images_matches_pure_python_and_groups(spark):
+    df = spark.range(20).select(
+        "id",
+        M.synth_gray_bitmap_payload(F.pmod(F.col("id"), F.lit(4))).alias(
+            "payload"
+        ),
+    )
+    rows = M.dhash_images(df).collect()
+    pure = {
+        r.id: M.image_dhash_hex(bytes(p.payload))
+        for r, p in zip(rows, df.collect())
+    }
+    for r in rows:
+        assert r.dhash == pure[r.id]
+    # equal classes -> equal hashes (planted duplicate groups)
+    by_cls = {}
+    for r in rows:
+        by_cls.setdefault(r.id % 4, set()).add(r.dhash)
+    assert all(len(v) == 1 for v in by_cls.values()), by_cls
