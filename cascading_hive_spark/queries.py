@@ -9077,6 +9077,47 @@ def q_multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Multi-epoch curriculum mixing: three epochs annealing alpha
+# 1.0 -> 0.5 -> 0.2 (natural mix toward tail-up-weighted), one row
+# per (kept doc, epoch) — a doc may recur across epochs, which is the
+# point of an epoch schedule. Membership is the temperature_mix
+# content-addressed ppm filter with per-epoch multiplier MULT^(e+1)
+# mod M (exact modpow literals on both sides) so epochs draw
+# decorrelated subsets; the oracle replays counts, rates and the
+# hash algebra per epoch.
+@register(
+    "sample_epoch_anneal",
+    """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM counts),
+    epochs AS (SELECT * FROM (VALUES (0, 1.0, 654435747), (1, 0.5, 953445008),
+                              (2, 0.2, 666121539)) e(epoch, alpha, mult)),
+    wsum AS (
+      SELECT e.epoch, e.alpha, e.mult,
+             sum(pow(c.n::DOUBLE, e.alpha)) AS w
+      FROM counts c CROSS JOIN epochs e GROUP BY e.epoch, e.alpha, e.mult),
+    rates AS (
+      SELECT w.epoch, w.mult, c.source,
+             least(CAST(1000000 AS BIGINT),
+                   CAST(floor(1000000.0 * (tot.N / 2.0)
+                        * (pow(c.n::DOUBLE, w.alpha) / w.w) / c.n + 0.5)
+                        AS BIGINT)) AS mix_rate_ppm
+      FROM counts c CROSS JOIN wsum w, tot)
+    SELECT d.doc_id, r.epoch, r.mix_rate_ppm
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE ((d.doc_id % 1000000007 + 1000000007) % 1000000007
+           * r.mult) % 1000000007 % 1000000
+          < r.mix_rate_ppm
+    """,
+)
+def q_sample_epoch_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sampling import annealed_epoch_mix
+
+    d = _t(spark, sf_dir, "documents")
+    out = annealed_epoch_mix(d, "doc_id", "source", alphas=[1.0, 0.5, 0.2])
+    return out.select("doc_id", "epoch", "mix_rate_ppm")
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -9211,9 +9252,10 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pipeline_curation_funnel (gopher -> classifier -> domain-cap
 #     composition report), multimodal_audio_pcm_stats (real PCM
 #     byte-decode quality stats) and multimodal_image_dhash_dedup
-#     (perceptual-hash dedup groups), which join the never-checked
-#     group and shrink the stalest fill by the same count from its
-#     tail;
+#     (perceptual-hash dedup groups) and sample_epoch_anneal
+#     (annealed multi-epoch curriculum mixing), which join the
+#     never-checked group and shrink the stalest fill by the same
+#     count from its tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -9226,8 +9268,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 13 of the r7 cohort (a24_to_json .. embedding_quantize_int8);
-#     the remaining r7 queries (equiheight_histogram onward) are
+#     first 12 of the r7 cohort (a24_to_json .. deterministic_shuffle);
+#     the remaining r7 queries (embedding_quantize_int8 onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -9301,6 +9343,7 @@ _DRIVER_WINDOW: list[str] = [
     "pipeline_curation_funnel",
     "multimodal_audio_pcm_stats",
     "multimodal_image_dhash_dedup",
+    "sample_epoch_anneal",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9337,7 +9380,6 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_minhash_incremental",
     "dedup_span_coverage",
     "deterministic_shuffle",
-    "embedding_quantize_int8",
 ]
 
 

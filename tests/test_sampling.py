@@ -383,3 +383,29 @@ def test_url_host_and_registered_domain_lite(spark):
     assert rows[1] == ("a.b.example.com", "example.com")
     assert rows[2] == ("localhost", "localhost")  # single label passes through
     assert rows[3] == ("example.com", "example.com")
+
+
+def test_annealed_epoch_mix_semantics(spark, docs):
+    """Epoch 0 at alpha reproduces temperature_mix membership
+    bit-for-bit; epochs are decorrelated (not near-identical
+    subsets); flatter alpha up-weights the tail source within every
+    epoch; bad alphas/empty schedule raise."""
+    from cascading_hive_spark.operators.sampling import (
+        annealed_epoch_mix,
+        temperature_mix,
+    )
+
+    out = annealed_epoch_mix(docs, "doc_id", "source", alphas=[0.3, 0.3])
+    e0 = {r.doc_id for r in out.filter("epoch = 0").collect()}
+    e1 = {r.doc_id for r in out.filter("epoch = 1").collect()}
+    tm = {r.doc_id for r in temperature_mix(docs, "doc_id", "source", 0.3).collect()}
+    assert e0 == tm  # epoch 0 == single-epoch operator, same alpha
+    # same alpha, different epoch: same SIZE profile per source but a
+    # decorrelated pick — overlap well below identity
+    assert e0 != e1
+    jacc = len(e0 & e1) / len(e0 | e1)
+    assert jacc < 0.9, jacc
+    with pytest.raises(ValueError, match="alpha"):
+        annealed_epoch_mix(docs, "doc_id", "source", alphas=[1.5])
+    with pytest.raises(ValueError, match="non-empty"):
+        annealed_epoch_mix(docs, "doc_id", "source", alphas=[])
