@@ -520,3 +520,59 @@ def dedupe_lines(text: Column, sep: str = "\n") -> Column:
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
     )
     return F.array_join(kept, sep)
+
+
+# leet-speak digit/symbol substitutions a naive blocklist misses;
+# applied AFTER lowercasing, BEFORE tokenizing
+_LEET = {"0": "o", "1": "i", "3": "e", "4": "a", "5": "s", "7": "t", "@": "a", "$": "s"}
+
+
+def normalize_obfuscation(text: Column) -> Column:
+    """Lowercase + leet-substitution + strip separator characters
+    INSIDE words ('b.a.d' / 'b-a-d' / 'B4D' all normalize to 'bad') —
+    the canonicalization layer a blocklist match runs on so trivial
+    obfuscation can't dodge it. The in-word separator strip is THREE
+    passes of a capture-replace ('x.y' -> 'xy'); a lookbehind would do
+    it in one but DuckDB's RE2 oracle supports no lookaround, and the
+    pass count bounds are documented semantics (chains of up to ~8
+    dot-separated letters collapse fully — past that an adversary has
+    left the cheap-normalization regime anyway). Fully JVM-side."""
+    lowered = F.lower(F.coalesce(text, F.lit("")))
+    out = F.translate(
+        lowered, "".join(_LEET.keys()), "".join(_LEET.values())
+    )
+    for _ in range(3):
+        out = F.regexp_replace(out, r"([a-z])[.\-_*]+([a-z])", r"$1$2")
+    return out
+
+
+def blocklist_matches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+) -> DataFrame:
+    """Safety blocklist scan — the NSFW/toxicity term filter every
+    crawl pipeline runs: normalize obfuscation, tokenize on
+    non-letters, count hits against the (broadcast-literal) term
+    list. Returns (id, n_blocked bigint, blocked boolean). The term
+    list is a plan literal (an array_contains chain over a bounded
+    list — blocklists are thousands of terms, well inside a task
+    binary); the scan is map-only, no join, no shuffle, no Python.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = sorted({t.lower() for t in terms})
+    toks = F.filter(
+        F.split(normalize_obfuscation(F.col(text_col)), r"[^a-z]+"),
+        lambda x: x != F.lit(""),
+    )
+    term_arr = F.array(*[F.lit(t) for t in norm])
+    n_blocked = F.size(
+        F.filter(toks, lambda w: F.array_contains(term_arr, w))
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_blocked.alias("n_blocked"),
+        (n_blocked > 0).alias("blocked"),
+    )

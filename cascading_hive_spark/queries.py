@@ -9118,6 +9118,47 @@ def q_sample_epoch_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "epoch", "mix_rate_ppm")
 
 
+# Safety blocklist scan: obfuscation-normalized term matching (the
+# NSFW/toxicity filter stage). Terms here are common synthetic-vocab
+# tokens so the filter genuinely binds; normalization (lowercase,
+# leet substitutions, 3-pass in-word separator strip) is replayed
+# verbatim by the oracle — the pass count is part of the documented
+# semantics because RE2 has no lookaround.
+_BL_NORM_SQL = (
+    "translate(lower(coalesce(text, '')), '013457@$', 'oieastas')"
+)
+for _ in range(3):
+    _BL_NORM_SQL = (
+        "regexp_replace(" + _BL_NORM_SQL
+        + r", '([a-z])[.\-_*]+([a-z])', '\1\2', 'g')"
+    )
+
+
+@register(
+    "text_blocklist_scan",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_BL_NORM_SQL}, '[^a-z]+'),
+                         x -> x <> '') AS tk
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(tk,
+                 w -> w = 'join' OR w = 'hash' OR w = 'scan')) AS BIGINT)
+             AS n_blocked,
+           len(list_filter(tk,
+                 w -> w = 'join' OR w = 'hash' OR w = 'scan')) > 0 AS blocked
+    FROM toks
+    """,
+)
+def q_text_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import blocklist_matches
+
+    return blocklist_matches(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["join", "hash", "scan"]
+    )
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -9252,10 +9293,11 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pipeline_curation_funnel (gopher -> classifier -> domain-cap
 #     composition report), multimodal_audio_pcm_stats (real PCM
 #     byte-decode quality stats) and multimodal_image_dhash_dedup
-#     (perceptual-hash dedup groups) and sample_epoch_anneal
-#     (annealed multi-epoch curriculum mixing), which join the
-#     never-checked group and shrink the stalest fill by the same
-#     count from its tail;
+#     (perceptual-hash dedup groups), sample_epoch_anneal
+#     (annealed multi-epoch curriculum mixing) and
+#     text_blocklist_scan (obfuscation-normalized safety blocklist),
+#     which join the never-checked group and shrink the stalest fill
+#     by the same count from its tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -9268,8 +9310,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 12 of the r7 cohort (a24_to_json .. deterministic_shuffle);
-#     the remaining r7 queries (embedding_quantize_int8 onward) are
+#     first 11 of the r7 cohort (a24_to_json .. dedup_span_coverage);
+#     the remaining r7 queries (deterministic_shuffle onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -9344,6 +9386,7 @@ _DRIVER_WINDOW: list[str] = [
     "multimodal_audio_pcm_stats",
     "multimodal_image_dhash_dedup",
     "sample_epoch_anneal",
+    "text_blocklist_scan",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9379,7 +9422,6 @@ _DRIVER_WINDOW: list[str] = [
     "date_functions",
     "dedup_minhash_incremental",
     "dedup_span_coverage",
-    "deterministic_shuffle",
 ]
 
 

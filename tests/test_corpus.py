@@ -639,3 +639,27 @@ def test_curation_funnel_monotone(spark, sf_dir):
     assert row.n_gopher > 0, "stage 1 must not be degenerate"
     # 20 sources x (doc_id % 3) = at most 60 domains, cap 4 each
     assert row.n_domain_cap <= 60 * 4
+
+
+def test_blocklist_obfuscation_and_guards(spark):
+    """Leet/separator obfuscation is caught ('B.4.D', 'b-a-d', 'b4d'
+    all hit 'bad'); clean text and NULLs pass; empty list raises."""
+    from cascading_hive_spark.operators.text import blocklist_matches
+
+    df = spark.createDataFrame(
+        [
+            (1, "B.4.D and b-a-d and b4d here"),
+            (2, "perfectly fine prose"),
+            (3, None),
+            (4, "badge"),  # substring must NOT match: token-level only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_blocked, r.blocked) for r in
+           blocklist_matches(df, "doc_id", "text", ["bad"]).collect()}
+    assert out[1] == (3, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
+    with pytest.raises(ValueError, match="non-empty"):
+        blocklist_matches(df, "doc_id", "text", [])
