@@ -576,3 +576,77 @@ def blocklist_matches(
         n_blocked.alias("n_blocked"),
         (n_blocked > 0).alias("blocked"),
     )
+
+
+def hash_embed(
+    text: Column,
+    dim: int = 16,
+    n: int = 3,
+    seed: str = "he13|",
+    portable: bool = True,
+) -> Column:
+    """Feature-hashing text embedder (the 'hashing trick',
+    Weinberger et al. 2009): char-n-grams hash into ``dim`` buckets
+    with a ±1 sign from an independent hash bit, summed into an
+    integer vector — the deterministic, model-free embedding that
+    makes the text corpus a first-class citizen of the ANN/dedup
+    embedding family (chunk → hash_embed → IVF index → kNN works
+    end-to-end with no external model, and is the standard cheap
+    baseline before a learned encoder). INTEGER components (array of
+    bigint): exact, order-independent, hash-stable cross-engine;
+    downstream cosine is scale-invariant so normalization is left to
+    the consumer.
+
+    One aggregate over the gram array with an array accumulator —
+    map-only, no shuffle, no Python; O(n_grams * dim) integer adds
+    per document."""
+    from cascading_hive_spark.operators.text import char_ngram_buckets
+
+    t = F.coalesce(text, F.lit(""))
+    buckets = char_ngram_buckets(text, n, dim, seed, portable)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
+    )
+    if portable:
+        sign = F.transform(
+            starts,
+            lambda i: F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(seed + "s|"), t.substr(i, F.lit(n)))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    else:
+        sign = F.transform(
+            starts,
+            lambda i: F.when(
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(seed + "s|"), t.substr(i, F.lit(n)))),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    pairs = F.zip_with(buckets, sign, lambda b, s: F.struct(b.alias("b"), s.alias("s")))
+    zero = F.array_repeat(F.lit(0).cast("bigint"), dim)
+    return F.aggregate(
+        pairs,
+        zero,
+        lambda acc, p: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(p["b"] == i.cast("bigint"), p["s"].cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+    )

@@ -9159,6 +9159,75 @@ def q_text_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Text -> embedding -> ANN composition with NO external model: the
+# feature-hashing embedder (hashing trick) turns documents into exact
+# integer vectors, then the ANN family's brute-force cosine top-k
+# finds the query doc's nearest neighbors. The oracle replays gram
+# hashing, signs, dense vector assembly and the sequential-fold
+# cosine ranking end-to-end.
+_HE_DIM = 16
+_HE_DOT = (
+    "list_sum(list_transform(generate_series(1, 16), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+@register(
+    "docs_hash_embed_knn",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(length(c) - 2, 1) + 1),
+               i -> struct_pack(
+                 b := CAST(concat('0x', substr(md5(concat('he13|',
+                        substr(c, CAST(i AS INT), 3))), 1, 8)) AS BIGINT)
+                      % {_HE_DIM},
+                 s := CASE WHEN CAST(concat('0x', substr(md5(concat('he13|s|',
+                        substr(c, CAST(i AS INT), 3))), 1, 8)) AS BIGINT)
+                        % 2 = 0 THEN 1 ELSE -1 END))) AS gs
+      FROM (SELECT doc_id, coalesce(text, '') AS c FROM documents)),
+    sums AS (
+      SELECT doc_id, gs.b AS b, CAST(sum(gs.s) AS BIGINT) AS v
+      FROM g GROUP BY 1, 2),
+    dense AS (
+      SELECT d.doc_id, r.j, coalesce(s.v, 0) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN range(0, {_HE_DIM}) r(j)
+      LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.b = r.j),
+    vecs AS (
+      SELECT doc_id, list(v ORDER BY j) AS vec FROM dense GROUP BY doc_id),
+    nz AS (
+      SELECT doc_id, vec FROM vecs
+      WHERE {_HE_DOT.format(a='vec', b='vec')} > 0),
+    q AS (SELECT vec AS qv FROM nz WHERE doc_id = 0),
+    scored AS (
+      SELECT nz.doc_id,
+             round({_HE_DOT.format(a='nz.vec', b='qv')}
+                   / (sqrt({_HE_DOT.format(a='nz.vec', b='nz.vec')})
+                      * sqrt({_HE_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+      FROM nz, q)
+    SELECT doc_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, doc_id LIMIT 5
+    """,
+)
+def q_docs_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import cosine_topk, dot
+    from cascading_hive_spark.operators.text import hash_embed
+
+    vecs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embed(F.col("text"), dim=_HE_DIM).alias("embedding"),
+    )
+    nz = vecs.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    query = nz.filter(F.col("vec_id") == 0)
+    return (
+        cosine_topk(nz, query, k=5)
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", "cos_sim")
+    )
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -9295,9 +9364,11 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     byte-decode quality stats) and multimodal_image_dhash_dedup
 #     (perceptual-hash dedup groups), sample_epoch_anneal
 #     (annealed multi-epoch curriculum mixing) and
-#     text_blocklist_scan (obfuscation-normalized safety blocklist),
-#     which join the never-checked group and shrink the stalest fill
-#     by the same count from its tail;
+#     text_blocklist_scan (obfuscation-normalized safety blocklist)
+#     and docs_hash_embed_knn (feature-hashing embedder feeding the
+#     ANN family, no external model), which join the never-checked
+#     group and shrink the stalest fill by the same count from its
+#     tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
 #     window_ntile (the max-rows guard disabled on the parity
 #     path) and sample_leakage_split (integral-id guard + the
@@ -9310,8 +9381,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 11 of the r7 cohort (a24_to_json .. dedup_span_coverage);
-#     the remaining r7 queries (deterministic_shuffle onward) are
+#     first 10 of the r7 cohort (a24_to_json .. dedup_minhash_incremental);
+#     the remaining r7 queries (dedup_span_coverage onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -9387,6 +9458,7 @@ _DRIVER_WINDOW: list[str] = [
     "multimodal_image_dhash_dedup",
     "sample_epoch_anneal",
     "text_blocklist_scan",
+    "docs_hash_embed_knn",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9421,7 +9493,6 @@ _DRIVER_WINDOW: list[str] = [
     "cube_quantity",
     "date_functions",
     "dedup_minhash_incremental",
-    "dedup_span_coverage",
 ]
 
 

@@ -663,3 +663,35 @@ def test_blocklist_obfuscation_and_guards(spark):
     assert out[4] == (0, False)
     with pytest.raises(ValueError, match="non-empty"):
         blocklist_matches(df, "doc_id", "text", [])
+
+
+def test_hash_embed_laws(spark):
+    """Deterministic (equal text -> equal vector), integer-exact,
+    self-similar: a document is its own nearest neighbor under
+    cosine, and dim/NULL behavior holds."""
+    from cascading_hive_spark.operators.similarity import cosine
+    from cascading_hive_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "completely different words entirely"), (4, None)],
+        "id long, t string",
+    )
+    out = {r.id: r.v for r in df.select(
+        "id", hash_embed(F.col("t"), dim=8).alias("v")).collect()}
+    assert out[1] == out[2]
+    assert len(out[1]) == 8 and all(isinstance(x, int) for x in out[1])
+    assert out[4] is not None  # NULL featurizes like '' (one empty gram)
+    # cosine(identical) = 1; cosine(different) < 1
+    sim = df.alias("a").crossJoin(df.alias("b")).filter(
+        "a.id = 1 AND b.id IN (2, 3)"
+    ).select(
+        F.col("b.id").alias("id"),
+        cosine(
+            hash_embed(F.col("a.t"), dim=8).cast("array<double>"),
+            hash_embed(F.col("b.t"), dim=8).cast("array<double>"),
+        ).alias("c"),
+    ).collect()
+    sims = {r.id: r.c for r in sim}
+    assert abs(sims[2] - 1.0) < 1e-12
+    assert sims[3] < 1.0
