@@ -45,6 +45,7 @@ Usage: python scripts/scale_smoke.py <name> [args]
     knn_density [n=100000] [dim=16]
     dsir      [n=1000000]
     domain_cap [n_hot=10000000] [n_keys=100000]
+    curation_scan [n=1000000]
 
 Each prints one JSON line per measurement.
 """
@@ -1426,6 +1427,56 @@ def smoke_domain_cap(n_hot: int = 10_000_000, n_keys: int = 100_000) -> None:
         }), flush=True)
 
 
+def smoke_curation_scan(n: int = 1_000_000) -> None:
+    """The full per-document curation SCAN fused into one map-only
+    pass — blocklist match, hashing-trick embedding, duplicate-line
+    scrub length, learned-classifier margin — the way a production
+    pipeline actually runs them (one read, many derived columns, no
+    shuffle). Wall must stay near-linear between the half and full
+    slice; the fused pass must not cost much more than the classifier
+    alone (column pipelining, one scan)."""
+    import time as _t
+
+    from cascading_hive_spark.operators.text import (
+        blocklist_matches,  # noqa: F401 — fused manually below
+        dedupe_lines,
+        hash_embed,
+        normalize_obfuscation,
+        quality_classifier_score,
+    )
+    from cascading_hive_spark.queries import _QC_BIAS_V1, _QC_WEIGHTS_V1
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    terms = F.array(F.lit("join"), F.lit("hash"), F.lit("scan"))
+    for size in (n // 2, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.0, n_vocab=5000
+        ).localCheckpoint()
+        t0 = _t.monotonic()
+        toks = F.filter(
+            F.split(normalize_obfuscation(F.col("text")), r"[^a-z]+"),
+            lambda x: x != F.lit(""),
+        )
+        scored = quality_classifier_score(
+            docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1,
+            portable=False, widen=False,
+        )
+        fused = docs.join(scored, "doc_id").select(
+            "doc_id",
+            F.size(F.filter(toks, lambda w: F.array_contains(terms, w)))
+            .alias("n_blocked"),
+            hash_embed(F.col("text"), dim=16, portable=False).alias("vec"),
+            F.length(dedupe_lines(F.col("text"))).alias("dedup_len"),
+            "margin",
+        )
+        fused.write.format("noop").mode("overwrite").save()
+        wall = round(_t.monotonic() - t0, 1)
+        print(json.dumps({
+            "smoke": "curation_scan", "n_docs": size, "wall_sec": wall,
+        }), flush=True)
+
+
 def smoke_knn_density(n: int = 100_000, dim: int = 16) -> None:
     """knn_density_blocked over a FULL corpus (every vector is a
     query — the data-pruning shape, much heavier than an n-query ANN
@@ -1969,4 +2020,5 @@ if __name__ == "__main__":
         "knn_density": smoke_knn_density,
         "dsir": smoke_dsir,
         "domain_cap": smoke_domain_cap,
+        "curation_scan": smoke_curation_scan,
     }[name](*args)
