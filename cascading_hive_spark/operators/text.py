@@ -650,3 +650,29 @@ def hash_embed(
             ),
         ),
     )
+
+
+def dedupe_lines_docs(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """``dedupe_lines`` as an Arrow batch pass — the scale path for
+    documents with MANY lines: the column-expression version pays
+    O(lines²) array_position probes per document (fine for normal
+    prose, quadratic for pathological 10k-line docs), this one is a
+    per-doc dict pass, O(lines). Returns (id, text_dedup). Same
+    first-occurrence order-preserving semantics, NULL -> NULL —
+    asserted equal to the column version in tests."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for t in pdf[text_col]:
+                if t is None:
+                    out.append(None)
+                else:
+                    out.append(sep.join(dict.fromkeys(t.split(sep))))
+            yield pd.DataFrame({id_col: pdf[id_col], "text_dedup": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} long, text_dedup string"
+    )

@@ -695,3 +695,18 @@ def test_hash_embed_laws(spark):
     sims = {r.id: r.c for r in sim}
     assert abs(sims[2] - 1.0) < 1e-12
     assert sims[3] < 1.0
+
+
+def test_dedupe_lines_docs_equals_column_version(spark):
+    """The Arrow O(lines) scale path and the column-expression
+    version agree row-for-row, including NULLs."""
+    from cascading_hive_spark.operators.text import dedupe_lines, dedupe_lines_docs
+
+    rows = [(1, "a\nb\na\nc\nb"), (2, None), (3, ""), (4, "x\nx\nx"),
+            (5, "\n".join(str(i % 7) for i in range(200)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_v = {r.doc_id: r.d for r in df.select(
+        "doc_id", dedupe_lines(F.col("text")).alias("d")).collect()}
+    arrow_v = {r.doc_id: r.text_dedup for r in
+               dedupe_lines_docs(df, "doc_id", "text").collect()}
+    assert col_v == arrow_v
