@@ -353,3 +353,69 @@ def test_perplexity_empty_train_scores_all_unscored(spark):
             lm_perplexity_buckets(train, score, "doc_id", "text").collect()}
     assert set(rows) == {1, 2}
     assert all(r.bucket == "unscored" and r.nll is None for r in rows.values())
+
+
+# --- r13 continuation operators ---------------------------------------------
+
+
+def test_knn_density_empty(spark):
+    from cascading_hive_spark.operators.similarity import knn_density
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = knn_density(empty, k=3)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "knn_density", "n_neighbors"]
+
+
+def test_cap_per_key_empty(spark):
+    from cascading_hive_spark.operators.sampling import cap_per_key
+
+    empty = spark.createDataFrame([], "id long, domain string")
+    assert cap_per_key(empty, "domain", "id", cap=3).count() == 0
+
+
+def test_annealed_epoch_mix_empty(spark):
+    from cascading_hive_spark.operators.sampling import annealed_epoch_mix
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert annealed_epoch_mix(empty, "doc_id", "source", [0.5]).count() == 0
+
+
+def test_dsir_empty_raw_corpus(spark):
+    """Both corpora empty: weights are all the (0-count) smoothing
+    constant, scoring an empty frame yields an empty frame."""
+    from cascading_hive_spark.operators.corpus import dsir_score, dsir_weights
+
+    empty = _empty_docs(spark)
+    w = dsir_weights(empty, empty, "text")
+    assert len(w) == 128 and all(x == 0.0 for x in w)  # log(1/B)-log(1/B)
+    assert dsir_score(empty, "doc_id", "text", w).count() == 0
+
+
+def test_analyze_pcm_empty_frame(spark):
+    from cascading_hive_spark.operators.multimodal import analyze_pcm
+
+    empty = spark.createDataFrame([], "id long, payload binary")
+    out = analyze_pcm(empty)
+    assert out.count() == 0
+    assert "energy" in out.columns
+
+
+def test_dhash_images_empty_frame(spark):
+    from cascading_hive_spark.operators.multimodal import dhash_images
+
+    empty = spark.createDataFrame([], "id long, payload binary")
+    assert dhash_images(empty).count() == 0
+
+
+def test_blocklist_empty_frame(spark):
+    from cascading_hive_spark.operators.text import blocklist_matches
+
+    assert blocklist_matches(_empty_docs(spark), "doc_id", "text", ["x"]).count() == 0
+
+
+def test_hash_embed_empty_frame(spark):
+    from cascading_hive_spark.operators.text import hash_embed
+
+    out = _empty_docs(spark).select(hash_embed(F.col("text"), dim=4).alias("v"))
+    assert out.count() == 0
