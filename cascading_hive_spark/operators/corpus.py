@@ -723,16 +723,35 @@ def dsir_weights(
     bucket; buckets unseen in both corpora still carry the nonzero
     smoothing weight log((R+B)/(T+B)) implied by the models.
 
-    Two bounded aggregations (``n_buckets`` rows each) collected
+    One bounded aggregation (a tagged union of the two corpora's
+    gram buckets -> at most 2 * ``n_buckets`` rows) collected
     driver-side — the k-centroids/BPE-argmax precedent, never
-    corpus-sized. Weights are rounded to 6 dp so the scoring fold's
-    micro-unit image is exact cross-engine."""
+    corpus-sized, and a single Spark job where two separate counts
+    paid two scans' worth of job overhead. Weights are rounded to
+    6 dp so the scoring fold's micro-unit image is exact
+    cross-engine."""
     import math
 
-    rc = {r["bucket"]: r["cnt"] for r in
-          dsir_bucket_counts(raw, text_col, n_buckets, n, seed, portable).collect()}
-    tc = {r["bucket"]: r["cnt"] for r in
-          dsir_bucket_counts(target, text_col, n_buckets, n, seed, portable).collect()}
+    from cascading_hive_spark.operators.text import char_ngram_buckets
+
+    tagged = raw.select(
+        F.lit(0).alias("_side"), F.col(text_col).alias("_t")
+    ).unionByName(
+        target.select(F.lit(1).alias("_side"), F.col(text_col).alias("_t"))
+    )
+    counts = (
+        tagged.select(
+            "_side",
+            F.explode(
+                char_ngram_buckets(F.col("_t"), n, n_buckets, seed, portable)
+            ).alias("bucket"),
+        )
+        .groupBy("_side", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    rc = {r["bucket"]: r["cnt"] for r in counts if r["_side"] == 0}
+    tc = {r["bucket"]: r["cnt"] for r in counts if r["_side"] == 1}
     big_r, big_t = sum(rc.values()), sum(tc.values())
     return [
         round(
