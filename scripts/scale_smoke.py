@@ -1440,7 +1440,7 @@ def smoke_curation_scan(n: int = 1_000_000) -> None:
     from cascading_hive_spark.operators.text import (
         blocklist_matches,  # noqa: F401 — fused manually below
         dedupe_lines,
-        hash_embed,
+        hash_embed_docs,
         normalize_obfuscation,
         quality_classifier_score,
     )
@@ -1462,13 +1462,18 @@ def smoke_curation_scan(n: int = 1_000_000) -> None:
             docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1,
             portable=False, widen=False,
         )
-        fused = docs.join(scored, "doc_id").select(
-            "doc_id",
-            F.size(F.filter(toks, lambda w: F.array_contains(terms, w)))
-            .alias("n_blocked"),
-            hash_embed(F.col("text"), dim=16, portable=False).alias("vec"),
-            F.length(dedupe_lines(F.col("text"))).alias("dedup_len"),
-            "margin",
+        embedded = hash_embed_docs(
+            docs, "doc_id", "text", dim=16, portable=False
+        )
+        fused = (
+            docs.select(
+                "doc_id",
+                F.size(F.filter(toks, lambda w: F.array_contains(terms, w)))
+                .alias("n_blocked"),
+                F.length(dedupe_lines(F.col("text"))).alias("dedup_len"),
+            )
+            .join(embedded, "doc_id")
+            .join(scored.select("doc_id", "margin"), "doc_id")
         )
         fused.write.format("noop").mode("overwrite").save()
         wall = round(_t.monotonic() - t0, 1)

@@ -710,3 +710,22 @@ def test_dedupe_lines_docs_equals_column_version(spark):
     arrow_v = {r.doc_id: r.text_dedup for r in
                dedupe_lines_docs(df, "doc_id", "text").collect()}
     assert col_v == arrow_v
+
+
+def test_hash_embed_docs_equals_column_version(spark):
+    """The Arrow bincount scale path produces the exact integer
+    vectors of the column fold, both hash families."""
+    from cascading_hive_spark.operators.text import hash_embed, hash_embed_docs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, ""), (4, "zz")],
+        "doc_id long, text string",
+    )
+    for portable in (True, False):
+        col_v = {r.doc_id: r.v for r in df.select(
+            "doc_id",
+            hash_embed(F.col("text"), dim=8, portable=portable).alias("v"),
+        ).collect()}
+        arrow_v = {r.doc_id: r.embedding for r in hash_embed_docs(
+            df, "doc_id", "text", dim=8, portable=portable).collect()}
+        assert col_v == arrow_v, portable
