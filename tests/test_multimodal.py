@@ -439,7 +439,7 @@ def test_video_frame_sample_roundtrip_and_run_boundaries(spark):
 # --- PCM quality stats -------------------------------------------------------
 
 
-def _wav(samples: list[int], bits=16, channels=1, declared=None, extra=b"") -> bytes:
+def _pcm_wav(samples: list[int], bits=16, channels=1, declared=None, extra=b"") -> bytes:
     import struct
 
     body = b"".join(struct.pack("<h", s) for s in samples)
@@ -460,29 +460,29 @@ def _wav(samples: list[int], bits=16, channels=1, declared=None, extra=b"") -> b
 
 
 def test_wav_pcm_samples_pure_python():
-    assert M.wav_pcm_samples(_wav([0, 100, -100, 32767, -32768])) == [
+    assert M.wav_pcm_samples(_pcm_wav([0, 100, -100, 32767, -32768])) == [
         0, 100, -100, 32767, -32768,
     ]
     # unknown chunk before fmt/data is skipped (RIFF chunk-order law)
     junk = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
-    assert M.wav_pcm_samples(_wav([7, -7], extra=junk)) == [7, -7]
+    assert M.wav_pcm_samples(_pcm_wav([7, -7], extra=junk)) == [7, -7]
     # declared size past the real bytes: whole samples only (stream tail)
-    truncated = _wav([1, 2, 3], declared=10)
+    truncated = _pcm_wav([1, 2, 3], declared=10)
     assert M.wav_pcm_samples(truncated) == [1, 2, 3]
     # odd byte dangling: the half sample is dropped
-    assert M.wav_pcm_samples(_wav([1, 2]) + b"x") == [1, 2]
+    assert M.wav_pcm_samples(_pcm_wav([1, 2]) + b"x") == [1, 2]
     # non-mono / non-16-bit / non-WAV refuse with None, never raise
-    assert M.wav_pcm_samples(_wav([1], channels=2)) is None
-    assert M.wav_pcm_samples(_wav([1], bits=8)) is None
+    assert M.wav_pcm_samples(_pcm_wav([1], channels=2)) is None
+    assert M.wav_pcm_samples(_pcm_wav([1], bits=8)) is None
     assert M.wav_pcm_samples(b"RIFFxxxx") is None
     assert M.wav_pcm_samples(b"") is None
 
 
 def test_analyze_pcm_stats_and_nulls(spark):
     rows = [
-        (1, bytearray(_wav([0, 10, -32768, 32767, 300, -328]))),
+        (1, bytearray(_pcm_wav([0, 10, -32768, 32767, 300, -328]))),
         (2, bytearray(b"not a wav")),
-        (3, bytearray(_wav([]))),
+        (3, bytearray(_pcm_wav([]))),
     ]
     df = spark.createDataFrame(rows, "id long, payload binary")
     out = {r.id: r for r in M.analyze_pcm(df).collect()}
