@@ -244,3 +244,96 @@ def test_dedupe_lines_properties_hypothesis(spark):
             assert out[i][1] == out[i][0]
 
     prop()
+
+
+def test_wav_pcm_roundtrip_hypothesis():
+    """Pure-Python property: arbitrary int16 sample lists, wrapped in
+    RIFF containers with random junk chunks and optional odd-byte
+    tails, decode back exactly through wav_pcm_samples."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cascading_hive_spark.operators.multimodal import wav_pcm_samples
+
+    samples_s = st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        samples=samples_s,
+        junk=st.binary(min_size=0, max_size=9),
+        junk_first=st.booleans(),
+        dangle=st.booleans(),
+    )
+    def prop(samples, junk, junk_first, dangle):
+        body = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        fmt_chunk = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        junk_chunk = b"JUNK" + struct.pack("<I", len(junk)) + junk
+        if len(junk) % 2:
+            junk_chunk += b"\x00"  # RIFF word alignment
+        data_chunk = b"data" + struct.pack("<I", len(body)) + body
+        chunks = (
+            junk_chunk + fmt_chunk + data_chunk
+            if junk_first
+            else fmt_chunk + junk_chunk + data_chunk
+        )
+        b = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        if dangle:
+            b += b"\x07"  # trailing half-sample noise after all chunks
+        assert wav_pcm_samples(b) == samples
+
+    prop()
+
+
+def test_hash_embed_matches_python_model_hypothesis(spark):
+    """hash_embed (portable md5 leg) equals a pure-Python hashlib
+    replay of bucket/sign/accumulate on arbitrary short texts —
+    the cross-engine contract, modeled outside Spark entirely."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.text import hash_embed
+
+    def model(text, dim=8, n=3, seed="he13|"):
+        t = text or ""
+        n_grams = max(len(t) - (n - 1), 1)
+        vec = [0] * dim
+        for i in range(n_grams):
+            g = t[i : i + n]
+            b = int(hashlib.md5((seed + g).encode()).hexdigest()[:8], 16) % dim
+            s = int(
+                hashlib.md5((seed + "s|" + g).encode()).hexdigest()[:8], 16
+            ) % 2
+            vec[b] += 1 if s == 0 else -1
+        return vec
+
+    texts_s = st.lists(
+        st.text(alphabet=st.sampled_from("abc x.z"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts=texts_s)
+    def prop(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, t string"
+        )
+        got = {
+            r.id: r.v
+            for r in df.select(
+                "id", hash_embed(F.col("t"), dim=8).alias("v")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == model(t), (t, got[i], model(t))
+
+    prop()
