@@ -1322,3 +1322,89 @@ def sequence_similarity_topk(
         .orderBy("distance", *key_cols)
         .limit(k)
     )
+
+
+def suppress_small_groups(
+    agg: DataFrame,
+    group_cols: list[str],
+    count_col: str,
+    k: int,
+    label: str = "*",
+) -> DataFrame:
+    """Small-cell suppression — the k-anonymity publishing rule for
+    aggregate releases: any group whose row count is below ``k`` must
+    not be published individually (it re-identifies members), so all
+    under-k groups fold into ONE ``label`` bucket whose additive
+    measures are re-summed. Operates on an ALREADY-AGGREGATED table
+    (group columns + one count column + additive measure columns) so
+    the corpus-sized work stays in the caller's one mergeable
+    aggregation; this pass touches only the bounded group table.
+
+    All non-group, non-count columns must be additive (sums/counts) —
+    means/ratios must be published as their sum+count parts and
+    divided after suppression, the standard mergeable-aggregate
+    discipline this repo's partial_agg follows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    measures = [c for c in agg.columns if c not in group_cols]
+    if count_col not in measures:
+        raise ValueError(f"count_col {count_col!r} not in {agg.columns}")
+    small = F.col(count_col) < k
+    relabeled = agg.select(
+        *[
+            F.when(small, F.lit(label)).otherwise(F.col(c).cast("string")).alias(c)
+            for c in group_cols
+        ],
+        *measures,
+    )
+    return relabeled.groupBy(*group_cols).agg(
+        *[F.sum(m).alias(m) for m in measures]
+    )
+
+
+def group_percentile_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct_rank",
+    scale: int = 6,
+) -> DataFrame:
+    """Midpoint percentile rank of ``value_col`` WITHIN each group —
+    the normalization that makes quality scores comparable across
+    sources before a global cut (a margin of 0.2 can be top-decile
+    for one crawl and median for another). pct = (2*below + ties) /
+    (2*n), the midrank convention binary_auc uses, so ties share one
+    rank and the result is a pure integer ratio rounded once.
+
+    Scale shape (the AUC-midrank trick per group): counts per
+    (group, value) — map-side combined, bounded by distinct values —
+    then a per-group prefix window over that bounded counts table,
+    then one join back. No window ever runs over corpus rows."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = counts.select(
+        group_col,
+        value_col,
+        (
+            F.round(
+                (
+                    F.lit(2) * (F.sum("_cnt").over(w) - F.col("_cnt"))
+                    + F.col("_cnt")
+                ).cast("double")
+                / (F.lit(2) * F.sum("_cnt").over(wn)).cast("double"),
+                scale,
+            )
+            + F.lit(0.0)
+        ).alias(out_col),
+    )
+    return df.join(ranked, [group_col, value_col])

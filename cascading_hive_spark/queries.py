@@ -9228,6 +9228,96 @@ def q_docs_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Small-cell suppression (k-anonymity publishing rule): per-customer
+# order stats where any group under k=8 rows folds into one '*'
+# bucket with re-summed additive measures — publishing tiny groups
+# re-identifies members. The corpus-sized work is one mergeable
+# aggregation; suppression touches only the bounded group table.
+@register(
+    "orders_kanon_stats",
+    """
+    WITH base AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS st
+      FROM orders GROUP BY o_custkey),
+    folded AS (
+      SELECT CASE WHEN n_orders < 8 THEN '*'
+                  ELSE CAST(o_custkey AS VARCHAR) END AS custkey,
+             n_orders, st
+      FROM base)
+    SELECT custkey, CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           round(CAST(sum(st) AS DOUBLE), 2) + 0.0 AS sum_total
+    FROM folded GROUP BY custkey
+    """,
+)
+def q_orders_kanon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import suppress_small_groups
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias(
+            "_st"
+        ),
+    )
+    out = suppress_small_groups(base, ["custkey"], "n_orders", k=8)
+    return out.select(
+        "custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (F.round(F.col("_st").cast("double"), 2) + F.lit(0.0)).alias("sum_total"),
+    )
+
+
+# Cross-source score normalization: the classifier margin's midpoint
+# percentile rank WITHIN each source (pct = (2*below + ties)/(2n) —
+# the binary_auc midrank convention), so a global quality cut
+# compares like with like across crawls. The per-group work runs over
+# the bounded (source, margin) counts table, never corpus rows.
+@register(
+    "text_quality_pct_by_source",
+    f"""
+    WITH b AS (
+      SELECT d.doc_id, d.source,
+             list_transform(
+               range(1, greatest(length(coalesce(d.text, '')) - 2, 1) + 1),
+               i -> CAST(concat('0x', substr(md5(concat('qc13|',
+                      substr(coalesce(d.text, ''), CAST(i AS INT), 3))),
+                      1, 8)) AS BIGINT) % 128) AS bk
+      FROM documents d),
+    m AS (
+      SELECT doc_id, source,
+             round(CAST(list_sum(list_transform(bk,
+                     x -> ({_QC_W_SQL})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE)
+               / CAST(len(bk) AS DOUBLE) + CAST(2.512477 AS DOUBLE), 6)
+               + 0.0 AS margin
+      FROM b),
+    cnt AS (SELECT source, margin, count(*) AS c FROM m GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, margin,
+             round(CAST(2 * (sum(c) OVER (PARTITION BY source ORDER BY margin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                    + c AS DOUBLE)
+                   / CAST(2 * sum(c) OVER (PARTITION BY source) AS DOUBLE),
+                   6) + 0.0 AS pct_rank
+      FROM cnt)
+    SELECT m.doc_id, m.source, m.margin, r.pct_rank
+    FROM m JOIN ranked r ON r.source = m.source AND r.margin = m.margin
+    """,
+)
+def q_text_quality_pct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import group_percentile_rank
+    from cascading_hive_spark.operators.text import quality_classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_classifier_score(
+        d, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+    ).join(d.select("doc_id", "source"), "doc_id")
+    return group_percentile_rank(
+        scored.select("doc_id", "source", "margin"), "source", "margin"
+    ).select("doc_id", "source", "margin", "pct_rank")
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -9365,8 +9455,10 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     (perceptual-hash dedup groups), sample_epoch_anneal
 #     (annealed multi-epoch curriculum mixing) and
 #     text_blocklist_scan (obfuscation-normalized safety blocklist)
-#     and docs_hash_embed_knn (feature-hashing embedder feeding the
-#     ANN family, no external model), which join the never-checked
+#     docs_hash_embed_knn (feature-hashing embedder feeding the
+#     ANN family, no external model), orders_kanon_stats (small-cell
+#     suppression) and text_quality_pct_by_source (cross-source
+#     midrank score normalization), which join the never-checked
 #     group and shrink the stalest fill by the same count from its
 #     tail;
 # (3) forced re-verification of code touched this round (r12 ADVICE):
@@ -9381,8 +9473,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 10 of the r7 cohort (a24_to_json .. dedup_minhash_incremental);
-#     the remaining r7 queries (dedup_span_coverage onward) are
+#     first 8 of the r7 cohort (a24_to_json .. cube_quantity);
+#     the remaining r7 queries (date_functions onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -9459,6 +9551,8 @@ _DRIVER_WINDOW: list[str] = [
     "sample_epoch_anneal",
     "text_blocklist_scan",
     "docs_hash_embed_knn",
+    "orders_kanon_stats",
+    "text_quality_pct_by_source",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9491,8 +9585,6 @@ _DRIVER_WINDOW: list[str] = [
     "cogrouped_asof_merge",
     "conditional_scalars",
     "cube_quantity",
-    "date_functions",
-    "dedup_minhash_incremental",
 ]
 
 

@@ -729,3 +729,42 @@ def test_hash_embed_docs_equals_column_version(spark):
         arrow_v = {r.doc_id: r.embedding for r in hash_embed_docs(
             df, "doc_id", "text", dim=8, portable=portable).collect()}
         assert col_v == arrow_v, portable
+
+
+def test_suppress_small_groups_semantics(spark):
+    """Under-k groups fold into ONE label bucket with re-summed
+    measures; at-or-over-k groups publish unchanged; every published
+    non-label group has count >= k (the k-anonymity law); k<1 raises."""
+    from cascading_hive_spark.operators.relational import suppress_small_groups
+
+    agg = spark.createDataFrame(
+        [("a", 10, 100), ("b", 2, 20), ("c", 3, 30), ("d", 9, 90)],
+        "g string, n long, s long",
+    )
+    out = {r.g: (r.n, r.s) for r in
+           suppress_small_groups(agg, ["g"], "n", k=5).collect()}
+    assert out["a"] == (10, 100) and out["d"] == (9, 90)
+    assert out["*"] == (5, 50)  # b + c folded
+    assert set(out) == {"a", "d", "*"}
+    for g, (n, _) in out.items():
+        assert g == "*" or n >= 5
+    with pytest.raises(ValueError, match="k must"):
+        suppress_small_groups(agg, ["g"], "n", k=0)
+
+
+def test_group_percentile_rank_midrank_law(spark):
+    """pct = (2*below + ties)/(2n): singletons in a 4-row group land
+    at 1/8, 3/8, 5/8, 7/8; ties share one midpoint; groups are
+    independent."""
+    from cascading_hive_spark.operators.relational import group_percentile_rank
+
+    df = spark.createDataFrame(
+        [("s1", 1, 10.0), ("s1", 2, 20.0), ("s1", 3, 30.0), ("s1", 4, 40.0),
+         ("s2", 5, 7.0), ("s2", 6, 7.0)],
+        "src string, id long, v double",
+    )
+    out = {r.id: r.pct_rank for r in
+           group_percentile_rank(df, "src", "v").collect()}
+    assert out[1] == 0.125 and out[2] == 0.375
+    assert out[3] == 0.625 and out[4] == 0.875
+    assert out[5] == out[6] == 0.5  # two-way tie in a 2-row group
