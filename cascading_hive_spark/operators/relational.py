@@ -1369,6 +1369,7 @@ def group_percentile_rank(
     value_col: str,
     out_col: str = "pct_rank",
     scale: int = 6,
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """Midpoint percentile rank of ``value_col`` WITHIN each group —
     the normalization that makes quality scores comparable across
@@ -1378,14 +1379,38 @@ def group_percentile_rank(
     rank and the result is a pure integer ratio rounded once.
 
     Scale shape (the AUC-midrank trick per group): counts per
-    (group, value) — map-side combined, bounded by distinct values —
-    then a per-group prefix window over that bounded counts table,
-    then one join back. No window ever runs over corpus rows."""
+    (group, value) — map-side combined — then a per-group prefix
+    window over that counts table, then one join back. No window ever
+    runs over corpus rows, but the counts table is bounded by DISTINCT
+    (group, value) pairs: continuous scores at fine granularity can
+    make one group's distinct set corpus-sized, and then its prefix
+    window is a single-task sort (the window_ntile lesson). The
+    ``max_distinct`` guard raises with the prescription — quantize
+    the score (round to a coarser scale) or switch to the fixed-grid
+    ``percentile_bins`` / histogram-sketch substitutes — instead of
+    silently funneling; pass ``None`` to disable when cardinality is
+    known bounded."""
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
+    if max_distinct is not None:
+        top = (
+            counts.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .orderBy(F.col("_d").desc())
+            .first()
+        )
+        if top is not None and top["_d"] > max_distinct:
+            raise ValueError(
+                f"group_percentile_rank: group {top[group_col]!r} has "
+                f"{top['_d']} distinct {value_col!r} values (> max_distinct="
+                f"{max_distinct}); its prefix window would single-task-sort "
+                "them — quantize the score to a coarser scale, use "
+                "percentile_bins / the histogram-quantile sketch, or pass "
+                "max_distinct=None if this cardinality is intended"
+            )
     w = (
         Window.partitionBy(group_col)
         .orderBy(value_col)

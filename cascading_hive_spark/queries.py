@@ -9313,8 +9313,16 @@ def q_text_quality_pct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_classifier_score(
         d, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
     ).join(d.select("doc_id", "source"), "doc_id")
+    # max_distinct=None: the parity harness runs at bounded SFs by
+    # design, and the guard's count pre-pass would add a job per run
+    # (the window_ntile max-rows lesson, ADVICE r12). Library callers
+    # keep the default guard; at scale quantize or use
+    # percentile_bins.
     return group_percentile_rank(
-        scored.select("doc_id", "source", "margin"), "source", "margin"
+        scored.select("doc_id", "source", "margin"),
+        "source",
+        "margin",
+        max_distinct=None,
     ).select("doc_id", "source", "margin", "pct_rank")
 
 

@@ -768,3 +768,16 @@ def test_group_percentile_rank_midrank_law(spark):
     assert out[1] == 0.125 and out[2] == 0.375
     assert out[3] == 0.625 and out[4] == 0.875
     assert out[5] == out[6] == 0.5  # two-way tie in a 2-row group
+
+
+def test_group_percentile_rank_distinct_guard(spark):
+    from cascading_hive_spark.operators.relational import group_percentile_rank
+
+    df = spark.createDataFrame(
+        [("s", i, float(i)) for i in range(50)], "src string, id long, v double"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        group_percentile_rank(df, "src", "v", max_distinct=10).collect()
+    # disabled guard and bounded cardinality both pass
+    assert group_percentile_rank(df, "src", "v", max_distinct=None).count() == 50
+    assert group_percentile_rank(df, "src", "v", max_distinct=64).count() == 50
