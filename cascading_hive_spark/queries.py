@@ -9326,6 +9326,51 @@ def q_text_quality_pct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "margin", "pct_rank")
 
 
+# The safety blocklist on a document STREAM (the streaming_quality_
+# filter pattern): a stateless narrow projection — no watermark, no
+# state store — whose streamed rows equal the batch scanner's by
+# construction, so the oracle is SHARED with text_blocklist_scan.
+@register(
+    "streaming_blocklist_gate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({_BL_NORM_SQL}, '[^a-z]+'),
+                         x -> x <> '') AS tk
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(tk,
+                 w -> w = 'join' OR w = 'hash' OR w = 'scan')) AS BIGINT)
+             AS n_blocked,
+           len(list_filter(tk,
+                 w -> w = 'join' OR w = 'hash' OR w = 'scan')) > 0 AS blocked
+    FROM toks
+    """,
+)
+def q_streaming_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import (
+        blocklist_gate_stream,
+        stream_documents,
+    )
+
+    tune_for_queries(spark)
+    name = f"q_stream_bl_{uuid.uuid4().hex[:8]}"
+    stream = blocklist_gate_stream(
+        stream_documents(spark, sf_dir), ["join", "hash", "scan"]
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # kNN-density data pruning (Sorscher et al. 2022 prototypicality):
 # mean cosine to each vector's k nearest neighbors, the redundancy
 # signal pruning curricula rank on. Exact brute-force leg below (the
@@ -9481,8 +9526,8 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     pairing, so twin coverage holds with the rows-only member;
 # (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
 #     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 8 of the r7 cohort (a24_to_json .. cube_quantity);
-#     the remaining r7 queries (date_functions onward) are
+#     first 7 of the r7 cohort (a24_to_json .. conditional_scalars);
+#     the remaining r7 queries (cube_quantity onward) are
 #     the r14 fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + this round's code-touched queries + any rows-only
@@ -9561,6 +9606,7 @@ _DRIVER_WINDOW: list[str] = [
     "docs_hash_embed_knn",
     "orders_kanon_stats",
     "text_quality_pct_by_source",
+    "streaming_blocklist_gate",
     # -- code touched this round (r12 ADVICE fixes), re-verify:
     "window_ntile",
     "sample_leakage_split",
@@ -9592,7 +9638,6 @@ _DRIVER_WINDOW: list[str] = [
     "bitwise_ops",
     "cogrouped_asof_merge",
     "conditional_scalars",
-    "cube_quantity",
 ]
 
 

@@ -515,3 +515,16 @@ def quality_filter_stream(
     return quality_classifier_score(
         docs, "doc_id", "text", weights, bias, widen=False
     )
+
+
+def blocklist_gate_stream(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """The safety blocklist on a document STREAM: the term array is a
+    plan literal and the normalization chain is pure column
+    expressions, so the exact batch scan runs unchanged under
+    Structured Streaming — stateless, no watermark, no state store;
+    output rows identical to the batch scanner on the same input
+    (oracle-shared with text_blocklist_scan). This is the ingest-time
+    safety gate: flag-as-it-lands, route on ``blocked``."""
+    from cascading_hive_spark.operators.text import blocklist_matches
+
+    return blocklist_matches(docs, "doc_id", "text", terms)

@@ -480,3 +480,39 @@ def test_streaming_quality_filter_equals_batch(spark, sf_dir):
     }
     assert got == batch
     assert len(got) == 500
+
+
+def test_streaming_blocklist_gate_equals_batch(spark, sf_dir):
+    """The streamed blocklist rows equal the batch scanner's rows
+    exactly — the stateless-gate contract (streaming_quality_filter's
+    law, for the safety gate)."""
+    import uuid
+
+    from cascading_hive_spark.operators.text import blocklist_matches
+    from cascading_hive_spark.streaming.jobs import (
+        blocklist_gate_stream,
+        stream_documents,
+    )
+    from cascading_hive_spark.tables import load_table
+
+    terms = ["join", "hash", "scan"]
+    name = f"t_bl_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        blocklist_gate_stream(stream_documents(spark, sf_dir), terms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.doc_id, r.n_blocked, r.blocked) for r in spark.table(name).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_blocked, r.blocked)
+        for r in blocklist_matches(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", terms
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 500
