@@ -717,14 +717,14 @@ def synth_wav_payload(n_channels, sample_rate, bits, n_samples) -> "F.Column":
     )
 
 
-def wav_pcm_samples(b: bytes):
-    """Pure-Python PCM extraction: walk the RIFF chunks like
-    ``parse_wav_meta`` but return the 16-bit little-endian mono
-    samples of the data chunk as a list of ints in [-32768, 32767]
-    (None for anything that is not 16-bit PCM WAV, or whose data
-    chunk is absent). A declared size larger than the remaining bytes
-    is honored up to truncation (the streaming-tail case) — whole
-    samples only."""
+def wav_pcm_data(b: bytes):
+    """RIFF-walk like ``parse_wav_meta`` and return the RAW bytes of
+    the 16-bit mono PCM data chunk, trimmed to whole samples (None
+    for anything that is not 16-bit mono PCM WAV, or whose data chunk
+    is absent). A declared size larger than the remaining bytes is
+    honored up to truncation (the streaming-tail case). Chunk walking
+    is O(n_chunks) Python; the payload itself is never iterated —
+    callers decode it in one ``np.frombuffer('<i2')`` shot."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     pos = 12
@@ -742,11 +742,22 @@ def wav_pcm_samples(b: bytes):
         pos += 8 + size + (size & 1)
     if data is None or bits != 16 or channels != 1:
         return None
-    usable = len(data) - (len(data) % 2)
-    return [
-        int.from_bytes(data[i : i + 2], "little", signed=True)
-        for i in range(0, usable, 2)
-    ]
+    return data[: len(data) - (len(data) % 2)]
+
+
+def wav_pcm_samples(b: bytes):
+    """16-bit little-endian mono samples of the data chunk as a list
+    of ints in [-32768, 32767] (None when ``wav_pcm_data`` rejects
+    the blob). Decoding is a single vectorized ``np.frombuffer``;
+    only the final list materialization is Python-side — the hot
+    analytics path (``analyze_pcm``) stays on the ndarray and never
+    calls this."""
+    import numpy as np
+
+    data = wav_pcm_data(b)
+    if data is None:
+        return None
+    return np.frombuffer(data, dtype="<i2").astype(int).tolist()
 
 
 def analyze_pcm(
@@ -780,12 +791,12 @@ def analyze_pcm(
                 "n_silent": [],
             }
             for b in pdf["payload"]:
-                samples = wav_pcm_samples(bytes(b))
-                if samples is None:
+                data = wav_pcm_data(bytes(b))
+                if data is None:
                     for k in ("n_samples", "peak", "energy", "n_clipped", "n_silent"):
                         out[k].append(None)
                     continue
-                s = np.asarray(samples, dtype=np.int64)
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 a = np.abs(s)
                 out["n_samples"].append(len(s))
                 out["peak"].append(int(a.max()) if len(s) else 0)

@@ -1815,7 +1815,18 @@ def knn_density_blocked(
                 qid = qids[lo + bi]
                 row = sims[bi]
                 # stable argsort descending: ties keep ascending-id order
-                top = np.argsort(-row, kind="stable")[: m_keep + 1]
+                top = np.argsort(-row, kind="stable")
+                if len(top) > m_keep + 1:
+                    # extend the cut through every candidate whose
+                    # 6-dp-ROUNDED sim ties the m_keep-th one: the
+                    # final ranking is by rounded exact fold, so a
+                    # rounded tie below the unrounded cut could hold
+                    # an oracle-selected lower-id neighbor. round()
+                    # is monotone, hence those ties are a prefix of
+                    # the descending order and one count suffices.
+                    thresh = np.round(row[top[m_keep]], 6)
+                    n_keep = int((np.round(row, 6) >= thresh).sum())
+                    top = top[: max(n_keep, m_keep + 1)]
                 for j in top.tolist():
                     nbr = mids[j]
                     if nbr == qid:
@@ -1844,16 +1855,6 @@ def knn_density_blocked(
         .cogroup(probes.groupBy("cell"))
         .applyInPandas(_cell_topm, out_schema)
         .select("_qid", "_nbr", F.round(F.col("_cos"), 6).alias("_cos"))
-    )
-    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_nbr"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .groupBy(F.col("_qid").alias(id_col))
-        .agg(
-            F.round(F.avg("_cos"), 6).alias("knn_density"),
-            F.count(F.lit(1)).alias("n_neighbors"),
-        )
     )
     w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_nbr"))
     return (

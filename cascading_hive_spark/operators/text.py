@@ -514,8 +514,12 @@ def dedupe_lines(text: Column, sep: str = "\n") -> Column:
     Pure column expression: split, keep positions where the first
     index of the value is the position itself, rejoin. NULL text
     stays NULL. Per-doc cost is O(lines²) array ops on bounded
-    documents — still map-only, no shuffle, no Python."""
-    lines = F.split(text, sep)
+    documents — still map-only, no shuffle, no Python. ``sep`` is a
+    LITERAL separator (regex-escaped before F.split so '.'/'|' split
+    byte-wise, matching the literal str.split in dedupe_lines_docs)."""
+    import re as _re
+
+    lines = F.split(text, _re.escape(sep))
     kept = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
     )
