@@ -1372,6 +1372,200 @@ def remove_duplicate_spans(
     )
 
 
+def _dup_charspan_islands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    stride: int,
+) -> DataFrame:
+    """Merged duplicated CHARACTER-span intervals per document: one
+    row (_id, _s, _e) per maximal island of 1-based char positions
+    covered by a length-``min_len`` character window whose text
+    occurs verbatim in >= 2 distinct documents. The char-level core
+    shared by duplicate_charspan_stats / remove_duplicate_charspans —
+    the Lee et al. 2021 exact-substring granularity (word n-grams
+    miss templated boilerplate that reflows across token boundaries;
+    ~50-char windows catch it).
+
+    ``stride`` > 1 trades recall for gram volume: windows still
+    overlap while stride <= min_len so island merging is unchanged,
+    but a duplicated region's first/last (stride-1) chars can fall
+    outside any sampled window. stride=1 is exact.
+
+    Scale shape (same discipline as _dup_span_islands): the only wide
+    shuffles carry (md5(window), doc, pos) — 16-byte digests + ints,
+    never the text; duplicate digests come from a partial-aggregated
+    count; islands are two window passes over HIT spans only. A gram
+    shared by k docs costs k rows, not k^2 pairs. Char stride=1 emits
+    ~n_chars windows per doc (vs n_tokens for the word form) — the
+    documented price of char-exactness; set stride to amortize."""
+    from pyspark.sql import Window
+
+    if stride < 1 or stride > min_len:
+        raise ValueError(
+            f"stride={stride} must be in [1, min_len={min_len}] so "
+            "adjacent windows overlap and islands stay mergeable"
+        )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_nc"),
+    )
+    grams = (
+        base.filter(F.col("_nc") >= min_len)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.col("_nc") - (min_len - 1), F.lit(stride)
+                )
+            ).alias("_p"),
+            "_txt",
+        )
+        .select(
+            "_id",
+            "_p",
+            F.md5(F.col("_txt").substr(F.col("_p"), F.lit(min_len))).alias("_g"),
+        )
+    )
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_g")
+    )
+    spans = grams.join(dup, "_g").select(
+        "_id", F.col("_p").alias("_s"), (F.col("_p") + (min_len - 1)).alias("_e")
+    )
+    w_prev = (
+        Window.partitionBy("_id")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("_id").orderBy("_s")
+    return (
+        spans.withColumn(
+            "_new",
+            (F.col("_s") > F.coalesce(F.max("_e").over(w_prev), F.lit(-1)) + 1).cast(
+                "int"
+            ),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy("_id", "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .select("_id", "_s", "_e")
+    )
+
+
+def duplicate_charspan_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 50,
+    stride: int = 1,
+) -> DataFrame:
+    """Per-document coverage by EXACT duplicated CHARACTER spans of
+    length >= ``min_len`` — exact-substring dedup at the published
+    granularity (Lee et al. 2021 deduplicate ~50-token/char windows;
+    duplicate_span_stats above is the word-10-gram form, which misses
+    boilerplate that reflows across token boundaries).
+
+    Output: (id, n_chars, dup_chars, dup_permille) for EVERY doc,
+    where dup_chars is the size of the UNION of all min_len-char
+    windows whose text occurs in >= 2 distinct documents, overlaps
+    merged gaps-and-islands style (a copied 200-char block counts
+    200, not 151*50). Scale notes on _dup_charspan_islands."""
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.length(text_col).alias("_nc")
+    )
+    covered = (
+        _dup_charspan_islands(docs, id_col, text_col, min_len, stride)
+        .groupBy("_id")
+        .agg(F.sum(F.col("_e") - F.col("_s") + 1).alias("_covered"))
+    )
+    return base.join(covered, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("_nc").cast("bigint").alias("n_chars"),
+        F.coalesce(F.col("_covered"), F.lit(0)).cast("bigint").alias("dup_chars"),
+        F.floor(
+            F.coalesce(F.col("_covered"), F.lit(0)) * 1000 / F.col("_nc")
+        ).alias("dup_permille"),
+    )
+
+
+def remove_duplicate_charspans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 50,
+    stride: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL at character granularity (the
+    Lee et al. 2021 scrub — duplicate_charspan_stats is the signal,
+    this is the act): delete every char inside a duplicated
+    min_len-char island from ALL holders and splice the remainder,
+    for EVERY document.
+
+    Output: (id, n_chars, kept_chars, ``out_col``) — kept_chars ==
+    n_chars and clean_text == text for untouched docs (char splicing
+    is lossless).
+
+    Scale shape: identical to duplicate_charspan_stats up to the
+    island table (digest-only shuffles); islands then collect per doc
+    — bounded by copied-span count, NOT corpus-sized — and the splice
+    is ONE fold over the sorted island array emitting substr pieces
+    (O(islands) substr calls per doc, never per-char work)."""
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_nc"),
+    )
+    islands = (
+        _dup_charspan_islands(docs, id_col, text_col, min_len, stride)
+        .groupBy("_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("_s").alias("s"), F.col("_e").alias("e"))
+            ).alias("_ivs")
+        )
+    )
+    joined = base.join(islands, "_id", "left").withColumn(
+        "_ivs2",
+        F.array_sort(
+            F.coalesce(F.col("_ivs"), F.array().cast("array<struct<s:int,e:int>>"))
+        ),
+    )
+    # splice fold: cursor walks the doc, each (disjoint, sorted)
+    # island appends the gap before it and jumps the cursor past it;
+    # finish appends the tail
+    acc0 = F.struct(
+        F.lit("").cast("string").alias("txt"), F.lit(1).cast("int").alias("cur")
+    )
+    clean = F.aggregate(
+        F.col("_ivs2"),
+        acc0,
+        lambda acc, iv: F.struct(
+            F.concat(
+                acc["txt"],
+                F.col("_txt").substr(acc["cur"], iv["s"] - acc["cur"]),
+            ).alias("txt"),
+            (iv["e"] + F.lit(1)).cast("int").alias("cur"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"],
+            F.col("_txt").substr(acc["cur"], F.col("_nc") - acc["cur"] + 1),
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("_nc").cast("bigint").alias("n_chars"),
+        F.length(clean).cast("bigint").alias("kept_chars"),
+        clean.alias(out_col),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entity resolution: blocked fuzzy matching
 # ---------------------------------------------------------------------------

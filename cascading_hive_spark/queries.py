@@ -4883,6 +4883,110 @@ def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Character-level exact-substring coverage (dedup.
+# duplicate_charspan_stats — the Lee et al. 2021 granularity: 50-CHAR
+# windows instead of word 10-grams, catching boilerplate that reflows
+# across token boundaries). Same islands machinery as
+# dedup_span_coverage but positions are 1-based char offsets and the
+# gram is md5(substr(text, p, 50)). The oracle replays the whole
+# pipeline in SQL.
+@register(
+    "dedup_charspan_coverage",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) AS INT) AS nc FROM documents),
+    grams AS (
+      SELECT doc_id, p, md5(substr(text, p, 50)) AS g
+      FROM d, LATERAL unnest(range(1, nc - 48)) AS t(p)
+      WHERE nc >= 50),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    spans AS (SELECT doc_id, p AS s, p + 49 AS e FROM grams JOIN dup USING (g)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM spans),
+    labeled AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+      FROM flagged),
+    per_island AS (
+      SELECT doc_id, isl, max(e) - min(s) + 1 AS cov
+      FROM labeled GROUP BY doc_id, isl),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered
+      FROM per_island GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.nc AS BIGINT) AS n_chars,
+           coalesce(p.covered, 0) AS dup_chars,
+           CAST(floor(coalesce(p.covered, 0) * 1000.0 / d.nc) AS BIGINT)
+               AS dup_permille
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_dedup_charspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import duplicate_charspan_stats
+
+    return duplicate_charspan_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# Character-level exact-substring REMOVAL (dedup.
+# remove_duplicate_charspans — dedup_charspan_coverage is the signal,
+# this is the act): scrub every char inside a duplicated 50-char
+# island and splice the remainder. Spark splices with one O(islands)
+# substr fold per doc; the oracle proves the same result the
+# brute-force way — per-CHAR positions anti-joined against the
+# islands, string_agg'd in position order (bounded: sf0.01 is ~150k
+# char rows) — so the two engines reach byte-identical text through
+# INDEPENDENT formulations.
+@register(
+    "dedup_charspan_scrub",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) AS INT) AS nc FROM documents),
+    grams AS (
+      SELECT doc_id, p, md5(substr(text, p, 50)) AS g
+      FROM d, LATERAL unnest(range(1, nc - 48)) AS t(p)
+      WHERE nc >= 50),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    spans AS (SELECT doc_id, p AS s, p + 49 AS e FROM grams JOIN dup USING (g)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM spans),
+    labeled AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+      FROM flagged),
+    islands AS (
+      SELECT doc_id, isl, min(s) AS s, max(e) AS e
+      FROM labeled GROUP BY doc_id, isl),
+    pos AS (
+      SELECT doc_id, p, substr(text, p, 1) AS ch
+      FROM d, LATERAL unnest(range(1, nc + 1)) AS u(p)),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.ch
+      FROM pos LEFT JOIN islands i
+        ON pos.doc_id = i.doc_id AND pos.p BETWEEN i.s AND i.e
+      WHERE i.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS kept,
+             string_agg(ch, '' ORDER BY p) AS txt
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.nc AS BIGINT) AS n_chars,
+           CAST(coalesce(a.kept, 0) AS BIGINT) AS kept_chars,
+           coalesce(a.txt, '') AS clean_text
+    FROM d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_charspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import remove_duplicate_charspans
+
+    return remove_duplicate_charspans(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # Audio leg of the multimodal surface: JVM-built WAV containers
 # (RIFF/fmt/data, little-endian byte construction) round-trip through
 # Arrow into the pure-Python header walker; the oracle recomputes

@@ -688,3 +688,106 @@ def test_remove_duplicate_spans_scrubs_planted_block(spark):
              duplicate_span_stats(df, "doc_id", "text", n=10).collect()}
     for d in (1, 2, 3):
         assert out[d].kept_tokens + stats[d].dup_tokens == out[d].n_tokens
+
+
+def test_duplicate_charspan_stats_planted_block(spark):
+    """A 60-char block shared by two docs covers exactly its 60 chars
+    (every 50-window inside it is cross-doc duplicated; straddling
+    windows differ), islands merged — never 11 windows x 50."""
+    from cascading_hive_spark.operators.dedup import duplicate_charspan_stats
+
+    block = "0123456789" * 6  # 60 chars
+    docs = spark.createDataFrame(
+        [
+            (1, f"HEAD-{block}-TAIL"),
+            (2, f"xx{block}yy"),
+            (3, "z" * 40),  # < min_len: 0 coverage, still present
+            (4, "completely different text " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in duplicate_charspan_stats(docs, "doc_id", "text").collect()
+    }
+    assert got[1].dup_chars == 60 and got[1].n_chars == 70
+    assert got[2].dup_chars == 60 and got[2].dup_permille == 937  # floor(60000/64)
+    assert got[3].dup_chars == 0 and got[3].n_chars == 40
+    assert got[4].dup_chars == 0
+
+
+def test_duplicate_charspan_stride_and_guard(spark):
+    """stride>1 still finds a big planted block (windows overlap while
+    stride<=min_len); stride out of range raises."""
+    import pytest
+
+    from cascading_hive_spark.operators.dedup import duplicate_charspan_stats
+
+    block = "abcdefghij" * 12  # 120 chars
+    # same prefix length in both docs: sampled starts hit the same
+    # block offsets cross-doc (stride sampling only matches windows
+    # whose starts are sampled in BOTH holders)
+    docs = spark.createDataFrame(
+        [(1, f"L{block}R"), (2, f"Q{block}W")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in duplicate_charspan_stats(
+            docs, "doc_id", "text", min_len=50, stride=7
+        ).collect()
+    }
+    # sampled starts may miss up to stride-1 chars at EACH island edge
+    assert 120 - 2 * 6 <= got[1].dup_chars <= 120
+    with pytest.raises(ValueError, match="stride"):
+        duplicate_charspan_stats(docs, "doc_id", "text", min_len=50, stride=51)
+
+
+def test_remove_duplicate_charspans_splice(spark):
+    """Scrub splices out exactly the duplicated island chars; docs
+    without hits come back byte-identical; stats twin reconciles."""
+    from cascading_hive_spark.operators.dedup import (
+        duplicate_charspan_stats,
+        remove_duplicate_charspans,
+    )
+
+    block = "SHAREDBLOCK-" * 5  # 60 chars
+    rows = [
+        (1, f"aaa>{block}<zzz"),
+        (2, f"left|{block}|right and a unique tail"),
+        (3, "unique text that is long enough to window but never shared!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_charspans(df, "doc_id", "text").collect()
+    }
+    assert out[1].clean_text == "aaa><zzz"
+    assert out[1].kept_chars == 8 and out[1].n_chars == 68
+    assert out[2].clean_text == "left||right and a unique tail"
+    assert out[3].clean_text == rows[2][1]  # untouched, byte-identical
+    assert out[3].kept_chars == out[3].n_chars
+    stats = {
+        r.doc_id: r
+        for r in duplicate_charspan_stats(df, "doc_id", "text").collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d].kept_chars + stats[d].dup_chars == out[d].n_chars
+
+
+def test_remove_duplicate_charspans_two_islands(spark):
+    """Two disjoint shared blocks in one doc -> both spliced out,
+    middle gap and ends preserved in order."""
+    from cascading_hive_spark.operators.dedup import remove_duplicate_charspans
+
+    a = "A" * 55
+    b = "B" * 55
+    df = spark.createDataFrame(
+        [(1, f"s-{a}-mid-{b}-e"), (2, f"x{a}x"), (3, f"y{b}y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_charspans(df, "doc_id", "text").collect()
+    }
+    assert out[1].clean_text == "s--mid--e"
