@@ -456,8 +456,21 @@ def quality_classifier_fit(
         dtype="float64"
     )[:, None]
     X[:, n_buckets] = 1.0  # bias column
-    w = np.zeros(n_buckets + 1)
-    eye = np.eye(n_buckets + 1)
+    w = _irls_solve(X, y, iters, ridge)
+    return [round(float(v), 6) for v in w[:n_buckets]], round(float(w[n_buckets]), 6)
+
+
+def _irls_solve(X, y, iters: int, ridge: float):
+    """Exact IRLS (Newton) for L2-regularized logistic regression on a
+    dense design matrix with trailing bias column — the shared solver
+    core of quality_classifier_fit / lang_classifier_fit. Fixed
+    iteration count over fixed-order numpy matrices: deterministic,
+    so fitted weights can be frozen as constants and re-derived."""
+    import numpy as np
+
+    d = X.shape[1]
+    w = np.zeros(d)
+    eye = np.eye(d)
     for _ in range(iters):
         m = np.clip(X @ w, -30.0, 30.0)
         p = 1.0 / (1.0 + np.exp(-m))
@@ -465,7 +478,174 @@ def quality_classifier_fit(
         g = X.T @ (p - y) + ridge * w
         hess = (X.T * s) @ X + ridge * eye
         w -= np.linalg.solve(hess, g)
-    return [round(float(v), 6) for v in w[:n_buckets]], round(float(w[n_buckets]), 6)
+    return w
+
+
+def lang_classifier_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 128,
+    n: int = 3,
+    iters: int = 8,
+    ridge: float = 1e-3,
+    seed: str = "lid14|",
+    max_train_rows: int = 100_000,
+    portable: bool = True,
+) -> dict[str, tuple[list[float], float]]:
+    """Fit a LEARNED language identifier — one-vs-rest L2 logistic
+    regression over hashed char-n-gram frequencies, the fastText-
+    lid / CCNet-class model that fronts every production curation
+    funnel (``lang_id`` above is the stopword heuristic; this is the
+    learned replacement, trained on whatever labeled corpus the
+    pipeline has). Returns {lang: (weights, bias)} for every distinct
+    label, ready for ``lang_id_scores``.
+
+    Scale shape: featurization (the same portable buckets scoring
+    uses) runs distributed ONCE and is collected ONCE — the per-class
+    loop reuses the same bounded design matrix, so fitting L
+    languages costs one corpus pass + L driver-side (n_buckets+1)^2
+    Newton solves. Same ``max_train_rows`` raise-don't-melt guard as
+    quality_classifier_fit (labeled lang sets are label-bounded by
+    definition). Deterministic: fixed-order features, fixed IRLS
+    iteration count, weights rounded to the 6-dp scoring domain —
+    frozen tables re-derive bit-for-bit (pinned by
+    tests/test_text_classifier.py)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _bincount(bs: pd.Series) -> pd.Series:
+        return bs.map(
+            lambda a: np.bincount(a, minlength=n_buckets).tolist()
+        )
+
+    buckets = char_ngram_buckets(F.col(text_col), n, n_buckets, seed, portable)
+    feats = df.select(
+        F.col(label_col).cast("string").alias("_lab"),
+        F.size(buckets).alias("_n"),
+        _bincount(buckets).alias("_c"),
+    )
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("lang_classifier_fit needs a non-empty input")
+    if n_docs > max_train_rows:
+        raise ValueError(
+            f"lang_classifier_fit over {n_docs} rows exceeds "
+            f"max_train_rows={max_train_rows}: the design matrix is "
+            "collected to the driver (rows * (n_buckets+1) * 8 bytes). "
+            "Hash-sample the labeled set first (sampling.hash_sample) "
+            "or raise the bound deliberately."
+        )
+    pdf = feats.toPandas()
+    labels = pdf["_lab"].to_numpy()
+    X = np.empty((n_docs, n_buckets + 1), dtype="float64")
+    X[:, :n_buckets] = np.stack(pdf["_c"].to_numpy()) / pdf["_n"].to_numpy(
+        dtype="float64"
+    )[:, None]
+    X[:, n_buckets] = 1.0
+    models: dict[str, tuple[list[float], float]] = {}
+    for lang in sorted({str(v) for v in labels if v is not None}):
+        y = (labels == lang).astype("float64")
+        w = _irls_solve(X, y, iters, ridge)
+        models[lang] = (
+            [round(float(v), 6) for v in w[:n_buckets]],
+            round(float(w[n_buckets]), 6),
+        )
+    return models
+
+
+def lang_id_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    models: dict[str, tuple[list[float], float]],
+    n: int = 3,
+    seed: str = "lid14|",
+    portable: bool = True,
+    widen: bool = True,
+) -> DataFrame:
+    """Apply a learned one-vs-rest language identifier (weights from
+    ``lang_classifier_fit``): per doc, every language's linear margin
+    over hashed char-n-gram frequencies, argmax wins (ties break to
+    the lexicographically-smallest language). Returns
+    (id, pred_lang, margin) where margin is the winner's, 6-dp.
+
+    Margins are bit-exact cross-engine by the quality_classifier_score
+    contract: 6-dp weights folded as BIGINT micro-units (exact,
+    order-independent), then one fixed IEEE double sequence — so the
+    argmax and tiebreak are deterministic, never ulp-dependent.
+
+    Scale shape: ALL language models ride ONE fold — the accumulator
+    is an array<bigint> of per-language sums and the weight tables
+    are a single flattened plan literal (L * n_buckets bigints; a
+    fastText-lid-scale table is a few MB, well inside a task binary)
+    — so scoring L languages is still MAP-ONLY, one scan, no join, no
+    shuffle, and one gram hash per position regardless of L. The
+    single-lambda shape also sidesteps this Spark build's same-shape
+    HOF collapse (N parallel folds differing only in an embedded
+    literal share one result; see operators/dedup.py notes)."""
+    from cascading_hive_spark.operators.dedup import spread
+
+    langs = sorted(models)
+    if not langs:
+        raise ValueError("lang_id_scores needs at least one language model")
+    nb = len(models[langs[0]][0])
+    for lang in langs:
+        if len(models[lang][0]) != nb:
+            raise ValueError(
+                "lang_id_scores: all language models must share one "
+                f"n_buckets, got {len(models[lang][0])} for {lang} vs {nb}"
+            )
+    wflat = F.array(
+        *[
+            F.lit(int(round(w * 1_000_000))).cast("bigint")
+            for lang in langs
+            for w in models[lang][0]
+        ]
+    )
+    biases = F.array(*[F.lit(float(models[lang][1])) for lang in langs])
+    buckets = char_ngram_buckets(F.col(text_col), n, nb, seed, portable)
+    acc0 = F.array_repeat(F.lit(0).cast("bigint"), len(langs))
+    sums = F.aggregate(
+        buckets,
+        acc0,
+        lambda acc, b: F.transform(
+            acc,
+            lambda v, j: v
+            + F.element_at(wflat, j * F.lit(nb) + b.cast("int") + F.lit(1)),
+        ),
+    )
+    out = (spread(df) if widen else df).select(
+        F.col(id_col),
+        F.size(buckets).cast("bigint").alias("n_grams"),
+        sums.alias("_sums"),
+    )
+    margins = F.transform(
+        F.col("_sums"),
+        lambda s, j: s.cast("double")
+        / F.lit(1_000_000.0)
+        / F.col("n_grams").cast("double")
+        + F.element_at(biases, j + F.lit(1)),
+    )
+    out = out.withColumn("_m", margins)
+    mcols = [F.element_at(F.col("_m"), i + 1) for i in range(len(langs))]
+    best = F.greatest(*mcols) if len(langs) > 1 else mcols[0]
+    pred = F.lit(None).cast("string")
+    # first match in lang-sorted order = lexicographic tiebreak
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = mcols[i] == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr
+    return out.select(
+        id_col,
+        "n_grams",
+        pred.alias("pred_lang"),
+        (F.round(best, 6) + F.lit(0.0)).alias("margin"),
+    )
 
 
 def deterministic_split(
@@ -755,3 +935,44 @@ def hash_embed_docs(
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
 
     return pre.mapInPandas(batches, f"{id_col} long, embedding array<bigint>")
+
+
+# Deterministic synthetic multilingual corpus for fitting/refitting
+# the frozen lang-id models (the sf tables carry no language signal —
+# their text is one shared vocabulary under rotating lang labels, so
+# an HONEST learned lang-id freezes weights trained where signal
+# exists and is provenance-pinned by refit; see queries.py
+# _LID_MODELS_V1 and tests/test_text_classifier.py).
+LANG_FIT_VOCABS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "zu",
+           "mit", "sich", "auf", "für", "wird", "eine", "auch"],
+    "en": ["the", "and", "of", "to", "in", "is", "was", "for",
+           "with", "that", "his", "her", "they", "have", "this"],
+    "es": ["el", "la", "que", "de", "los", "se", "las", "por",
+           "un", "para", "con", "una", "su", "al", "más"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "du",
+           "une", "que", "est", "pour", "qui", "dans", "par"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我",
+           "他", "这", "中", "大", "来", "上", "国"],
+}
+
+
+def synth_lang_corpus() -> list[tuple[int, str, str]]:
+    """(doc_id, text, lang) rows: 200 docs per language, 30 words
+    each, words picked by the fixed recurrence (i*31 + j*7 + i*j) mod
+    |vocab| — pure arithmetic, no RNG state, so the fit corpus (and
+    therefore the frozen weight table) re-derives bit-for-bit
+    anywhere. Docs with i % 5 == 0 are the conventional held-out
+    fifth (the provenance test trains on the rest and scores these)."""
+    rows: list[tuple[int, str, str]] = []
+    doc_id = 0
+    for lang in sorted(LANG_FIT_VOCABS):
+        vocab = LANG_FIT_VOCABS[lang]
+        for i in range(200):
+            words = [
+                vocab[(i * 31 + j * 7 + i * j) % len(vocab)]
+                for j in range(30)
+            ]
+            rows.append((doc_id, " ".join(words), lang))
+            doc_id += 1
+    return rows

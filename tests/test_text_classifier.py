@@ -187,3 +187,109 @@ def test_fit_bounds_training_collect(spark, docs):
         quality_classifier_fit(
             labeled.filter(F.lit(False)), "doc_id", "text", "y"
         )
+
+
+# ---------------------------------------------------------------------------
+# learned lang-id (one-vs-rest over the same hashed char-n-gram core)
+# ---------------------------------------------------------------------------
+def _lang_corpus_split(spark):
+    from cascading_hive_spark.operators.text import synth_lang_corpus
+
+    rows = synth_lang_corpus()
+    train = [r for r in rows if (r[0] % 200) % 5 != 0]
+    test = [r for r in rows if (r[0] % 200) % 5 == 0]
+    schema = "doc_id long, text string, lang string"
+    return (
+        spark.createDataFrame(train, schema),
+        spark.createDataFrame(test, schema),
+    )
+
+
+def test_frozen_lid_models_reproduce_from_fit(spark):
+    """Provenance of queries._LID_MODELS_V1: refit on the deterministic
+    synthetic multilingual train split with the registered params and
+    assert bit-equality — the frozen table is a cache of this fit, not
+    hand-tuned numbers."""
+    from cascading_hive_spark.operators.text import lang_classifier_fit
+    from cascading_hive_spark.queries import _LID_MODELS_V1
+
+    train, _ = _lang_corpus_split(spark)
+    models = lang_classifier_fit(
+        train, "doc_id", "text", "lang", n_buckets=64, n=3, iters=8,
+        ridge=1e-3, seed="lid14|", portable=True,
+    )
+    assert set(models) == set(_LID_MODELS_V1)
+    for lang, (w, b) in _LID_MODELS_V1.items():
+        assert models[lang][0] == w, lang
+        assert models[lang][1] == b, lang
+
+
+def test_lid_models_learn_language_held_out(spark):
+    """The machinery actually learns language where signal exists:
+    100% accuracy on the held-out fifth of the synthetic corpus (five
+    disjoint vocabularies — any honest char-3-gram model separates
+    them perfectly; failure means the featurizer/argmax broke)."""
+    from cascading_hive_spark.operators.text import lang_id_scores
+    from cascading_hive_spark.queries import _LID_MODELS_V1
+
+    _, test = _lang_corpus_split(spark)
+    pred = lang_id_scores(test, "doc_id", "text", _LID_MODELS_V1)
+    joined = pred.join(test.select("doc_id", "lang"), "doc_id")
+    n = joined.count()
+    n_ok = joined.filter(F.col("pred_lang") == F.col("lang")).count()
+    assert n == 200 and n_ok == n, (n_ok, n)
+
+
+def test_lang_id_scores_plan_is_map_only(spark):
+    """All five models ride one fold: the scoring plan must contain no
+    join and no aggregate-shuffle — a single scan projection (plus
+    spread's round-robin exchange, which is repartitioning, not a key
+    shuffle)."""
+    from cascading_hive_spark.operators.text import lang_id_scores
+    from cascading_hive_spark.queries import _LID_MODELS_V1
+
+    df = spark.createDataFrame([(1, "der und die"), (2, "the and of")],
+                               "doc_id long, text string")
+    plan = lang_id_scores(
+        df, "doc_id", "text", _LID_MODELS_V1, widen=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
+
+
+def test_lang_id_scores_tiebreak_and_guards(spark):
+    """Identical models for two languages -> equal margins -> the
+    lexicographically smaller language wins; mismatched bucket counts
+    and empty model dicts raise."""
+    import pytest
+
+    from cascading_hive_spark.operators.text import lang_id_scores
+
+    w = [1.0] * 8
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    out = lang_id_scores(
+        df, "doc_id", "text", {"zz": (w, 0.5), "aa": (w, 0.5)}
+    ).collect()
+    assert out[0].pred_lang == "aa"
+    with pytest.raises(ValueError, match="n_buckets"):
+        lang_id_scores(df, "doc_id", "text", {"a": (w, 0.0), "b": ([1.0] * 4, 0.0)})
+    with pytest.raises(ValueError, match="at least one"):
+        lang_id_scores(df, "doc_id", "text", {})
+
+
+def test_lang_id_null_and_empty_text_total(spark):
+    """NULL/empty text must still produce a row with a deterministic
+    prediction (featurizes like '' — one empty-gram bucket), never a
+    crash or a dropped row."""
+    from cascading_hive_spark.operators.text import lang_id_scores
+    from cascading_hive_spark.queries import _LID_MODELS_V1
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "und der nicht")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           lang_id_scores(df, "doc_id", "text", _LID_MODELS_V1).collect()}
+    assert len(got) == 3
+    assert got[1].pred_lang == got[2].pred_lang  # NULL == '' convention
+    assert got[1].n_grams == 1
