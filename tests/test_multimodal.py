@@ -545,3 +545,128 @@ def test_dhash_images_matches_pure_python_and_groups(spark):
     for r in rows:
         by_cls.setdefault(r.id % 4, set()).add(r.dhash)
     assert all(len(v) == 1 for v in by_cls.values()), by_cls
+
+
+# ---------------------------------------------------------------------------
+# encoded-image (PNG) decode -> dHash
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_all_filters_and_color_types():
+    """encode_png/decode_png round-trip bit-exactly through every
+    filter type (None/Sub/Up/Average/Paeth) for gray and RGB; RGB
+    reduces by the integer luma."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        synth_png_pixels,
+    )
+
+    for cls in range(10):
+        px = synth_png_pixels(cls, w=18, h=16)
+        ct = 0 if cls % 2 == 0 else 2
+        for filters in ([y % 5 for y in range(16)], [4] * 16, [3] * 16):
+            b = encode_png(px, color_type=ct, filters=filters)
+            w, h, c, gray = decode_png(b)
+            assert (w, h, c) == (18, 16, ct)
+            if ct == 0:
+                assert np.array_equal(gray, px)
+            else:
+                rgb = px.astype(np.int64)
+                luma = (
+                    (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2])
+                    // 1000
+                ).astype(np.uint8)
+                assert np.array_equal(gray, luma)
+
+
+def test_png_decode_rejects_malformed():
+    """Wrong magic, truncation, corrupt deflate, unsupported depth —
+    all yield None, never an exception (100 TB scan discipline)."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    assert decode_png(good) is not None
+    assert decode_png(b"") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\njunkjunkjunkjunkjunkjunk") is None
+    assert decode_png(good[:30]) is None
+    corrupt = bytearray(good)
+    corrupt[44] ^= 0xFF  # flip a byte inside IDAT's deflate stream
+    assert decode_png(bytes(corrupt)) is None  # adler32/inflate rejects
+    depth16 = bytearray(good)
+    depth16[24] = 16  # IHDR bit depth
+    assert decode_png(bytes(depth16)) is None
+
+
+def test_png_rgba_alpha_dropped():
+    """Color type 6 (RGBA) decodes with alpha ignored: build the RGBA
+    scanline stream by hand (encode_png only writes 0/2) and check the
+    luma equals the RGB-only reduction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    h, w = 3, 5
+    rng = np.arange(h * w * 4, dtype=np.uint8).reshape(h, w, 4)
+    raw = b"".join(b"\x00" + rng[y].tobytes() for y in range(h))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got is not None
+    gw, gh, ct, gray = got
+    assert (gw, gh, ct) == (w, h, 6)
+    rgb = rng[:, :, :3].astype(np.int64)
+    luma = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000)
+    assert np.array_equal(gray, luma.astype(np.uint8))
+
+
+def test_dhash_encoded_images_dedup_and_nulls(spark):
+    """Planted duplicate classes produce identical dhashes across
+    different filter choices (the hash is of the DECODED pixels, not
+    the bytes); junk blobs yield NULL rows, not failures; non-trivial
+    downsample ratios sample the documented nearest grid."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        dhash_encoded_images,
+        encode_png,
+        synth_png_pixels,
+    )
+
+    px = synth_png_pixels(7, w=20, h=13)  # odd ratios: 20/9, 13/8
+    rows = [
+        (1, bytearray(encode_png(px, color_type=2, filters=[0] * 13))),
+        (2, bytearray(encode_png(px, color_type=2, filters=[(y % 5) for y in range(13)]))),
+        (3, bytearray(b"not a png at all")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in dhash_encoded_images(df).collect()}
+    assert got[1].dhash == got[2].dhash  # same pixels, different encodings
+    assert got[1].img_width == 20 and got[1].img_height == 13
+    assert got[3].dhash is None and got[3].img_width is None
+    # independent reference for the nearest-grid dHash
+    rgb = px.astype(np.int64)
+    gray = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000)
+    ys = (np.arange(8) * 13) // 8
+    xs = (np.arange(9) * 20) // 9
+    ds = gray[np.ix_(ys, xs)]
+    val = 0
+    for bit in (ds[:, :-1] > ds[:, 1:]).flatten().tolist():
+        val = (val << 1) | int(bit)
+    assert got[1].dhash == format(val, "016x")
