@@ -1866,3 +1866,144 @@ def knn_density_blocked(
             F.count(F.lit(1)).alias("n_neighbors"),
         )
     )
+
+
+def pca_power_project(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    steps: int = 8,
+    sum_scale: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """First-principal-component projection, ENGINE-PORTABLE: the
+    top eigenvector comes from ``steps`` fixed power-iteration rounds
+    on the decimal-image covariance (covariance_matrix_embeddings)
+    instead of a driver eigensolve, so the WHOLE computation — moments,
+    matvecs, norms, sign fix, projection — is a fixed-order arithmetic
+    program a SQL engine replays bit-for-bit as unrolled CTEs
+    (queries.py: embedding_pca_power_project). The oracle-able twin of
+    ``pca_components``/``pca_project`` (which stay the numeric-quality
+    path: numpy eigh, all k components); the output is BY DEFINITION
+    the steps-round iterate, deterministic whether or not the
+    iteration has converged.
+
+    Portability discipline — BIGINT micro-unit images all the way
+    down (stricter than kmeans_fit's decimals, which cross back
+    through a DECIMAL->DOUBLE cast whose last-ulp differs between
+    engines; the first cut of this operator lost 1 row in 500 to a
+    6-dp ROUND tie that cast noise split): every sum accumulates
+    round(x * 10^sum_scale) AS BIGINT (exact, order-independent,
+    plain long adds), every value that crosses a sum boundary returns
+    to double through integer/10^k divisions (single correctly-
+    rounded IEEE ops, identical everywhere), and the FINAL 6-dp
+    rounding happens in integer arithmetic — half-away-from-zero on
+    abs, then truncating div — so no decimal tie can straddle. Sign
+    fixes so component[dim 0] >= 0. Magnitude contract: |cov| and
+    |projection terms| must stay << 2^53 / 10^sum_scale (embedding-
+    scale data by construction; ANSI long-sum overflow raises rather
+    than wraps).
+
+    Scale shape: covariance is the only corpus-sized pass (see
+    covariance_matrix_embeddings' scale notes — d <= ~64 here; wide
+    embeddings take pca_components' Arrow partial-GEMM). The power
+    iteration itself runs on METADATA-sized tables (d^2 matrix rows x
+    ``steps`` tiny joins, localCheckpoint-ed per round like kmeans),
+    and the projection is one broadcast of the d-row component onto
+    the exploded scan + a per-id partial aggregate — vectors never
+    shuffle."""
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    mic = float(10 ** sum_scale)
+
+    def img(col):  # exact micro-unit image of a double expression
+        return F.round(col * F.lit(mic), 0).cast("long")
+
+    ex = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    ).select("_id", "dim", F.col("_v").cast("double").alias("_v"))
+    m = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(img(F.col("_v"))).alias("_s7"),
+    ).select(
+        "dim",
+        (
+            (F.col("_s7").cast("double") / F.lit(mic)) / F.col("_n")
+        ).alias("_mu"),
+    )
+    cov = covariance_matrix_embeddings(
+        vectors, id_col, vec_col, sum_scale, out_scale
+    )
+    cfull = (
+        cov.union(
+            cov.filter(F.col("dim_a") < F.col("dim_b")).select(
+                F.col("dim_b").alias("dim_a"),
+                F.col("dim_a").alias("dim_b"),
+                "cov",
+            )
+        )
+        .localCheckpoint()
+    )
+    v = (
+        cfull.select(F.col("dim_a").alias("dim"))
+        .distinct()
+        .select("dim", F.lit(1.0).alias("_vv"))
+    )
+    for _ in range(steps):
+        u = (
+            cfull.join(v, cfull["dim_b"] == v["dim"])
+            .groupBy("dim_a")
+            .agg(F.sum(img(F.col("cov") * F.col("_vv"))).alias("_u7"))
+            .select(
+                F.col("dim_a").alias("dim"),
+                (F.col("_u7").cast("double") / F.lit(mic)).alias("_uu"),
+            )
+        )
+        nrm = u.agg(
+            F.sqrt(
+                F.sum(img(F.col("_uu") * F.col("_uu"))).cast("double")
+                / F.lit(mic)
+            ).alias("_nn")
+        )
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select(
+                "dim",
+                F.when(F.col("_nn") != 0.0, F.col("_uu") / F.col("_nn")).alias(
+                    "_vv"
+                ),
+            )
+            .localCheckpoint()
+        )
+    sgn = v.filter(F.col("dim") == 0).select(
+        F.when(F.col("_vv") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("_sg")
+    )
+    vf = v.crossJoin(F.broadcast(sgn)).select(
+        "dim", (F.col("_vv") * F.col("_sg")).alias("_vv")
+    )
+    # final 6-dp rounding in EXACT integer arithmetic: micro-sum at
+    # sum_scale, half-away-from-zero to out_scale, single division
+    # back to double — no decimal tie, no cast noise
+    drop = 10 ** (sum_scale - out_scale)
+    return (
+        ex.join(F.broadcast(m), "dim")
+        .join(F.broadcast(vf), "dim")
+        .groupBy("_id")
+        .agg(
+            F.sum(img((F.col("_v") - F.col("_mu")) * F.col("_vv"))).alias("_p7")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            (
+                (
+                    F.signum(F.col("_p7"))
+                    * F.floor(
+                        (F.abs(F.col("_p7")) + F.lit(drop // 2)) / F.lit(drop)
+                    )
+                ).cast("double")
+                / F.lit(float(10 ** out_scale))
+                + F.lit(0.0)
+            ).alias("pc1"),
+        )
+    )

@@ -8280,6 +8280,91 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, means, comps)
 
 
+# ENGINE-PORTABLE PCA projection (VERDICT r13 #4 — embedding_pca_
+# project above is rows-only because numpy's eigensolve has no SQL
+# equivalent; THIS query replaces the eigensolve with 8 fixed
+# power-iteration rounds on the decimal-image covariance, so the
+# oracle replays the entire computation — moments, covariance,
+# matvecs, norms, sign fix, projection — as unrolled CTEs and the one
+# pc1 column per vector hash-matches bit-for-bit). similarity.
+# pca_power_project; kmeans_fit's unrolled-CTE discipline.
+def _pca_power_oracle(steps: int = 8) -> str:
+    ctes = ["""ex AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS dim,
+             embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    m AS MATERIALIZED (
+      SELECT dim, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(val * 10000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS s7
+      FROM ex GROUP BY dim),
+    md AS MATERIALIZED (
+      SELECT dim, (CAST(s7 AS DOUBLE) / 10000000.0) / n AS mu
+      FROM m),
+    mdec AS MATERIALIZED (
+      SELECT dim, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(val, 7) AS DECIMAL(38,7))) AS DOUBLE) AS s
+      FROM ex GROUP BY dim),
+    p AS MATERIALIZED (
+      SELECT a.dim AS dim_a, b.dim AS dim_b,
+             CAST(sum(CAST(round(a.val * b.val, 7) AS DECIMAL(38,7)))
+                  AS DOUBLE) AS sp
+      FROM ex a JOIN ex b ON a.id = b.id AND a.dim <= b.dim
+      GROUP BY 1, 2),
+    cov AS MATERIALIZED (
+      SELECT p.dim_a, p.dim_b,
+             round(p.sp / ma.n - (ma.s / ma.n) * (mb.s / mb.n), 6) + 0.0 AS cv
+      FROM p
+      JOIN mdec ma ON p.dim_a = ma.dim
+      JOIN mdec mb ON p.dim_b = mb.dim),
+    cfull AS MATERIALIZED (
+      SELECT dim_a, dim_b, cv FROM cov
+      UNION ALL
+      SELECT dim_b AS dim_a, dim_a AS dim_b, cv FROM cov
+      WHERE dim_a < dim_b),
+    v0 AS MATERIALIZED (SELECT DISTINCT dim_a AS dim,
+                               CAST(1.0 AS DOUBLE) AS vv
+           FROM cfull)"""]
+    for k in range(1, steps + 1):
+        ctes.append(f"""u{k} AS MATERIALIZED (
+      SELECT c.dim_a AS dim,
+             CAST(sum(CAST(round(c.cv * v.vv * 10000000.0, 0) AS BIGINT))
+                  AS DOUBLE) / 10000000.0 AS uu
+      FROM cfull c JOIN v{k - 1} v ON c.dim_b = v.dim GROUP BY c.dim_a),
+    n{k} AS MATERIALIZED (
+      SELECT sqrt(CAST(sum(CAST(round(uu * uu * 10000000.0, 0) AS BIGINT))
+                       AS DOUBLE) / 10000000.0) AS nn
+      FROM u{k}),
+    v{k} AS MATERIALIZED (SELECT dim, uu / nullif(nn, 0.0) AS vv
+             FROM u{k}, n{k})""")
+    ctes.append(f"""sgn AS MATERIALIZED (
+      SELECT CASE WHEN (SELECT vv FROM v{steps} WHERE dim = 0) < 0
+                  THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE)
+             END AS sg),
+    vf AS MATERIALIZED (SELECT dim, vv * sg AS vv FROM v{steps}, sgn),
+    p7 AS MATERIALIZED (
+      SELECT e.id,
+             CAST(sum(CAST(round((e.val - md.mu) * vf.vv * 10000000.0, 0)
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM ex e JOIN md ON e.dim = md.dim JOIN vf ON e.dim = vf.dim
+      GROUP BY e.id)""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT id AS vec_id,
+           (CASE WHEN s < 0 THEN -1.0 WHEN s > 0 THEN 1.0 ELSE 0.0 END
+            * floor((abs(s) + 5) / 10.0)) / 1000000.0 + 0.0 AS pc1
+    FROM p7
+    """
+
+
+@register("embedding_pca_power_project", _pca_power_oracle())
+def q_embedding_pca_power_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import pca_power_project
+
+    return pca_power_project(_t(spark, sf_dir, "embeddings"))
+
+
 # Trained-cell IVF end-to-end (similarity.ivf_build_from_kmeans):
 # kmeans_fit(8, 1) centroids lifted into coarse cells, persisted via
 # ivf_write, probed from disk at FULL PROBE — every cell probed means
@@ -9807,89 +9892,60 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-# r13 ROTATION NOTE (supersedes the r12 note; r12 ran 49/50 oracle-
-# green + the by-design rows-only embedding_pca_project). Per VERDICT
-# r12 #6 the r13 window is picked STALEST-FIRST by last driver
-# CORRECTNESS round over the rotation basis CORRECTNESS_r01..r12
-# (_ROTATION_BASIS_ROUND below; the policy is recomputed from those
-# artifacts and asserted by test_registry_hygiene.py::
-# test_window_rotation_policy_stalest_first):
+# r14 ROTATION NOTE (supersedes the r13 note; r13 ran 42/50 hash-green
+# + the eight declared rows-only members). Window recomputed
+# STALEST-FIRST over the frozen basis CORRECTNESS_r01..r13 (the policy
+# test recomputes this from the artifacts):
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) queries with NO driver row in any basis round come first —
-#     the six registered this round: text_quality_classifier
-#     (learned quality filter, VERDICT r12 #1), multimodal_video_meta
-#     (MP4 box walk, VERDICT r12 #2), text_perplexity_buckets
-#     (CCNet cross-corpus LM filter), classifier_auc (exact midrank
-#     AUC), multimodal_video_frames (stts frame sampling) and
-#     streaming_quality_filter (the learned filter as an ingest-time
-#     stream gate) — plus the continuation-session registrations
-#     embedding_knn_density and embedding_knn_density_blocked (kNN-
-#     density data pruning, exact + IVF-blocked) and docs_dsir_weights
-#     / docs_dsir_select (DSIR importance resampling) and
-#     docs_domain_cap (two-phase per-host quota),
-#     docs_corpus_divergence (hashed-n-gram JS drift monitor) and
-#     text_line_dedup (C4-style within-doc line scrub) and
-#     pipeline_curation_funnel (gopher -> classifier -> domain-cap
-#     composition report), multimodal_audio_pcm_stats (real PCM
-#     byte-decode quality stats) and multimodal_image_dhash_dedup
-#     (perceptual-hash dedup groups), sample_epoch_anneal
-#     (annealed multi-epoch curriculum mixing) and
-#     text_blocklist_scan (obfuscation-normalized safety blocklist)
-#     docs_hash_embed_knn (feature-hashing embedder feeding the
-#     ANN family, no external model), orders_kanon_stats (small-cell
-#     suppression) and text_quality_pct_by_source (cross-source
-#     midrank score normalization), which join the never-checked
-#     group and shrink the stalest fill by the same count from its
-#     tail;
-# (3) forced re-verification of code touched this round (r12 ADVICE):
-#     window_ntile (the max-rows guard disabled on the parity
-#     path) and sample_leakage_split (integral-id guard + the
-#     cluster-id collision fix in sampling.py);
-# (4) ALL EIGHT rows-only queries re-enter — their latest rows are
-#     the stalest in the registry (ann_ivf_topk r2, dedup_minhash_lsh
-#     and dedup_simhash r5) or their code has evolved since r11
-#     (ann_pq_topk, ann_ivfpq_topk, bpe_merges, graph_kcore_customers,
-#     embedding_pca_project) — and each carries its _ROWS_ONLY_TWINS
-#     pairing, so twin coverage holds with the rows-only member;
-# (5) the remaining 33 slots fill stalest-first: the whole r6 cohort
-#     (text_pii_redact .. train_test_split) and the alphabetically
-#     first 7 of the r7 cohort (a24_to_json .. conditional_scalars);
-#     the remaining r7 queries (cube_quantity onward) are
-#     the r14 fill head.
+# (2) never driver-checked — the five registered this round:
+#     dedup_charspan_coverage / dedup_charspan_scrub (character-level
+#     exact-substring dedup, the Lee-et-al granularity),
+#     text_lang_id_learned (one-vs-rest hashed char-n-gram lang-id,
+#     frozen provenance-pinned weights), multimodal_png_dhash (REAL
+#     PNG decode -> luma -> dHash, oracle regenerates pixels
+#     arithmetically), embedding_pca_power_project (power-iteration
+#     PCA whose oracle replays the whole program as unrolled CTEs —
+#     also the upgraded twin of the rows-only embedding_pca_project);
+# (3) forced re-verification of code touched this round (r13 ADVICE):
+#     embedding_knn_density_blocked (rounded-tie cut extension),
+#     multimodal_audio_pcm_stats (frombuffer PCM decode rewrite),
+#     text_line_dedup (literal separator escaping);
+# (4) rows-only pair coverage flips to the TWIN side this rotation —
+#     all eight rows-only members have fresh r13 rows, so their
+#     oracle-able twins take the slots: dedup_minhash_portable,
+#     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
+#     ann_ivfpq_portable, bpe_segment, graph_kcore_portable (the
+#     eighth pair rides embedding_pca_power_project above);
+# (5) the remaining 34 slots fill stalest-first: the r7 cohort from
+#     cube_quantity through table_profile (alphabetical within the
+#     equal-staleness round); text_bigram_lm onward is the r15 fill
+#     head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
-# (wordcount + this round's code-touched queries + any rows-only
+# (wordcount + the round's code-touched queries + any rows-only
 # staleness), and let the policy test recompute the fill.
-_ROTATION_BASIS_ROUND = 12
+_ROTATION_BASIS_ROUND = 13
 
 # Queries forced into the window regardless of staleness rank: the
 # entry smoke, this round's code-touched re-verifications, and the
-# eight rows-only members (twin coverage + evolved-code re-check).
+# rows-only twins carrying pair coverage this rotation.
 _WINDOW_FORCED: list[str] = [
     "wordcount",
-    "window_ntile",
-    "sample_leakage_split",
-    "ann_ivf_topk",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "bpe_merges",
-    "graph_kcore_customers",
-    "embedding_pca_project",
+    "embedding_knn_density_blocked",
+    "multimodal_audio_pcm_stats",
+    "text_line_dedup",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "ann_ivf_portable",
+    "ann_pq_portable",
+    "ann_ivfpq_portable",
+    "bpe_segment",
+    "graph_kcore_portable",
 ]
 
-_ROWS_ONLY_WINDOW: set[str] = {
-    # all eight rows-only-by-design queries are windowed this round
-    # (rotation note point 4); each is twinned in _ROWS_ONLY_TWINS
-    "ann_ivf_topk",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "bpe_merges",
-    "graph_kcore_customers",
-    "embedding_pca_project",
-}
+_ROWS_ONLY_WINDOW: set[str] = set()
+# no rows-only member is windowed this rotation: every pair's
+# certificate rides its oracle-able twin (note point 4), as
+# _ROWS_ONLY_TWINS' hygiene test verifies
 
 # Every rows-only-by-design query paired with its hash-matched
 # oracle-able twin (VERDICT r11 #6). The twin certifies the same
@@ -9906,65 +9962,67 @@ _ROWS_ONLY_TWINS: dict[str, str] = {
     "ann_ivfpq_topk": "ann_ivfpq_portable",
     "bpe_merges": "bpe_segment",
     "graph_kcore_customers": "graph_kcore_portable",
-    "embedding_pca_project": "embedding_covariance",
+    # r14: twin upgraded from embedding_covariance to the full
+    # portable projection (power-iteration component + projection,
+    # hash-checked end-to-end) — a strictly stronger certificate
+    "embedding_pca_project": "embedding_pca_power_project",
 }
 
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- never driver-checked (registered this round):
-    "classifier_auc",
-    "multimodal_video_frames",
-    "multimodal_video_meta",
-    "streaming_quality_filter",
-    "text_perplexity_buckets",
-    "text_quality_classifier",
-    "embedding_knn_density",
+    "dedup_charspan_coverage",
+    "dedup_charspan_scrub",
+    "embedding_pca_power_project",
+    "multimodal_png_dhash",
+    "text_lang_id_learned",
+    # -- code touched this round (r13 ADVICE fixes), re-verify:
     "embedding_knn_density_blocked",
-    "docs_dsir_weights",
-    "docs_dsir_select",
-    "docs_domain_cap",
-    "docs_corpus_divergence",
-    "text_line_dedup",
-    "pipeline_curation_funnel",
     "multimodal_audio_pcm_stats",
-    "multimodal_image_dhash_dedup",
-    "sample_epoch_anneal",
-    "text_blocklist_scan",
-    "docs_hash_embed_knn",
-    "orders_kanon_stats",
-    "text_quality_pct_by_source",
-    "streaming_blocklist_gate",
-    # -- code touched this round (r12 ADVICE fixes), re-verify:
-    "window_ntile",
-    "sample_leakage_split",
-    # -- rows-only members, stalest rows in the registry / evolved code:
-    "ann_ivf_topk",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "bpe_merges",
-    "graph_kcore_customers",
-    "embedding_pca_project",
-    # -- stalest-first fill: the full r6 cohort ...
-    "streaming_sessionize",
-    "string_agg_names",
-    "text_chunking",
-    "text_clean_normalize",
-    "text_pii_redact",
-    "text_repetition",
-    "train_test_split",
-    "unpivot_measures",
-    "upsert_orders",
-    "value_histogram",
-    # -- ... then the alphabetically-first 27 of the r7 cohort:
-    "a24_to_json",
-    "ann_ivf_knn_join",
-    "approx_percentile_bounded",
-    "asof_join_last_order",
-    "bitwise_ops",
-    "cogrouped_asof_merge",
-    "conditional_scalars",
+    "text_line_dedup",
+    # -- rows-only pair coverage via the oracle-able twins:
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "ann_ivf_portable",
+    "ann_pq_portable",
+    "ann_ivfpq_portable",
+    "bpe_segment",
+    "graph_kcore_portable",
+    # -- stalest-first fill (the r7 cohort, alphabetical):
+    "cube_quantity",
+    "date_functions",
+    "dedup_minhash_incremental",
+    "dedup_span_coverage",
+    "deterministic_shuffle",
+    "embedding_quantize_int8",
+    "equiheight_histogram",
+    "events_interpolate",
+    "events_multi_rollup",
+    "fuzzy_match_customers",
+    "hll_mergeable_sketches",
+    "interleave_sources",
+    "join_runtime_prefilter",
+    "key_skew_profile",
+    "like_patterns",
+    "map_type_ops",
+    "morton_code",
+    "multimodal_audio_meta",
+    "pandas_grouped_agg",
+    "pivot_linestatus",
+    "q11_important_stock",
+    "q20_excess_suppliers",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "recursive_cte_depth",
+    "robust_stats",
+    "scd2_customer_priority",
+    "scd2_point_in_time",
+    "set_except_all",
+    "set_intersect_all",
+    "stats_bivariate",
+    "string_functions",
+    "table_profile",
 ]
 
 

@@ -792,3 +792,65 @@ def test_knn_density_small_corpus_short_neighbors(spark):
     out = S.knn_density(df, k=10).collect()
     assert len(out) == 3
     assert all(r.n_neighbors == 2 for r in out)
+
+
+def test_pca_power_project_matches_eigensolve_direction(spark):
+    """pca_power_project (8 portable power rounds) must agree with the
+    numpy-eigh path (pca_components/pca_project, k=1) up to the
+    rounding grid on data with a dominant component: correlation of
+    the two projections ~ +-1 (power iteration converges fast when the
+    eigengap is wide)."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.similarity import (
+        pca_components,
+        pca_power_project,
+        pca_project,
+    )
+
+    rng_like = [
+        (i, [float(((i * 37 + j * 11) % 19) - 9) / 10.0
+             + (3.0 if j == 2 else 0.0) * (1.0 if i % 2 == 0 else -1.0)
+             for j in range(6)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rng_like, "vec_id long, embedding array<double>")
+    power = {r.vec_id: r.pc1 for r in pca_power_project(df).collect()}
+    means, comps = pca_components(df, k=1)
+    eigh = {
+        r.vec_id: r.pc1
+        for r in pca_project(df, means, comps).select("vec_id", "pc1").collect()
+    }
+    a = np.array([power[i] for i in sorted(power)])
+    b = np.array([eigh[i] for i in sorted(eigh)])
+    corr = float(np.corrcoef(a, b)[0, 1])
+    assert abs(corr) > 0.999, corr
+
+
+def test_pca_power_project_deterministic_and_sign_fixed(spark):
+    """Two runs over different partitionings must be bit-identical
+    (the bigint micro-unit contract), and the component sign is fixed
+    (dim-0 coordinate >= 0) so projections never flip run to run."""
+    from cascading_hive_spark.operators.similarity import pca_power_project
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 7.0 for j in range(5)])
+        for i in range(40)
+    ]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df2 = df1.repartition(13)
+    got1 = sorted((r.vec_id, r.pc1) for r in pca_power_project(df1).collect())
+    got2 = sorted((r.vec_id, r.pc1) for r in pca_power_project(df2).collect())
+    assert got1 == got2
+
+
+def test_pca_power_project_steps_guard(spark):
+    import pytest
+
+    from cascading_hive_spark.operators.similarity import pca_power_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="steps"):
+        pca_power_project(df, steps=0)
