@@ -293,3 +293,65 @@ def test_lang_id_null_and_empty_text_total(spark):
     assert len(got) == 3
     assert got[1].pred_lang == got[2].pred_lang  # NULL == '' convention
     assert got[1].n_grams == 1
+
+
+# ---------------------------------------------------------------------------
+# distributed Gram-matrix IRLS (no driver-collect ceiling)
+# ---------------------------------------------------------------------------
+def test_fit_distributed_matches_collect_path(spark, docs):
+    """quality_classifier_fit_distributed must agree with the collect
+    path to float-summation noise (Newton is contracting): same
+    decisions everywhere, weights within 1e-4 after the 6-dp round."""
+    from cascading_hive_spark.operators.text import (
+        quality_classifier_fit,
+        quality_classifier_fit_distributed,
+        quality_classifier_score,
+    )
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    w1, b1 = quality_classifier_fit(labeled, "doc_id", "text", "y")
+    w2, b2 = quality_classifier_fit_distributed(labeled, "doc_id", "text", "y")
+    assert abs(b1 - b2) < 1e-4, (b1, b2)
+    assert max(abs(a - b) for a, b in zip(w1, w2)) < 1e-4
+    s1 = quality_classifier_score(docs, "doc_id", "text", w1, b1)
+    s2 = quality_classifier_score(docs, "doc_id", "text", w2, b2)
+    d1 = {r.doc_id: r.quality_pass for r in s1.collect()}
+    d2 = {r.doc_id: r.quality_pass for r in s2.collect()}
+    assert d1 == d2
+
+
+def test_fit_distributed_deterministic_and_scales_past_guard(spark, docs):
+    """Re-running on the same (cached) partitioning re-derives
+    bit-identical weights, and the operator happily trains past the
+    collect path's max-train-rows guard — the whole point."""
+    from cascading_hive_spark.operators.text import (
+        quality_classifier_fit,
+        quality_classifier_fit_distributed,
+    )
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    r1 = quality_classifier_fit_distributed(labeled, "doc_id", "text", "y")
+    r2 = quality_classifier_fit_distributed(labeled, "doc_id", "text", "y")
+    assert r1 == r2
+    import pytest
+
+    with pytest.raises(ValueError, match="max_train_rows"):
+        quality_classifier_fit(
+            labeled, "doc_id", "text", "y", max_train_rows=10
+        )
+    w, b = quality_classifier_fit_distributed(labeled, "doc_id", "text", "y")
+    assert len(w) == 128 and isinstance(b, float)
+
+
+def test_fit_distributed_empty_raises(spark, docs):
+    import pytest
+
+    from cascading_hive_spark.operators.text import (
+        quality_classifier_fit_distributed,
+    )
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    with pytest.raises(ValueError, match="non-empty"):
+        quality_classifier_fit_distributed(
+            labeled.filter(F.lit(False)), "doc_id", "text", "y"
+        )
