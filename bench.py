@@ -55,6 +55,12 @@ HEADLINE = [
     "docs_dsir_select",
     "embedding_knn_density_blocked",
     "docs_domain_cap",
+    # r14: character-level exact-substring removal (char-50 islands +
+    # splice fold), learned lang-id (all 5 models in ONE map-only
+    # fold), and real PNG decode -> luma -> dHash over encoded images
+    "dedup_charspan_scrub",
+    "text_lang_id_learned",
+    "multimodal_png_dhash",
 ]
 
 

@@ -975,33 +975,34 @@ def encode_png(pixels, color_type: int = 0, filters=None) -> bytes:
     filters = list(filters) if filters is not None else [0] * h
     if len(filters) != h:
         raise ValueError("filters must have one entry per row")
+    # filtering reads RAW (unfiltered) neighbors only, so unlike the
+    # decoder's sequential reconstruction every filter vectorizes
     prev = np.zeros(w * ch, dtype=np.int32)
     out = bytearray()
     for y in range(h):
         row = flat[y].astype(np.int32)
         f = filters[y]
-        filt = np.empty(w * ch, dtype=np.int32)
-        for i in range(w * ch):
-            a = row[i - ch] if i >= ch else 0
-            bb = prev[i]
-            cc = prev[i - ch] if i >= ch else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = bb
-            elif f == 3:
-                pred = (a + bb) // 2
-            elif f == 4:
-                p = a + bb - cc
-                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
-                pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else cc)
-            else:
-                raise ValueError(f"bad filter {f}")
-            filt[i] = (row[i] - pred) % 256
+        a = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+        bb = prev
+        cc = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+        if f == 0:
+            pred = np.zeros_like(row)
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = bb
+        elif f == 3:
+            pred = (a + bb) // 2
+        elif f == 4:
+            p = a + bb - cc
+            pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - cc)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, cc)
+            )
+        else:
+            raise ValueError(f"bad filter {f}")
         out.append(f)
-        out.extend(filt.astype(np.uint8).tobytes())
+        out.extend(((row - pred) % 256).astype(np.uint8).tobytes())
         prev = row
 
     def chunk(tag: bytes, body: bytes) -> bytes:

@@ -9467,12 +9467,16 @@ def _png_dhash_oracle() -> str:
 
 @register("multimodal_png_dhash", _png_dhash_oracle())
 def q_multimodal_png_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import spread
     from cascading_hive_spark.operators.multimodal import (
         dhash_encoded_images,
         synth_png_batch,
     )
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # encode+decode are compute-dense Python per blob and the sf
+    # tables are single files — spread to cluster parallelism first
+    # (the text.analyze pattern; a no-op on an already-wide scan)
+    d = spread(_t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id")))
 
     def synth(it):
         for pdf in it:
