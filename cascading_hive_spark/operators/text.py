@@ -358,18 +358,26 @@ def quality_classifier_score(
     w_arr = F.array(
         *[F.lit(int(round(w * 1_000_000))).cast("bigint") for w in weights]
     )
-    buckets = char_ngram_buckets(F.col(text_col), n, nb, seed, portable)
     dot = F.aggregate(
-        buckets,
+        F.col("_bk"),
         F.lit(0).cast("bigint"),
         lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
     )
     # widen=False: streaming plans score in place (spread's
     # inputFiles probe and round-robin exchange are batch concepts;
-    # a stream's parallelism follows its source)
-    out = (spread(df) if widen else df).select(
+    # a stream's parallelism follows its source).
+    # Bucket array materialized in its own projection so size() and
+    # the weight fold share ONE gram-hash evaluation (the md5-per-
+    # position transform is the scan's hot cost; r14 plan gate).
+    bucketed = (spread(df) if widen else df).select(
         F.col(id_col),
-        F.size(buckets).cast("bigint").alias("n_grams"),
+        char_ngram_buckets(F.col(text_col), n, nb, seed, portable).alias(
+            "_bk"
+        ),
+    )
+    out = bucketed.select(
+        F.col(id_col),
+        F.size(F.col("_bk")).cast("bigint").alias("n_grams"),
         (dot.cast("double") / F.lit(1_000_000.0)).alias("_dot"),
     )
     margin = F.col("_dot") / F.col("n_grams").cast("double") + F.lit(float(bias))
@@ -717,10 +725,19 @@ def lang_id_scores(
         ]
     )
     biases = F.array(*[F.lit(float(models[lang][1])) for lang in langs])
-    buckets = char_ngram_buckets(F.col(text_col), n, nb, seed, portable)
     acc0 = F.array_repeat(F.lit(0).cast("bigint"), len(langs))
+    # materialize the bucket array in its own projection: size() and
+    # the fold below each reference the COLUMN, so the gram-hash
+    # transform (md5-per-position — the expensive part) runs once per
+    # row, not once per consumer (plan-gated in test_plans.py)
+    bucketed = (spread(df) if widen else df).select(
+        F.col(id_col),
+        char_ngram_buckets(F.col(text_col), n, nb, seed, portable).alias(
+            "_bk"
+        ),
+    )
     sums = F.aggregate(
-        buckets,
+        F.col("_bk"),
         acc0,
         lambda acc, b: F.transform(
             acc,
@@ -728,9 +745,9 @@ def lang_id_scores(
             + F.element_at(wflat, j * F.lit(nb) + b.cast("int") + F.lit(1)),
         ),
     )
-    out = (spread(df) if widen else df).select(
+    out = bucketed.select(
         F.col(id_col),
-        F.size(buckets).cast("bigint").alias("n_grams"),
+        F.size(F.col("_bk")).cast("bigint").alias("n_grams"),
         sums.alias("_sums"),
     )
     margins = F.transform(

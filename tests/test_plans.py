@@ -857,3 +857,40 @@ def test_dsir_select_is_scan_plus_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_charspan_digest_shuffle_only(spark, sf_dir):
+    """The char-span dedup's duplicate-digest shuffle must carry only
+    (id, position, md5) — never the document text (dedup.py scale
+    notes: a 100 TB scrub moves 16-byte digests, not the corpus)."""
+    from cascading_hive_spark.operators.dedup import duplicate_charspan_stats
+    from cascading_hive_spark.tables import load_table
+
+    df = duplicate_charspan_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    plan = df._jdf.queryExecution().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(_g" in line and "_txt" in line:
+            raise AssertionError(f"text column in the digest shuffle: {line}")
+
+
+def test_lang_id_scores_single_fold_plan(spark, sf_dir):
+    """All five frozen language models must ride ONE aggregate fold in
+    one projection — no join, no per-language duplicate gram hashing
+    (text.py scale notes; margins live in a single array column)."""
+    from cascading_hive_spark.operators.text import lang_id_scores
+    from cascading_hive_spark.queries import _LID_MODELS_V1
+    from cascading_hive_spark.tables import load_table
+
+    df = lang_id_scores(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        _LID_MODELS_V1,
+        widen=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # one md5 per gram position, not one per language
+    assert plan.count("md5") <= 1, plan.count("md5")
