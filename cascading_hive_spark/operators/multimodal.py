@@ -1134,9 +1134,9 @@ def dhash_encoded_images(
     Same Arrow mapInPandas shape as decode_image. Per-blob work is
     bounded by the image size; the shuffle-side dedup that follows
     (groupBy dhash) carries 16-hex fingerprints only, never pixels.
-    JPEG payloads would slot in behind the same signature dispatch —
-    a baseline-JPEG inverse-DCT is numpy-expressible but out of scope
-    here; non-PNG magics yield NULL rather than a crash."""
+    Signature dispatch: PNG magic -> decode_png, JPEG SOI ->
+    decode_jpeg_gray (baseline sequential, r14); other magics yield
+    NULL rather than a crash."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1144,7 +1144,13 @@ def dhash_encoded_images(
         for pdf in it:
             ws, hs, hashes = [], [], []
             for blob in pdf["payload"]:
-                dec = decode_png(bytes(blob)) if blob is not None else None
+                raw = bytes(blob) if blob is not None else b""
+                if raw[: len(_PNG_SIG)] == _PNG_SIG:
+                    dec = decode_png(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    dec = decode_jpeg_gray(raw)
+                else:
+                    dec = None
                 if dec is None:
                     ws.append(None)
                     hs.append(None)
@@ -1204,3 +1210,383 @@ def synth_png_batch(ids, cls_mod: int = 40, w: int = 18, h: int = 16):
         )
         for i in ids
     ]
+
+
+# ---------------------------------------------------------------------------
+# Encoded-image (baseline JPEG) decode -> grayscale
+# ---------------------------------------------------------------------------
+# Public JPEG standard (ITU T.81) Annex K typical luminance Huffman
+# tables and the zigzag scan order — spec constants, not tuning.
+_JPG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_VALS = list(range(12))
+_JPG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpg_huff_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): {(length, code): val}
+    for decoding and {val: (length, code)} for encoding."""
+    dec, enc = {}, {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            dec[(length, code)] = vals[i]
+            enc[vals[i]] = (length, code)
+            code += 1
+            i += 1
+        code <<= 1
+    return dec, enc
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int):
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        while self.nbits:  # pad with 1s (T.81 F.1.2.3)
+            self.put(1, 1)
+        return bytes(self.out)
+
+
+def encode_jpeg_gray_coeffs(blocks, blocks_w: int, blocks_h: int,
+                            quant=None) -> bytes:
+    """Minimal baseline-JPEG ENCODER (test fixture / query-side
+    synthesis — the operator under test is decode_jpeg_gray):
+    grayscale, one sequential scan, Annex K Huffman tables.
+    ``blocks`` is a list of blocks_w*blocks_h int lists, each the 64
+    QUANTIZED coefficients of one 8x8 block in ZIGZAG order (raster
+    block order); ``quant`` the 64-entry zigzag quant table (default
+    all 8 — chosen so a DC-only block decodes to exactly DC + 128:
+    the orthonormal IDCT of a DC-only block is S00*q00/8 everywhere,
+    and q00=8 cancels the /8, keeping the whole pipeline on exact
+    integers for the SQL oracle)."""
+    import struct
+
+    quant = list(quant) if quant is not None else [8] * 64
+    dcdec, dcenc = _jpg_huff_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    acdec, acenc = _jpg_huff_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    w, h = blocks_w * 8, blocks_h * 8
+    bw = _JpgBitWriter()
+    prev_dc = 0
+    for blk in blocks:
+        diff = blk[0] - prev_dc
+        prev_dc = blk[0]
+        mag = abs(diff)
+        s = mag.bit_length()
+        ln, code = dcenc[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        # AC run-length (T.81 F.2): (run, size) symbols + ZRL + EOB
+        k = 1
+        run = 0
+        while k < 64:
+            v = blk[k]
+            if v == 0:
+                run += 1
+            else:
+                while run > 15:
+                    ln, code = acenc[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                mag = abs(v)
+                s = mag.bit_length()
+                ln, code = acenc[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            k += 1
+        if run:
+            ln, code = acenc[0x00]  # EOB
+            bw.put(code, ln)
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(quant))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+
+
+def encode_jpeg_flat_gray(block_vals) -> bytes:
+    """Flat-block grayscale JPEG: block_vals is a (blocks_h,
+    blocks_w) array of pixel values in [0, 255]; each becomes a
+    DC-only 8x8 block (quant all-8), so every decoded pixel equals
+    its block value EXACTLY — the arithmetic handle the SQL oracle
+    grips (see multimodal_jpeg_dhash in queries.py)."""
+    import numpy as np
+
+    vals = np.asarray(block_vals, dtype=np.int32)
+    bh, bwd = vals.shape
+    blocks = []
+    for bi in range(bh):
+        for bj in range(bwd):
+            blk = [0] * 64
+            blk[0] = int(vals[bi, bj]) - 128
+            blocks.append(blk)
+    return encode_jpeg_gray_coeffs(blocks, bwd, bh)
+
+
+class _JpgBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: out of entropy bits")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpg_decode_sym(br: _JpgBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("jpeg: bad huffman code")
+
+
+def _jpg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_JPG_IDCT_A = None
+
+
+def _jpg_idct(block):
+    """Orthonormal 8x8 inverse DCT-II (T.81 A.3.3) via the separable
+    cosine basis: s = A^T S A with A[u, x] = c(u)/2 cos((2x+1)u pi/16)
+    — one numpy matmul pair per block, deterministic float64."""
+    global _JPG_IDCT_A
+    import numpy as np
+
+    if _JPG_IDCT_A is None:
+        u = np.arange(8)[:, None]
+        x = np.arange(8)[None, :]
+        a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        a[0, :] *= 1.0 / np.sqrt(2.0)
+        _JPG_IDCT_A = a
+    return _JPG_IDCT_A.T @ block @ _JPG_IDCT_A
+
+
+def decode_jpeg_gray(b: bytes):
+    """REAL baseline-JPEG decode to grayscale, stdlib+numpy only:
+    marker walk, DQT/DHT/SOF0/SOS parse, byte-unstuffed canonical
+    Huffman entropy decode (DC predictors + AC run-length with
+    ZRL/EOB), dequantize, de-zigzag, orthonormal IDCT, +128 level
+    shift, clamp. Returns (width, height, n_components, gray) where
+    gray is the (H, W) uint8 LUMA plane — for 3-component images the
+    Y channel IS the luma, no color convert needed. None for anything
+    outside the supported envelope (progressive/arithmetic/12-bit,
+    subsampled chroma, restart intervals, truncation, bad codes) —
+    malformed blobs must not kill a 100 TB scan.
+
+    Supported: baseline sequential (SOF0), 8-bit, grayscale or 4:4:4
+    interleaved YCbCr. The per-bit Huffman walk is honest Python —
+    JPEG entropy decode has a true serial dependency; the Arrow
+    operator (dhash_encoded_images) amortizes it per batch."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos = 2
+        quant: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        sof = None
+        scan = None
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD9:
+                break
+            (size,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            body = b[pos + 4 : pos + 2 + size]
+            if len(body) != size - 2:
+                return None
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    if pq != 0:
+                        return None  # 16-bit tables unsupported
+                    quant[tq] = list(body[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    bits = list(body[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + n])
+                    huff[(tc, th)], _ = _jpg_huff_codes(bits, vals)
+                    i += 17 + n
+            elif marker == 0xC0:
+                prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if hv != 0x11:
+                        return None  # 4:4:4 / gray only
+                    comps.append((cid, tq))
+                sof = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame
+            elif marker == 0xDD:
+                return None  # restart intervals unsupported
+            elif marker == 0xDA:
+                ns = body[0]
+                scan = [
+                    (body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                     body[2 + 2 * c] & 15)
+                    for c in range(ns)
+                ]
+                pos += 2 + size
+                break
+            pos += 2 + size
+        if sof is None or scan is None or len(scan) != len(sof[2]):
+            return None
+        # entropy segment: unstuff 0xFF00, stop at the next marker
+        ent = bytearray()
+        i = pos
+        while i < len(b):
+            c = b[i]
+            if c == 0xFF:
+                if i + 1 < len(b) and b[i + 1] == 0x00:
+                    ent.append(0xFF)
+                    i += 2
+                    continue
+                break
+            ent.append(c)
+            i += 1
+        w, h, comps = sof
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        br = _JpgBitReader(bytes(ent))
+        planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
+                  for _ in comps]
+        qts, dcts, acts = [], [], []
+        for (cid, tq), (sid, td, ta) in zip(comps, scan):
+            if sid != cid or tq not in quant:
+                return None
+            if (0, td) not in huff or (1, ta) not in huff:
+                return None
+            qts.append(np.asarray(quant[tq], dtype=np.float64))
+            dcts.append(huff[(0, td)])
+            acts.append(huff[(1, ta)])
+        preds = [0] * len(comps)
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(len(comps)):
+                    s = _jpg_decode_sym(br, dcts[ci])
+                    diff = _jpg_extend(br.bits(s), s) if s else 0
+                    preds[ci] += diff
+                    zz = np.zeros(64)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpg_decode_sym(br, acts[ci])
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        zz[k] = _jpg_extend(br.bits(sz), sz)
+                        k += 1
+                    blk = np.zeros(64)
+                    blk[_JPG_ZIGZAG] = zz * qts[ci]
+                    px = _jpg_idct(blk.reshape(8, 8)) + 128.0
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = px
+        gray = np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return w, h, len(comps), gray
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def synth_jpeg_batch(ids, cls_mod: int = 45, blocks_w: int = 9,
+                     blocks_h: int = 8):
+    """Encoded-JPEG payloads for a batch of ids: class = id % cls_mod
+    (planted duplicate groups); block (bi, bj) carries the flat value
+    (cls*131 + bi*2003 + bj*307) % 256 — the synth_gray_bitmap_payload
+    formula on BLOCK indices, so with the default 9x8 block grid the
+    dHash downsample of the 72x64 decode samples exactly one pixel
+    per block and the SQL oracle replays every comparison
+    arithmetically. Returns list[bytes]."""
+    import numpy as np
+
+    out = []
+    bi = np.arange(blocks_h)[:, None]
+    bj = np.arange(blocks_w)[None, :]
+    for i in ids:
+        cls = int(i) % cls_mod
+        vals = (cls * 131 + bi * 2003 + bj * 307) % 256
+        out.append(encode_jpeg_flat_gray(vals))
+    return out

@@ -9493,6 +9493,65 @@ def q_multimodal_png_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Baseline-JPEG perceptual dedup (the dominant crawl format): the
+# Spark side must run a REAL JPEG decode — canonical Huffman entropy
+# decode, DC prediction, dequantize, de-zigzag, inverse DCT — while
+# the oracle never sees a JPEG byte: payloads are DC-only flat-block
+# images under an all-8 quant table, where the orthonormal IDCT
+# collapses to exactly DC + 128 per pixel, so the decoded 72x64 image
+# is the block-value formula and the 9x8 dHash grid samples one pixel
+# per block. A hash match therefore proves the entropy decoder, the
+# predictor chain, the dequantizer and the IDCT reproduced every
+# sampled pixel bit-exactly.
+def _jpeg_dhash_oracle() -> str:
+    def px(r: int, c: int) -> str:
+        return f"((d.cls * 131 + {r} * 2003 + {c} * 307) % 256)"
+
+    bits = [(r, c) for r in range(8) for c in range(8)]
+    nibbles = []
+    for n in range(0, 64, 4):
+        terms = [
+            f"(CASE WHEN {px(r, c)} > {px(r, c + 1)} THEN {w} ELSE 0 END)"
+            for w, (r, c) in zip((8, 4, 2, 1), bits[n : n + 4])
+        ]
+        nibbles.append(
+            f"substr('0123456789abcdef', ({' + '.join(terms)}) + 1, 1)"
+        )
+    dh = "\n             || ".join(nibbles)
+    return f"""
+    WITH d AS (SELECT doc_id, doc_id % 45 AS cls FROM documents)
+    SELECT doc_id, CAST(72 AS BIGINT) AS img_width,
+           CAST(64 AS BIGINT) AS img_height,
+           {dh} AS dhash
+    FROM d
+    """
+
+
+@register("multimodal_jpeg_dhash", _jpeg_dhash_oracle())
+def q_multimodal_jpeg_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import spread
+    from cascading_hive_spark.operators.multimodal import (
+        dhash_encoded_images,
+        synth_jpeg_batch,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id")))
+
+    def synth(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": synth_jpeg_batch(pdf["id"].tolist()),
+                }
+            )
+
+    payloads = d.mapInPandas(synth, "id long, payload binary")
+    return dhash_encoded_images(payloads).select(
+        F.col("id").alias("doc_id"), "img_width", "img_height", "dhash"
+    )
+
+
 # Multi-epoch curriculum mixing: three epochs annealing alpha
 # 1.0 -> 0.5 -> 0.2 (natural mix toward tail-up-weighted), one row
 # per (kept doc, epoch) — a doc may recur across epochs, which is the
@@ -9901,7 +9960,7 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 # STALEST-FIRST over the frozen basis CORRECTNESS_r01..r13 (the policy
 # test recomputes this from the artifacts):
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked — the five registered this round:
+# (2) never driver-checked — the six registered this round:
 #     dedup_charspan_coverage / dedup_charspan_scrub (character-level
 #     exact-substring dedup, the Lee-et-al granularity),
 #     text_lang_id_learned (one-vs-rest hashed char-n-gram lang-id,
@@ -9909,7 +9968,10 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     PNG decode -> luma -> dHash, oracle regenerates pixels
 #     arithmetically), embedding_pca_power_project (power-iteration
 #     PCA whose oracle replays the whole program as unrolled CTEs —
-#     also the upgraded twin of the rows-only embedding_pca_project);
+#     also the upgraded twin of the rows-only embedding_pca_project),
+#     multimodal_jpeg_dhash (REAL baseline-JPEG decode — Huffman +
+#     DC prediction + dequant + IDCT — whose flat-block fixture keeps
+#     the oracle on exact integers);
 # (3) forced re-verification of code touched this round (r13 ADVICE):
 #     embedding_knn_density_blocked (rounded-tie cut extension),
 #     multimodal_audio_pcm_stats (frombuffer PCM decode rewrite),
@@ -9920,9 +9982,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
 #     ann_ivfpq_portable, bpe_segment, graph_kcore_portable (the
 #     eighth pair rides embedding_pca_power_project above);
-# (5) the remaining 34 slots fill stalest-first: the r7 cohort from
-#     cube_quantity through table_profile (alphabetical within the
-#     equal-staleness round); text_bigram_lm onward is the r15 fill
+# (5) the remaining 33 slots fill stalest-first: the r7 cohort from
+#     cube_quantity through string_functions (alphabetical within the
+#     equal-staleness round); table_profile onward is the r15 fill
 #     head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + any rows-only
@@ -9978,6 +10040,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_charspan_coverage",
     "dedup_charspan_scrub",
     "embedding_pca_power_project",
+    "multimodal_jpeg_dhash",
     "multimodal_png_dhash",
     "text_lang_id_learned",
     # -- code touched this round (r13 ADVICE fixes), re-verify:
@@ -10026,7 +10089,6 @@ _DRIVER_WINDOW: list[str] = [
     "set_intersect_all",
     "stats_bivariate",
     "string_functions",
-    "table_profile",
 ]
 
 

@@ -670,3 +670,145 @@ def test_dhash_encoded_images_dedup_and_nulls(spark):
     for bit in (ds[:, :-1] > ds[:, 1:]).flatten().tolist():
         val = (val << 1) | int(bit)
     assert got[1].dhash == format(val, "016x")
+
+
+# ---------------------------------------------------------------------------
+# encoded-image (baseline JPEG) decode
+# ---------------------------------------------------------------------------
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """DC-only blocks under the all-8 quant table decode to exactly
+    block value per pixel (the oracle's arithmetic handle), through
+    real Huffman coding and DC prediction (values rise and fall so
+    diffs go negative)."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_flat_gray,
+    )
+
+    vals = np.array(
+        [[(r * 2003 + c * 307 + 7 * 131) % 256 for c in range(9)]
+         for r in range(8)]
+    )
+    w, h, nc, gray = decode_jpeg_gray(encode_jpeg_flat_gray(vals))
+    assert (w, h, nc) == (72, 64, 1)
+    exp = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    assert np.array_equal(gray, exp)
+
+
+def test_jpeg_general_coefficients_match_reference_idct():
+    """Arbitrary quantized coefficients (AC runs, ZRL gaps, negative
+    values, non-uniform quant) survive encode -> entropy decode ->
+    dequant -> de-zigzag -> IDCT: compare against an INDEPENDENT
+    brute-force double-sum IDCT computed here, not the decoder's
+    matmul path."""
+    import math
+
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        _JPG_ZIGZAG,
+        decode_jpeg_gray,
+        encode_jpeg_gray_coeffs,
+    )
+
+    quant = [(3 + (i * 7) % 13) for i in range(64)]
+    blocks = []
+    for n in range(4):
+        blk = [0] * 64
+        blk[0] = (n * 37) % 100 - 50
+        blk[1] = 9 - n
+        blk[5] = -7 + n
+        blk[20 + n] = 15
+        blk[63] = -3  # forces a long zero run + tail coefficient
+        blocks.append(blk)
+    b = encode_jpeg_gray_coeffs(blocks, 2, 2, quant)
+    out = decode_jpeg_gray(b)
+    assert out is not None
+    w, h, nc, gray = out
+    assert (w, h, nc) == (16, 16, 1)
+
+    def ref_block(zz, pred):
+        S = np.zeros((8, 8))
+        total = list(zz)
+        total[0] = pred
+        for k, rast in enumerate(_JPG_ZIGZAG):
+            S[rast // 8, rast % 8] = total[k] * quant[k]
+        px = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv / 4.0 * S[u, v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                px[x, y] = acc
+        return np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
+
+    # DC values are absolute in the block lists; the codec's
+    # differential predictors must re-derive exactly these
+    preds = [blocks[i][0] for i in range(4)]
+    tiles = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    for i, (ty, tx) in enumerate(tiles):
+        exp = ref_block(blocks[i], preds[i])
+        got = gray[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8]
+        assert np.array_equal(got, exp), i
+
+
+def test_jpeg_decode_rejects_unsupported():
+    """Progressive frames, restart intervals, truncation, junk — all
+    None, never an exception."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_flat_gray,
+    )
+
+    good = encode_jpeg_flat_gray(np.full((2, 2), 100))
+    assert decode_jpeg_gray(good) is not None
+    assert decode_jpeg_gray(b"") is None
+    assert decode_jpeg_gray(b"\xff\xd8\xff\xfe\x00\x04xx") is None  # no frame
+    prog = bytearray(good)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # progressive SOF
+    assert decode_jpeg_gray(bytes(prog)) is None
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    assert decode_jpeg_gray(dri) is None
+    assert decode_jpeg_gray(good[: len(good) // 2]) is None
+
+
+def test_dhash_encoded_images_dispatches_png_and_jpeg(spark):
+    """One binary column carrying PNGs, JPEGs and junk: the operator
+    dispatches on magic and hashes the DECODED pixels — a PNG and a
+    JPEG of the same image must collide on dhash."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        dhash_encoded_images,
+        encode_jpeg_flat_gray,
+        encode_png,
+    )
+
+    vals = np.array(
+        [[(r * 11 + c * 29) % 256 for c in range(9)] for r in range(8)],
+        dtype=np.uint8,
+    )
+    # PNG of the 72x64 block-expanded image == JPEG of the flat blocks
+    big = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    rows = [
+        (1, bytearray(encode_png(big))),
+        (2, bytearray(encode_jpeg_flat_gray(vals))),
+        (3, bytearray(b"GIF89a-not-supported-here")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in dhash_encoded_images(df).collect()}
+    assert got[1].dhash == got[2].dhash
+    assert (got[1].img_width, got[2].img_width) == (72, 72)
+    assert got[3].dhash is None
