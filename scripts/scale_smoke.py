@@ -1156,6 +1156,116 @@ def smoke_span(n: int = 1_000_000) -> None:
                           }), flush=True)
 
 
+def smoke_charspan(n: int = 1_000_000) -> None:
+    """Char-level exact-substring dedup at corpus scale (r14): stride
+    amortizes the per-char window volume; digest-only shuffles keep
+    the 10x step near-linear, and the scrub twin must track the stats
+    cost while kept+dup tiles every doc."""
+    from cascading_hive_spark.operators.dedup import (
+        duplicate_charspan_stats,
+        remove_duplicate_charspans,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.02, n_vocab=5000
+        ).localCheckpoint()
+        t0 = time.monotonic()
+        out = duplicate_charspan_stats(docs, "doc_id", "text", stride=4)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("dup_chars") > 0).cast("long")).alias("docs_hit"),
+        ).first()
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "charspan", "n_docs": size,
+                          "wall_sec": wall,
+                          "docs_with_dup_spans": row["docs_hit"],
+                          "planted_dups": int(size * 0.02)}), flush=True)
+        t0 = time.monotonic()
+        scrub = remove_duplicate_charspans(docs, "doc_id", "text", stride=4)
+        srow = scrub.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("kept_chars") < F.col("n_chars")).cast("long")
+                  ).alias("docs_scrubbed"),
+            F.sum("kept_chars").alias("kept"),
+            F.sum("n_chars").alias("total"),
+        ).first()
+        swall = round(time.monotonic() - t0, 1)
+        assert srow["n"] == row["n"]
+        print(json.dumps({"smoke": "charspan_scrub", "n_docs": size,
+                          "wall_sec": swall,
+                          "docs_scrubbed": srow["docs_scrubbed"],
+                          "kept_char_frac": round(srow["kept"] / srow["total"], 4),
+                          }), flush=True)
+
+
+def smoke_lang_id(n: int = 1_000_000) -> None:
+    """Learned lang-id scoring at corpus scale (r14): all five frozen
+    models in ONE map-only fold — throughput must track the single-
+    model quality-classifier scan, not 5x it."""
+    from cascading_hive_spark.operators.text import lang_id_scores
+    from cascading_hive_spark.queries import _LID_MODELS_V1
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(spark, n=size, n_vocab=5000).localCheckpoint()
+        t0 = time.monotonic()
+        out = lang_id_scores(docs, "doc_id", "text", _LID_MODELS_V1,
+                             portable=False)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("pred_lang").alias("n_langs"),
+        ).first()
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": "lang_id", "n_docs": size,
+                          "wall_sec": wall, "n_rows": row["n"],
+                          "n_langs": row["n_langs"]}), flush=True)
+
+
+def smoke_image_decode(n: int = 200_000) -> None:
+    """Encoded-image decode -> dHash throughput (r14): PNG (zlib +
+    filter reconstruction) and baseline JPEG (Huffman + IDCT) per-blob
+    decode cost at corpus scale, Arrow-batched over spread partitions;
+    dedup groups <= planted classes (dHash is perceptual — classes
+    with identical 64-bit comparison patterns legitimately collide)."""
+    from cascading_hive_spark.operators.dedup import spread
+    from cascading_hive_spark.operators.multimodal import (
+        dhash_encoded_images,
+        synth_jpeg_batch,
+        synth_png_batch,
+    )
+
+    spark = _spark()
+    ids = spark.range(n).select(F.col("id"))
+    for fmt, synth in (("png", synth_png_batch), ("jpeg", synth_jpeg_batch)):
+        def gen(it, _synth=synth):
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {"id": pdf["id"],
+                     "payload": _synth(pdf["id"].tolist())}
+                )
+
+        payloads = spread(ids).mapInPandas(gen, "id long, payload binary")
+        t0 = time.monotonic()
+        row = (
+            dhash_encoded_images(payloads)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("dhash").alias("groups"))
+            .first()
+        )
+        wall = round(time.monotonic() - t0, 1)
+        print(json.dumps({"smoke": f"image_decode_{fmt}", "n_images": n,
+                          "wall_sec": wall, "n_rows": row["n"],
+                          "dedup_groups": row["groups"],
+                          "imgs_per_sec": int(n / wall) if wall else None}),
+              flush=True)
+
+
 def smoke_bpe(n: int = 1_000_000, n_merges: int = 10) -> None:
     """bpe_train cost model: after the initial wordcount collapses the
     corpus to its vocabulary, per-merge cost must track VOCAB size,
@@ -2026,4 +2136,7 @@ if __name__ == "__main__":
         "dsir": smoke_dsir,
         "domain_cap": smoke_domain_cap,
         "curation_scan": smoke_curation_scan,
+        "charspan": smoke_charspan,
+        "lang_id": smoke_lang_id,
+        "image_decode": smoke_image_decode,
     }[name](*args)
