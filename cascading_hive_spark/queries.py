@@ -4364,9 +4364,7 @@ _LID_W_SQL = {
 }
 
 
-@register(
-    "text_lang_id_learned",
-    f"""
+_LID_SQL = f"""
     WITH b AS (
       SELECT doc_id,
              list_transform(
@@ -4411,8 +4409,10 @@ _LID_W_SQL = {
            END AS pred_lang,
            round(best, 6) + 0.0 AS margin
     FROM s
-    """,
-)
+    """
+
+
+@register("text_lang_id_learned", _LID_SQL)
 def q_text_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.text import lang_id_scores
 
@@ -4424,6 +4424,37 @@ def q_text_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         seed="lid14|",
     )
+
+
+# The learned lang-id as an ingest-time STREAM gate (the
+# streaming_quality_filter / streaming_blocklist_gate shape): all
+# five weight tables are plan literals riding one stateless fold, so
+# the exact batch expression chain runs unchanged under Structured
+# Streaming — no watermark, no state store; streamed rows equal the
+# batch scorer's, so the oracle is SHARED with text_lang_id_learned.
+# Route-on-language is the first stage of every multilingual crawl
+# pipeline — filtering as documents land avoids a second corpus pass.
+@register("streaming_lang_gate", _LID_SQL)
+def q_streaming_lang_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.streaming.jobs import (
+        lang_gate_stream,
+        stream_documents,
+    )
+
+    tune_for_queries(spark)
+    name = f"q_stream_lid_{uuid.uuid4().hex[:8]}"
+    stream = lang_gate_stream(stream_documents(spark, sf_dir), _LID_MODELS_V1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 # The learned quality filter on a document STREAM (r13): scoring is a
@@ -9960,7 +9991,7 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 # STALEST-FIRST over the frozen basis CORRECTNESS_r01..r13 (the policy
 # test recomputes this from the artifacts):
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked — the six registered this round:
+# (2) never driver-checked — the seven registered this round:
 #     dedup_charspan_coverage / dedup_charspan_scrub (character-level
 #     exact-substring dedup, the Lee-et-al granularity),
 #     text_lang_id_learned (one-vs-rest hashed char-n-gram lang-id,
@@ -9971,7 +10002,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     also the upgraded twin of the rows-only embedding_pca_project),
 #     multimodal_jpeg_dhash (REAL baseline-JPEG decode — Huffman +
 #     DC prediction + dequant + IDCT — whose flat-block fixture keeps
-#     the oracle on exact integers);
+#     the oracle on exact integers), streaming_lang_gate (the same
+#     lang-id as a stateless ingest-time stream router, oracle shared
+#     with the batch twin);
 # (3) forced re-verification of code touched this round (r13 ADVICE):
 #     embedding_knn_density_blocked (rounded-tie cut extension),
 #     multimodal_audio_pcm_stats (frombuffer PCM decode rewrite),
@@ -9982,9 +10015,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
 #     ann_ivfpq_portable, bpe_segment, graph_kcore_portable (the
 #     eighth pair rides embedding_pca_power_project above);
-# (5) the remaining 33 slots fill stalest-first: the r7 cohort from
-#     cube_quantity through string_functions (alphabetical within the
-#     equal-staleness round); table_profile onward is the r15 fill
+# (5) the remaining 32 slots fill stalest-first: the r7 cohort from
+#     cube_quantity through stats_bivariate (alphabetical within the
+#     equal-staleness round); string_functions onward is the r15 fill
 #     head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + any rows-only
@@ -10042,6 +10075,7 @@ _DRIVER_WINDOW: list[str] = [
     "embedding_pca_power_project",
     "multimodal_jpeg_dhash",
     "multimodal_png_dhash",
+    "streaming_lang_gate",
     "text_lang_id_learned",
     # -- code touched this round (r13 ADVICE fixes), re-verify:
     "embedding_knn_density_blocked",
@@ -10088,7 +10122,6 @@ _DRIVER_WINDOW: list[str] = [
     "set_except_all",
     "set_intersect_all",
     "stats_bivariate",
-    "string_functions",
 ]
 
 

@@ -528,3 +528,18 @@ def blocklist_gate_stream(docs: DataFrame, terms: list[str]) -> DataFrame:
     from cascading_hive_spark.operators.text import blocklist_matches
 
     return blocklist_matches(docs, "doc_id", "text", terms)
+
+
+def lang_gate_stream(docs: DataFrame, models: dict) -> DataFrame:
+    """The learned lang-id on a document STREAM: all language weight
+    tables are plan literals riding ONE stateless fold
+    (text.lang_id_scores, widen=False — spread's inputFiles probe is
+    a batch concept), so the exact batch expression chain runs
+    unchanged under Structured Streaming — no watermark, no state
+    store; output rows identical to the batch scorer on the same
+    input (oracle-shared with text_lang_id_learned). This is the
+    ingest-time language router: predict-as-it-lands, fan out by
+    pred_lang."""
+    from cascading_hive_spark.operators.text import lang_id_scores
+
+    return lang_id_scores(docs, "doc_id", "text", models, widen=False)

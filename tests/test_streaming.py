@@ -516,3 +516,41 @@ def test_streaming_blocklist_gate_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and len(streamed) == 500
+
+
+def test_streaming_lang_gate_equals_batch(spark, sf_dir):
+    """The streamed lang-id rows equal the batch scorer's rows exactly
+    — the stateless-gate contract for the language router (all five
+    weight tables are plan literals in one fold; no state store)."""
+    import uuid
+
+    from cascading_hive_spark.operators.text import lang_id_scores
+    from cascading_hive_spark.queries import _LID_MODELS_V1
+    from cascading_hive_spark.streaming.jobs import (
+        lang_gate_stream,
+        stream_documents,
+    )
+    from cascading_hive_spark.tables import load_table
+
+    name = f"t_lid_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        lang_gate_stream(stream_documents(spark, sf_dir), _LID_MODELS_V1)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.doc_id, r.n_grams, r.pred_lang, r.margin)
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_grams, r.pred_lang, r.margin)
+        for r in lang_id_scores(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id", "text", _LID_MODELS_V1, widen=False,
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 500
