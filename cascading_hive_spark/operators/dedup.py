@@ -1407,7 +1407,10 @@ def _dup_charspan_islands(
             f"stride={stride} must be in [1, min_len={min_len}] so "
             "adjacent windows overlap and islands stay mergeable"
         )
-    base = docs.select(
+    # char stride=1 hashes ~n_chars windows per doc — compute-dense
+    # enough that a single-file scan serializes it; spread to cluster
+    # parallelism first (a no-op on an already-wide scan)
+    base = spread(docs).select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_txt"),
         F.length(text_col).alias("_nc"),
