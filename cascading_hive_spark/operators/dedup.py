@@ -1491,9 +1491,14 @@ def duplicate_charspan_stats(
         F.col("_id").alias(id_col),
         F.col("_nc").cast("bigint").alias("n_chars"),
         F.coalesce(F.col("_covered"), F.lit(0)).cast("bigint").alias("dup_chars"),
-        F.floor(
+        # empty text has zero chars (unlike the word form, whose
+        # split('') yields one token): guard the share — ANSI would
+        # otherwise CRASH the whole scan on one empty doc
+        F.when(F.col("_nc") > 0, F.floor(
             F.coalesce(F.col("_covered"), F.lit(0)) * 1000 / F.col("_nc")
-        ).alias("dup_permille"),
+        )).otherwise(
+            F.when(F.col("_nc") == 0, F.lit(0)).otherwise(F.lit(None))
+        ).cast("bigint").alias("dup_permille"),
     )
 
 

@@ -419,3 +419,49 @@ def test_hash_embed_empty_frame(spark):
 
     out = _empty_docs(spark).select(hash_embed(F.col("text"), dim=4).alias("v"))
     assert out.count() == 0
+
+
+def test_charspan_empty_and_degenerate_text(spark):
+    """Empty corpus -> empty outputs; empty-string and NULL text rows
+    must survive (ANSI division guard: one empty doc must not crash a
+    100 TB scan)."""
+    from cascading_hive_spark.operators.dedup import (
+        duplicate_charspan_stats,
+        remove_duplicate_charspans,
+    )
+
+    assert duplicate_charspan_stats(_empty_docs(spark), "doc_id", "text").count() == 0
+    assert remove_duplicate_charspans(_empty_docs(spark), "doc_id", "text").count() == 0
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "y" * 60), (4, "y" * 60)],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in duplicate_charspan_stats(df, "doc_id", "text").collect()}
+    assert stats[1].n_chars == 0 and stats[1].dup_permille == 0
+    assert stats[2].n_chars is None and stats[2].dup_chars == 0
+    assert stats[3].dup_chars == 60 and stats[3].dup_permille == 1000
+    scrub = {r.doc_id: r for r in remove_duplicate_charspans(df, "doc_id", "text").collect()}
+    assert scrub[1].clean_text == "" and scrub[3].clean_text == ""
+
+
+def test_lang_id_empty_frame(spark):
+    from cascading_hive_spark.operators.text import lang_id_scores
+    from cascading_hive_spark.queries import _LID_MODELS_V1
+
+    out = lang_id_scores(_empty_docs(spark), "doc_id", "text", _LID_MODELS_V1)
+    assert out.count() == 0
+    assert "pred_lang" in out.columns
+
+
+def test_pca_power_project_empty_frame(spark):
+    from cascading_hive_spark.operators.similarity import pca_power_project
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert pca_power_project(empty).count() == 0
+
+
+def test_dhash_encoded_images_empty_frame(spark):
+    from cascading_hive_spark.operators.multimodal import dhash_encoded_images
+
+    empty = spark.createDataFrame([], "id long, payload binary")
+    assert dhash_encoded_images(empty).count() == 0
