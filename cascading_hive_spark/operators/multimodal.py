@@ -1135,8 +1135,9 @@ def dhash_encoded_images(
     bounded by the image size; the shuffle-side dedup that follows
     (groupBy dhash) carries 16-hex fingerprints only, never pixels.
     Signature dispatch: PNG magic -> decode_png, JPEG SOI ->
-    decode_jpeg_gray (baseline sequential, r14); other magics yield
-    NULL rather than a crash."""
+    decode_jpeg_gray (baseline sequential, r14), GIF87a/89a ->
+    decode_gif_gray (full LZW, r14); other magics yield NULL rather
+    than a crash."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1149,6 +1150,8 @@ def dhash_encoded_images(
                     dec = decode_png(raw)
                 elif raw[:2] == b"\xff\xd8":
                     dec = decode_jpeg_gray(raw)
+                elif raw[:4] == b"GIF8":
+                    dec = decode_gif_gray(raw)
                 else:
                     dec = None
                 if dec is None:
@@ -1589,4 +1592,212 @@ def synth_jpeg_batch(ids, cls_mod: int = 45, blocks_w: int = 9,
         cls = int(i) % cls_mod
         vals = (cls * 131 + bi * 2003 + bj * 307) % 256
         out.append(encode_jpeg_flat_gray(vals))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoded-image (GIF / LZW) decode -> grayscale
+# ---------------------------------------------------------------------------
+def encode_gif_gray(pixels) -> bytes:
+    """Minimal GIF89a ENCODER (test fixture — the operator under test
+    is decode_gif_gray): 256-entry grayscale palette (palette[i] =
+    (i,i,i), so palette luma == index exactly), one image, LZW coded
+    with the classic 'uncompressed GIF' technique — literal 9-bit
+    codes only, a CLEAR every 254 symbols so the decoder's table
+    never forces a code-size bump. LSB-first bit packing per the GIF
+    spec."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0xF7)  # global table, 8-bit color resolution, 256 entries
+    out += b"\x00\x00"  # bg color, aspect
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x00)  # no local table, not interlaced
+    out.append(8)  # LZW min code size
+    # LSB-first bit writer, 9-bit codes
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    CLEAR, EOI = 256, 257
+    put(CLEAR)
+    for k, v in enumerate(px.flatten().tolist()):
+        if k and k % 254 == 0:
+            put(CLEAR)  # reset before the table reaches 9-bit capacity
+        put(v)
+    put(EOI)
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_gray(b: bytes):
+    """REAL GIF decode to grayscale, stdlib+numpy only: logical
+    screen + palette parse, extension-block skip, and a FULL LZW
+    decoder — code-table growth, variable code width (9..12 bits,
+    LSB-first), CLEAR/EOI handling — then palette lookup and integer
+    luma ((299R + 587G + 114B) // 1000, the decode_png convention).
+    Returns (width, height, n_palette, gray) for the FIRST image
+    frame, or None for anything malformed / unsupported (no palette,
+    interlaced, truncated, bad LZW stream). Malformed blobs must not
+    kill a 100 TB scan."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        packed = b[10]
+        pos = 13
+        palette = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            palette = np.frombuffer(
+                b[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            if len(palette) != n:
+                return None
+            pos += 3 * n
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:
+                break
+            elif block == 0x3B:
+                return None  # trailer before any image
+            else:
+                return None
+        if pos >= len(b) or b[pos] != 0x2C:
+            return None
+        iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        ipacked = b[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            return None  # interlaced unsupported
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                b[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            if len(palette) != n:
+                return None
+            pos += 3 * n
+        if palette is None or iw == 0 or ih == 0:
+            return None
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        # LSB-first variable-width LZW decode
+        CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+        acc = 0
+        nbits = 0
+        di = 0
+        width = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+        table += [b"", b""]  # CLEAR, EOI placeholders
+        prev = None
+        out = bytearray()
+
+        def read_code():
+            nonlocal acc, nbits, di
+            while nbits < width:
+                if di >= len(data):
+                    return None
+                acc |= data[di] << nbits
+                di += 1
+                nbits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            return code
+
+        while True:
+            code = read_code()
+            if code is None:
+                return None  # truncated stream
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(1 << min_code)]
+                table += [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == EOI:
+                break
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= iw * ih:
+                break
+        if len(out) < iw * ih:
+            return None
+        idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
+        if int(idx.max()) >= len(palette):
+            return None
+        rgb = palette[idx].astype(np.int64)
+        gray = (
+            (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        ).astype(np.uint8).reshape(ih, iw)
+        return iw, ih, len(palette), gray
+    except (IndexError, ValueError):
+        return None
+
+
+def synth_gif_batch(ids, cls_mod: int = 35, w: int = 18, h: int = 16):
+    """Encoded-GIF payloads for a batch of ids: class = id % cls_mod,
+    pixel (y, x) = (cls*131 + y*2003 + x*307) % 256 under the identity
+    grayscale palette — the SQL oracle regenerates every sampled pixel
+    arithmetically (palette luma of (i,i,i) is exactly i)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for i in ids:
+        cls = int(i) % cls_mod
+        px = ((cls * 131 + yy * 2003 + xx * 307) % 256).astype(np.uint8)
+        out.append(encode_gif_gray(px))
     return out

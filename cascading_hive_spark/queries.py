@@ -9583,6 +9583,66 @@ def q_multimodal_jpeg_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GIF perceptual dedup (the third crawl image format, completing the
+# parse_image_dims trio with a REAL decode): payloads are genuine
+# GIF89a files — logical screen, 256-entry grayscale palette, LZW
+# image data — which the Spark side decodes with a FULL variable-width
+# LZW decoder (code-table growth, CLEAR/EOI, LSB-first bit order)
+# before palette-luma reduction and dHash. The identity-gray palette
+# makes luma == index exactly, so the oracle regenerates the sampled
+# grid pixels from the class formula and a hash match proves the LZW
+# stream reconstructed every pixel.
+def _gif_dhash_oracle() -> str:
+    def val(r: int, c: int) -> str:
+        # 18x16 -> 9x8 nearest grid samples (y, x) = (2r, 2c);
+        # constants folded: 4006*r + 614*c (the PNG oracle's grid)
+        return f"((d.cls * 131 + {4006 * r + 614 * c}) % 256)"
+
+    bits = [(r, c) for r in range(8) for c in range(8)]
+    nibbles = []
+    for n in range(0, 64, 4):
+        terms = [
+            f"(CASE WHEN {val(r, c)} > {val(r, c + 1)} THEN {w} ELSE 0 END)"
+            for w, (r, c) in zip((8, 4, 2, 1), bits[n : n + 4])
+        ]
+        nibbles.append(
+            f"substr('0123456789abcdef', ({' + '.join(terms)}) + 1, 1)"
+        )
+    dh = "\n             || ".join(nibbles)
+    return f"""
+    WITH d AS (SELECT doc_id, doc_id % 35 AS cls FROM documents)
+    SELECT doc_id, CAST(18 AS BIGINT) AS img_width,
+           CAST(16 AS BIGINT) AS img_height,
+           {dh} AS dhash
+    FROM d
+    """
+
+
+@register("multimodal_gif_dhash", _gif_dhash_oracle())
+def q_multimodal_gif_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.dedup import spread
+    from cascading_hive_spark.operators.multimodal import (
+        dhash_encoded_images,
+        synth_gif_batch,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id")))
+
+    def synth(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": synth_gif_batch(pdf["id"].tolist()),
+                }
+            )
+
+    payloads = d.mapInPandas(synth, "id long, payload binary")
+    return dhash_encoded_images(payloads).select(
+        F.col("id").alias("doc_id"), "img_width", "img_height", "dhash"
+    )
+
+
 # Multi-epoch curriculum mixing: three epochs annealing alpha
 # 1.0 -> 0.5 -> 0.2 (natural mix toward tail-up-weighted), one row
 # per (kept doc, epoch) — a doc may recur across epochs, which is the
@@ -9991,7 +10051,7 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 # STALEST-FIRST over the frozen basis CORRECTNESS_r01..r13 (the policy
 # test recomputes this from the artifacts):
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked — the seven registered this round:
+# (2) never driver-checked — the eight registered this round:
 #     dedup_charspan_coverage / dedup_charspan_scrub (character-level
 #     exact-substring dedup, the Lee-et-al granularity),
 #     text_lang_id_learned (one-vs-rest hashed char-n-gram lang-id,
@@ -10002,7 +10062,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     also the upgraded twin of the rows-only embedding_pca_project),
 #     multimodal_jpeg_dhash (REAL baseline-JPEG decode — Huffman +
 #     DC prediction + dequant + IDCT — whose flat-block fixture keeps
-#     the oracle on exact integers), streaming_lang_gate (the same
+#     the oracle on exact integers), multimodal_gif_dhash (full
+#     variable-width LZW decode under an identity-gray palette —
+#     same arithmetic-oracle discipline), streaming_lang_gate (the same
 #     lang-id as a stateless ingest-time stream router, oracle shared
 #     with the batch twin);
 # (3) forced re-verification of code touched this round (r13 ADVICE):
@@ -10015,9 +10077,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
 #     ann_ivfpq_portable, bpe_segment, graph_kcore_portable (the
 #     eighth pair rides embedding_pca_power_project above);
-# (5) the remaining 32 slots fill stalest-first: the r7 cohort from
-#     cube_quantity through stats_bivariate (alphabetical within the
-#     equal-staleness round); string_functions onward is the r15 fill
+# (5) the remaining 31 slots fill stalest-first: the r7 cohort from
+#     cube_quantity through set_intersect_all (alphabetical within the
+#     equal-staleness round); stats_bivariate onward is the r15 fill
 #     head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + any rows-only
@@ -10073,6 +10135,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_charspan_coverage",
     "dedup_charspan_scrub",
     "embedding_pca_power_project",
+    "multimodal_gif_dhash",
     "multimodal_jpeg_dhash",
     "multimodal_png_dhash",
     "streaming_lang_gate",
@@ -10121,7 +10184,6 @@ _DRIVER_WINDOW: list[str] = [
     "scd2_point_in_time",
     "set_except_all",
     "set_intersect_all",
-    "stats_bivariate",
 ]
 
 

@@ -812,3 +812,155 @@ def test_dhash_encoded_images_dispatches_png_and_jpeg(spark):
     assert got[1].dhash == got[2].dhash
     assert (got[1].img_width, got[2].img_width) == (72, 72)
     assert got[3].dhash is None
+
+
+# ---------------------------------------------------------------------------
+# encoded-image (GIF / LZW) decode
+# ---------------------------------------------------------------------------
+def test_gif_literal_roundtrip_exact():
+    """The fixture encoder's literal-code LZW stream decodes to the
+    exact pixels through the identity-gray palette."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:18]
+    px = ((yy * 2003 + xx * 307 + 11 * 131) % 256).astype(np.uint8)
+    out = decode_gif_gray(encode_gif_gray(px))
+    assert out is not None
+    w, h, npal, gray = out
+    assert (w, h, npal) == (18, 16, 256)
+    assert np.array_equal(gray, px)
+
+
+def _gif_lzw_compress_codes(seq: bytes):
+    """Reference GIF LZW COMPRESSOR (test-only): true dynamic string
+    table, width growth 9->10->11->12 mirroring the decoder's
+    len(table) == 1<<width rule. Returns the LSB-first packed bytes."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    state = {"L": 258, "W": 9, "first": True}
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += state["W"]
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        # decoder appends one table entry per code AFTER the first
+        # following a clear, then bumps width at len == 1<<W
+        if state["first"]:
+            state["first"] = False
+        else:
+            state["L"] += 1
+            if state["L"] == (1 << state["W"]) and state["W"] < 12:
+                state["W"] += 1
+
+    # CLEAR itself neither appends nor counts as the 'first'
+    acc |= CLEAR << nbits
+    nbits += 9
+    while nbits >= 8:
+        out.append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    s = seq[:1]
+    for c in seq[1:]:
+        sc = s + bytes([c])
+        if sc in table:
+            s = sc
+        else:
+            put(table[s])
+            table[sc] = nxt
+            nxt += 1
+            s = bytes([c])
+    put(table[s])
+    put(EOI)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_dynamic_lzw_width_growth():
+    """A REAL compressed stream (dynamic codes, table past 1024 so
+    widths walk 9->10->11) decodes pixel-exactly — built by the
+    reference compressor above, wrapped in a hand-assembled GIF."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import decode_gif_gray
+
+    w, h = 100, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = (((yy // 3) * 31 + (xx // 2) * 7) % 256).astype(np.uint8)
+    data = _gif_lzw_compress_codes(px.tobytes())
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0xF7, 0, 0])
+    for i in range(256):
+        gif += bytes([i, i, i])
+    # a skippable comment extension before the image descriptor
+    gif += b"\x21\xfe\x05hello\x00"
+    gif += b"\x2c" + b"\x00\x00\x00\x00"
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    gif.append(8)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif += b"\x00\x3b"
+    out = decode_gif_gray(bytes(gif))
+    assert out is not None
+    gw, gh, npal, gray = out
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(gray, px)
+
+
+def test_gif_decode_rejects_malformed():
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    good = encode_gif_gray(np.zeros((4, 4), dtype=np.uint8))
+    assert decode_gif_gray(good) is not None
+    assert decode_gif_gray(b"") is None
+    assert decode_gif_gray(b"GIF89a\x00\x00") is None
+    assert decode_gif_gray(good[: len(good) // 2]) is None
+    interlaced = bytearray(good)
+    # image descriptor starts right after the 13-byte header + the
+    # 768-byte global palette; its packed byte is 9 bytes in
+    idx = 13 + 768
+    assert interlaced[idx] == 0x2C
+    interlaced[idx + 9] |= 0x40  # set the interlace flag
+    assert decode_gif_gray(bytes(interlaced)) is None
+
+
+def test_dhash_dispatch_gif_collides_with_png(spark):
+    """A GIF and a PNG of the same pixels collide on dhash through
+    the magic dispatch — the pixels, not the container, are hashed."""
+    import numpy as np
+
+    from cascading_hive_spark.operators.multimodal import (
+        dhash_encoded_images,
+        encode_gif_gray,
+        encode_png,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:18]
+    px = ((yy * 13 + xx * 41) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif_gray(px))), (2, bytearray(encode_png(px)))],
+        "id long, payload binary",
+    )
+    got = {r.id: r.dhash for r in dhash_encoded_images(df).collect()}
+    assert got[1] == got[2]
