@@ -760,13 +760,11 @@ def lang_id_scores(
     out = out.withColumn("_m", margins)
     mcols = [F.element_at(F.col("_m"), i + 1) for i in range(len(langs))]
     best = F.greatest(*mcols) if len(langs) > 1 else mcols[0]
-    pred = F.lit(None).cast("string")
     # first match in lang-sorted order = lexicographic tiebreak
-    expr = None
+    pred = None
     for i, lang in enumerate(langs):
         cond = mcols[i] == best
-        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    pred = expr
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     return out.select(
         id_col,
         "n_grams",
