@@ -300,3 +300,106 @@ def quantile_from_histogram(
             ).alias(f"q{labels[p]}")
         )
     return proj.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership sketch (decontamination at scale)
+# ---------------------------------------------------------------------------
+_BLOOM_WORD_BITS = 63  # bit 63 is the sign bit; DuckDB raises on 1<<63
+
+
+def _bloom_positions(item, k: int, m_bits: int, seed: str, portable: bool):
+    """The k bit positions of a string item: independent salted
+    hashes, md5-prefix arithmetic when ``portable`` (the repo-wide
+    SQL-replayable convention) else xxhash64 (the scale path)."""
+    out = []
+    for j in range(k):
+        salted = F.concat(F.lit(f"{seed}{j}|"), item)
+        if portable:
+            h = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
+        else:
+            h = F.xxhash64(salted)
+        out.append(F.pmod(h, F.lit(m_bits)))
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    m_bits: int = 131_072,
+    k: int = 3,
+    seed: str = "bf14|",
+    portable: bool = True,
+) -> DataFrame:
+    """Build a Bloom filter over a string column as a RELATIONAL
+    sketch: (word_idx int, bits bigint) rows, 63 bits per word (the
+    sign bit stays clear so both engines' BIGINT shifts stay in
+    range). The classic membership sketch for benchmark
+    DECONTAMINATION at corpus scale: build once over the benchmark's
+    n-grams (m_bits/8 bytes total — kilobytes), probe 100 TB map-only.
+
+    Mergeable by construction — bit_or is idempotent, commutative and
+    associative, so partial filters from any partitioning (or from
+    separate benchmark shards) union by ``bit_or`` per word_idx: the
+    partial_agg discipline. The build is one narrow projection +
+    one map-side-combined groupBy over at most m_bits/63 + 1 word
+    rows; items never shuffle, only (word_idx, bits) partials.
+
+    No false negatives ever; false-positive rate ~ (1 - e^{-kn/m})^k
+    — size m_bits to the benchmark (n items), not the corpus."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(item_col), k, m_bits, seed, portable))
+    ).alias("_p")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("_p") / _BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+            _bloom_bit(F.col("_p")).alias("_b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def _bloom_bit(p):
+    """1 << (p % 63) as a Column: PySpark's shiftleft takes only a
+    Python-int shift, so look the mask up in a 63-long literal table
+    (codegen'd element_at, exact longs)."""
+    shifts = F.array(*[F.lit(1 << b).cast("bigint") for b in range(63)])
+    return F.element_at(
+        shifts, F.pmod(p, F.lit(_BLOOM_WORD_BITS)).cast("int") + 1
+    )
+
+
+def bloom_contains(
+    item,
+    filter_words: list[int],
+    m_bits: int,
+    k: int = 3,
+    seed: str = "bf14|",
+    portable: bool = True,
+):
+    """Column expression: is ``item`` (a string Column) in the Bloom
+    filter? ``filter_words`` is the DENSE word list (index 0..
+    m_bits//63, zeros for absent words — see bloom_dense_words),
+    embedded as a plan literal so the probe is MAP-ONLY: no join, no
+    shuffle, full codegen — the shape that lets one broadcast-free
+    scan decontaminate the whole corpus."""
+    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in filter_words])
+    cond = None
+    for p in _bloom_positions(item, k, m_bits, seed, portable):
+        word = F.element_at(arr, (p / _BLOOM_WORD_BITS).cast("int") + 1)
+        hit = word.bitwiseAND(_bloom_bit(p)) != 0
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
+    """Collect a bloom_build result into the dense word list
+    bloom_contains embeds. Metadata-sized by construction
+    (m_bits/63 + 1 bigints — a 2^17-bit filter is 2081 longs)."""
+    n_words = m_bits // _BLOOM_WORD_BITS + 1
+    words = [0] * n_words
+    for r in bloom.collect():
+        words[r["word_idx"]] = r["bits"]
+    return words

@@ -5175,6 +5175,96 @@ def q_dedup_charspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_charspans(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Bloom-filter benchmark decontamination (sketches.bloom_build /
+# bloom_contains): the mergeable MEMBERSHIP sketch leg of the
+# decontamination family — decontaminate_docs joins corpus grams
+# against exact benchmark grams (a shuffle over the corpus gram set);
+# this leg builds a kilobyte-scale filter over the benchmark 5-grams
+# ONCE (bit_or word aggregation — mergeable partials) and probes the
+# corpus MAP-ONLY (the filter rides the plan as a 2081-long literal;
+# no join, no shuffle, no false negatives by construction). Benchmark
+# = every 17th doc. The oracle rebuilds the filter and probes it the
+# INDEPENDENT way — joins through the (word_idx, bits) table instead
+# of a dense literal array — and must land on identical flags.
+@register(
+    "docs_bloom_decontaminate",
+    """
+    WITH bt AS (
+      SELECT string_split(text, ' ') AS arr, len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id % 17 = 0),
+    bg AS (
+      SELECT DISTINCT array_to_string(list_slice(arr, p, p + 4), ' ') AS g
+      FROM bt, LATERAL unnest(range(1, n - 3)) t(p) WHERE n >= 5),
+    bpos AS (
+      SELECT CAST(concat('0x', substr(md5(concat('bf14|', CAST(j AS VARCHAR),
+               '|', g)), 1, 8)) AS BIGINT) % 131072 AS p
+      FROM bg, unnest([0, 1, 2]) u(j)),
+    bloom AS (
+      SELECT CAST(p // 63 AS INT) AS wi,
+             bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+      FROM bpos GROUP BY 1),
+    dt AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    dg AS (
+      SELECT doc_id, p AS gp,
+             array_to_string(list_slice(arr, p, p + 4), ' ') AS g
+      FROM dt, LATERAL unnest(range(1, n - 3)) t(p) WHERE n >= 5),
+    dpos AS (
+      SELECT doc_id, gp,
+             CAST(concat('0x', substr(md5(concat('bf14|', CAST(j AS VARCHAR),
+               '|', g)), 1, 8)) AS BIGINT) % 131072 AS p
+      FROM dg, unnest([0, 1, 2]) u(j)),
+    ghit AS (
+      SELECT d.doc_id, d.gp,
+             sum(CASE WHEN (coalesce(b.bits, 0)
+                   & (1::BIGINT << CAST(d.p % 63 AS INT))) != 0
+                 THEN 1 ELSE 0 END) AS nb
+      FROM dpos d LEFT JOIN bloom b ON b.wi = CAST(d.p // 63 AS INT)
+      GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN nb = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+      FROM ghit GROUP BY doc_id)
+    SELECT dt.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_flagged, 0) AS n_flagged,
+           coalesce(p.n_flagged, 0) > 0 AS contaminated
+    FROM dt LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_dense_words,
+    )
+
+    M_BITS, K = 131_072, 3
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda p: F.array_join(F.slice(toks, p, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
+        F.explode(grams).alias("g")
+    )
+    words = bloom_dense_words(bloom_build(bench, "g", M_BITS, K), M_BITS)
+    flagged = F.filter(grams, lambda g: bloom_contains(g, words, M_BITS, K))
+    return d.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(flagged).cast("bigint").alias("n_flagged"),
+        (F.size(flagged) > 0).alias("contaminated"),
+    )
+
+
 # Audio leg of the multimodal surface: JVM-built WAV containers
 # (RIFF/fmt/data, little-endian byte construction) round-trip through
 # Arrow into the pure-Python header walker; the oracle recomputes
@@ -10051,7 +10141,7 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 # STALEST-FIRST over the frozen basis CORRECTNESS_r01..r13 (the policy
 # test recomputes this from the artifacts):
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked — the eight registered this round:
+# (2) never driver-checked — the nine registered this round:
 #     dedup_charspan_coverage / dedup_charspan_scrub (character-level
 #     exact-substring dedup, the Lee-et-al granularity),
 #     text_lang_id_learned (one-vs-rest hashed char-n-gram lang-id,
@@ -10066,7 +10156,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     variable-width LZW decode under an identity-gray palette —
 #     same arithmetic-oracle discipline), streaming_lang_gate (the same
 #     lang-id as a stateless ingest-time stream router, oracle shared
-#     with the batch twin);
+#     with the batch twin), docs_bloom_decontaminate (mergeable Bloom
+#     membership sketch built over benchmark 5-grams, probed map-only
+#     as a plan literal; the oracle rebuilds and probes through joins);
 # (3) forced re-verification of code touched this round (r13 ADVICE):
 #     embedding_knn_density_blocked (rounded-tie cut extension),
 #     multimodal_audio_pcm_stats (frombuffer PCM decode rewrite),
@@ -10077,9 +10169,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
 #     ann_ivfpq_portable, bpe_segment, graph_kcore_portable (the
 #     eighth pair rides embedding_pca_power_project above);
-# (5) the remaining 31 slots fill stalest-first: the r7 cohort from
-#     cube_quantity through set_intersect_all (alphabetical within the
-#     equal-staleness round); stats_bivariate onward is the r15 fill
+# (5) the remaining 30 slots fill stalest-first: the r7 cohort from
+#     cube_quantity through set_except_all (alphabetical within the
+#     equal-staleness round); set_intersect_all onward is the r15 fill
 #     head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + any rows-only
@@ -10134,6 +10226,7 @@ _DRIVER_WINDOW: list[str] = [
     # -- never driver-checked (registered this round):
     "dedup_charspan_coverage",
     "dedup_charspan_scrub",
+    "docs_bloom_decontaminate",
     "embedding_pca_power_project",
     "multimodal_gif_dhash",
     "multimodal_jpeg_dhash",
@@ -10183,7 +10276,6 @@ _DRIVER_WINDOW: list[str] = [
     "scd2_customer_priority",
     "scd2_point_in_time",
     "set_except_all",
-    "set_intersect_all",
 ]
 
 

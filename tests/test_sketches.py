@@ -140,3 +140,100 @@ def test_heavy_hitters_null_key_split_across_partitions(spark):
         for r in heavy_hitters(df, ["a", "b"], phi=0.2).collect()
     }
     assert got == {(None, None, 300), (1, "x", 250)}
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketch
+# ---------------------------------------------------------------------------
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every inserted item probes true (the Bloom law); disjoint
+    probes stay mostly false (m sized for ~1% fp here)."""
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_dense_words,
+    )
+
+    m, k = 131_072, 3
+    items = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(2000)], "g string"
+    )
+    words = bloom_dense_words(bloom_build(items, "g", m, k), m)
+    hits = items.select(
+        bloom_contains(F.col("g"), words, m, k).alias("h")
+    ).collect()
+    assert all(r.h for r in hits)  # no false negatives, ever
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(2000)], "g string"
+    )
+    fp = others.select(
+        bloom_contains(F.col("g"), words, m, k).alias("h")
+    ).filter("h").count()
+    assert fp <= 60, fp  # ~(1-e^{-3*2000/131072})^3 ~ 1e-4 -> slack
+
+
+def test_bloom_mergeable_partials(spark):
+    """bit_or per word over shard-built partial filters equals the
+    single-shot build — the partial_agg discipline for sketches."""
+    from cascading_hive_spark.operators.sketches import bloom_build
+
+    m, k = 8192, 3
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "g string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "g string")
+    merged = (
+        bloom_build(a, "g", m, k)
+        .union(bloom_build(b, "g", m, k))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    full = bloom_build(a.union(b), "g", m, k)
+    got = {(r.word_idx, r.bits) for r in merged.collect()}
+    exp = {(r.word_idx, r.bits) for r in full.collect()}
+    assert got == exp
+
+
+def test_bloom_probe_plan_is_map_only(spark):
+    """The probe embeds the filter as a literal: no join, no exchange
+    in the plan — one scan decontaminates the corpus."""
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_dense_words,
+    )
+
+    m, k = 8192, 3
+    items = spark.createDataFrame([("x",), ("y",)], "g string")
+    words = bloom_dense_words(bloom_build(items, "g", m, k), m)
+    probe = spark.createDataFrame([("x",), ("z",)], "g string").select(
+        bloom_contains(F.col("g"), words, m, k).alias("h")
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    got = sorted(r.h for r in probe.collect())
+    assert got[1] is True  # the inserted item
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """The query's contamination flags must be a SUPERSET of the
+    exact-join truth (no false negatives), with equality on this
+    corpus unless a false positive lands (tolerated, counted)."""
+    from cascading_hive_spark.queries import _REGISTRY
+    from cascading_hive_spark.tables import load_table
+
+    out = {r.doc_id: r.contaminated
+           for r in _REGISTRY["docs_bloom_decontaminate"][0](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda p: F.array_join(F.slice(toks, p, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("g"))
+    bench_g = g.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select("g").distinct()
+    truth = {r.doc_id for r in g.join(bench_g, "g").select("doc_id").distinct().collect()}
+    flagged = {d for d, c in out.items() if c}
+    assert truth <= flagged  # Bloom law
+    assert len(flagged - truth) <= 2  # fp slack at this m/n
