@@ -781,3 +781,25 @@ def test_group_percentile_rank_distinct_guard(spark):
     # disabled guard and bounded cardinality both pass
     assert group_percentile_rank(df, "src", "v", max_distinct=None).count() == 50
     assert group_percentile_rank(df, "src", "v", max_distinct=64).count() == 50
+
+
+def test_dedupe_lines_regex_metachar_separator(spark):
+    """r13 ADVICE: a separator containing regex metacharacters ('.',
+    '|') must split literally — and agree with the Arrow scale path
+    (dedupe_lines_docs), which always split literally."""
+    from cascading_hive_spark.operators.text import dedupe_lines, dedupe_lines_docs
+
+    df = spark.createDataFrame(
+        [(1, "a.b.a.c"), (2, "x|x|y")], "doc_id long, text string"
+    )
+    got_dot = {r.doc_id: r.clean for r in df.select(
+        "doc_id", dedupe_lines(F.col("text"), sep=".").alias("clean")
+    ).collect()}
+    assert got_dot[1] == "a.b.c"
+    got_pipe = {r.doc_id: r.clean for r in df.select(
+        "doc_id", dedupe_lines(F.col("text"), sep="|").alias("clean")
+    ).collect()}
+    assert got_pipe[2] == "x|y"
+    arrow = {r.doc_id: r.clean_text for r in
+             dedupe_lines_docs(df, "doc_id", "text", sep=".").collect()}
+    assert arrow[1] == got_dot[1]

@@ -854,3 +854,31 @@ def test_pca_power_project_steps_guard(spark):
     )
     with pytest.raises(ValueError, match="steps"):
         pca_power_project(df, steps=0)
+
+
+def test_knn_density_blocked_tie_heavy_full_probe(spark):
+    """r13 ADVICE: rounded-similarity ties past the candidate cut must
+    not break parity — a corpus dominated by identical vectors (every
+    neighbor ties at cos=1.0) under FULL probe must equal the exact
+    path bit-for-bit."""
+    from cascading_hive_spark.operators.similarity import (
+        ivf_build_portable,
+        knn_density,
+        knn_density_blocked,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]  # all tied
+    rows += [(100 + i, [float(i + 1), 1.0, 0.5, 2.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, centroids = ivf_build_portable(df, n_cells=2)
+    blocked = {
+        (r.vec_id, r.knn_density, r.n_neighbors)
+        for r in knn_density_blocked(
+            assignments, centroids, k=10, nprobe=2
+        ).collect()
+    }
+    exact = {
+        (r.vec_id, r.knn_density, r.n_neighbors)
+        for r in knn_density(df, k=10).collect()
+    }
+    assert blocked == exact
