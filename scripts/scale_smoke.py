@@ -1266,6 +1266,61 @@ def smoke_image_decode(n: int = 200_000) -> None:
               flush=True)
 
 
+def smoke_bloom(n_bench: int = 1_000_000, n_probe: int = 10_000_000) -> None:
+    """Bloom decontamination at scale (r14): build over 1M benchmark
+    items (one bit_or groupBy; the filter is m_bits/8 bytes), probe
+    10M corpus items MAP-ONLY via the plan-literal filter. Laws
+    asserted in-smoke: zero false negatives on the planted overlap,
+    false-positive rate within ~3x of the analytic (1-e^{-kn/m})^k."""
+    import math
+
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_dense_words,
+    )
+
+    spark = _spark()
+    m_bits, k = 16_777_216, 3  # 2 MB filter for 1M items -> fp ~ 0.2%
+    bench = spark.range(n_bench).select(
+        F.concat(F.lit("bench-"), F.col("id")).alias("g")
+    )
+    t0 = time.monotonic()
+    words = bloom_dense_words(
+        bloom_build(bench, "g", m_bits, k, portable=False), m_bits
+    )
+    build_wall = round(time.monotonic() - t0, 1)
+    # probe set: 1% planted overlap, 99% disjoint
+    probe = spark.range(n_probe).select(
+        F.when(
+            F.col("id") % 100 == 0, F.concat(F.lit("bench-"), F.col("id") / 100)
+        )
+        .otherwise(F.concat(F.lit("probe-"), F.col("id")))
+        .alias("g"),
+        (F.col("id") % 100 == 0).alias("planted"),
+    )
+    t0 = time.monotonic()
+    row = probe.select(
+        "planted",
+        bloom_contains(F.col("g"), words, m_bits, k, portable=False).alias("h"),
+    ).agg(
+        F.sum(F.col("planted").cast("long")).alias("n_planted"),
+        F.sum((F.col("planted") & F.col("h")).cast("long")).alias("tp"),
+        F.sum((~F.col("planted") & F.col("h")).cast("long")).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    probe_wall = round(time.monotonic() - t0, 1)
+    assert row["tp"] == row["n_planted"], "false negative!"
+    fp_rate = row["fp"] / (row["n"] - row["n_planted"])
+    analytic = (1.0 - math.exp(-k * n_bench / m_bits)) ** k
+    assert fp_rate <= 3 * analytic + 1e-6, (fp_rate, analytic)
+    print(json.dumps({"smoke": "bloom", "n_bench": n_bench,
+                      "n_probe": n_probe, "build_sec": build_wall,
+                      "probe_sec": probe_wall,
+                      "fp_rate": round(fp_rate, 6),
+                      "fp_analytic": round(analytic, 6)}), flush=True)
+
+
 def smoke_bpe(n: int = 1_000_000, n_merges: int = 10) -> None:
     """bpe_train cost model: after the initial wordcount collapses the
     corpus to its vocabulary, per-merge cost must track VOCAB size,
@@ -2139,4 +2194,5 @@ if __name__ == "__main__":
         "charspan": smoke_charspan,
         "lang_id": smoke_lang_id,
         "image_decode": smoke_image_decode,
+        "bloom": smoke_bloom,
     }[name](*args)

@@ -800,6 +800,6 @@ def test_dedupe_lines_regex_metachar_separator(spark):
         "doc_id", dedupe_lines(F.col("text"), sep="|").alias("clean")
     ).collect()}
     assert got_pipe[2] == "x|y"
-    arrow = {r.doc_id: r.clean_text for r in
+    arrow = {r.doc_id: r.text_dedup for r in
              dedupe_lines_docs(df, "doc_id", "text", sep=".").collect()}
     assert arrow[1] == got_dot[1]
