@@ -407,3 +407,50 @@ def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
     for r in bloom.collect():
         words[r["word_idx"]] = r["bits"]
     return words
+
+
+def bloom_probe_broadcast(
+    df: DataFrame,
+    item_col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int = 3,
+    seed: str = "bf14|",
+    portable: bool = True,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe via k chained BROADCAST joins against the (word_idx,
+    bits) sketch table — the LARGE-filter path. bloom_contains embeds
+    the words as a plan literal, which is ideal up to ~10^4 words but
+    churns Catalyst (and small drivers) at megabit filter sizes: a
+    2^24-bit filter is 266k longs, and tree transforms copy that
+    literal on every rule pass. Here the filter stays a DataFrame:
+    each of the k probe positions left-joins its word over a broadcast
+    hash join — map-side, no corpus shuffle, one executor-resident
+    copy of the filter — and the corpus scan stays a single stage.
+
+    Adds ``out_col`` boolean to ``df``. Absent words read as 0 (no
+    bits), preserving the no-false-negative law."""
+    out = df
+    cond = None
+    for j in range(k):
+        p = _bloom_positions(F.col(item_col), k, m_bits, seed, portable)[j]
+        bj = bloom.select(
+            F.col("word_idx").alias(f"_bw{j}"), F.col("bits").alias(f"_bb{j}")
+        )
+        out = out.withColumn(f"_bp{j}", p).join(
+            F.broadcast(bj),
+            (F.col(f"_bp{j}") / _BLOOM_WORD_BITS).cast("int")
+            == F.col(f"_bw{j}"),
+            "left",
+        )
+        hit = (
+            F.coalesce(F.col(f"_bb{j}"), F.lit(0).cast("bigint")).bitwiseAND(
+                _bloom_bit(F.col(f"_bp{j}"))
+            )
+            != 0
+        )
+        cond = hit if cond is None else (cond & hit)
+    return out.withColumn(out_col, cond).drop(
+        *[c for j in range(k) for c in (f"_bp{j}", f"_bw{j}", f"_bb{j}")]
+    )

@@ -1269,40 +1269,39 @@ def smoke_image_decode(n: int = 200_000) -> None:
 def smoke_bloom(n_bench: int = 1_000_000, n_probe: int = 10_000_000) -> None:
     """Bloom decontamination at scale (r14): build over 1M benchmark
     items (one bit_or groupBy; the filter is m_bits/8 bytes), probe
-    10M corpus items MAP-ONLY via the plan-literal filter. Laws
+    10M corpus items via the BROADCAST-join probe (a 2^24-bit filter
+    is 266k words — past the plan-literal regime, which is for
+    <= ~10^4-word benchmark filters; see bloom_probe_broadcast). Laws
     asserted in-smoke: zero false negatives on the planted overlap,
     false-positive rate within ~3x of the analytic (1-e^{-kn/m})^k."""
     import math
 
     from cascading_hive_spark.operators.sketches import (
         bloom_build,
-        bloom_contains,
-        bloom_dense_words,
+        bloom_probe_broadcast,
     )
 
     spark = _spark()
-    m_bits, k = 16_777_216, 3  # 2 MB filter for 1M items -> fp ~ 0.2%
+    m_bits, k = 16_777_216, 3  # 2 MB filter for 1M items -> fp ~ 0.4%
     bench = spark.range(n_bench).select(
         F.concat(F.lit("bench-"), F.col("id")).alias("g")
     )
     t0 = time.monotonic()
-    words = bloom_dense_words(
-        bloom_build(bench, "g", m_bits, k, portable=False), m_bits
-    )
+    bloom = bloom_build(bench, "g", m_bits, k, portable=False).localCheckpoint()
     build_wall = round(time.monotonic() - t0, 1)
     # probe set: 1% planted overlap, 99% disjoint
     probe = spark.range(n_probe).select(
         F.when(
-            F.col("id") % 100 == 0, F.concat(F.lit("bench-"), F.col("id") / 100)
+            F.col("id") % 100 == 0,
+            F.concat(F.lit("bench-"), (F.col("id") / 100).cast("long")),
         )
         .otherwise(F.concat(F.lit("probe-"), F.col("id")))
         .alias("g"),
         (F.col("id") % 100 == 0).alias("planted"),
     )
     t0 = time.monotonic()
-    row = probe.select(
-        "planted",
-        bloom_contains(F.col("g"), words, m_bits, k, portable=False).alias("h"),
+    row = bloom_probe_broadcast(
+        probe, "g", bloom, m_bits, k, portable=False, out_col="h"
     ).agg(
         F.sum(F.col("planted").cast("long")).alias("n_planted"),
         F.sum((F.col("planted") & F.col("h")).cast("long")).alias("tp"),

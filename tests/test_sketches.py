@@ -237,3 +237,37 @@ def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
     flagged = {d for d, c in out.items() if c}
     assert truth <= flagged  # Bloom law
     assert len(flagged - truth) <= 2  # fp slack at this m/n
+
+
+def test_bloom_probe_broadcast_equals_literal(spark):
+    """The broadcast-join probe (large-filter path) and the
+    plan-literal probe agree item-for-item, and its plan is all
+    broadcast joins — no shuffle of the probed side."""
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_dense_words,
+        bloom_probe_broadcast,
+    )
+
+    m, k = 8192, 3
+    items = spark.createDataFrame([(f"i{i}",) for i in range(500)], "g string")
+    bloom = bloom_build(items, "g", m, k)
+    words = bloom_dense_words(bloom, m)
+    probe = spark.createDataFrame(
+        [(i, f"i{i}" if i % 2 == 0 else f"x{i}") for i in range(400)],
+        "pid long, g string",
+    )
+    lit_hits = {
+        r.pid: r.h
+        for r in probe.select(
+            "pid", bloom_contains(F.col("g"), words, m, k).alias("h")
+        ).collect()
+    }
+    bc = bloom_probe_broadcast(probe, "g", bloom, m, k)
+    bc_hits = {r.pid: r.bloom_hit for r in bc.collect()}
+    assert bc_hits == lit_hits
+    assert all(bc_hits[i] for i in range(0, 400, 2))  # inserted items hit
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
