@@ -5186,9 +5186,7 @@ def q_dedup_charspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = every 17th doc. The oracle rebuilds the filter and probes it the
 # INDEPENDENT way — joins through the (word_idx, bits) table instead
 # of a dense literal array — and must land on identical flags.
-@register(
-    "docs_bloom_decontaminate",
-    """
+_BLOOM_DECON_SQL = """
     WITH bt AS (
       SELECT string_split(text, ' ') AS arr, len(string_split(text, ' ')) AS n
       FROM documents WHERE doc_id % 17 = 0),
@@ -5233,8 +5231,10 @@ def q_dedup_charspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(p.n_flagged, 0) AS n_flagged,
            coalesce(p.n_flagged, 0) > 0 AS contaminated
     FROM dt LEFT JOIN per_doc p USING (doc_id)
-    """,
-)
+    """
+
+
+@register("docs_bloom_decontaminate", _BLOOM_DECON_SQL)
 def q_docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.sketches import (
         bloom_build,
@@ -5263,6 +5263,53 @@ def q_docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(flagged).cast("bigint").alias("n_flagged"),
         (F.size(flagged) > 0).alias("contaminated"),
     )
+
+
+# The Bloom contamination check as an ingest-time STREAM gate (the
+# streaming_quality_filter / streaming_lang_gate shape): filter as a
+# plan literal + pure column expressions, stateless under readStream;
+# streamed rows equal the batch query's, so the oracle is SHARED with
+# docs_bloom_decontaminate. A contaminated document is flagged as it
+# lands instead of in a later corpus pass.
+@register("streaming_bloom_gate", _BLOOM_DECON_SQL)
+def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_dense_words,
+    )
+    from cascading_hive_spark.streaming.jobs import (
+        bloom_gate_stream,
+        stream_documents,
+    )
+
+    tune_for_queries(spark)
+    M_BITS, K = 131_072, 3
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda p: F.array_join(F.slice(toks, p, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
+        F.explode(grams).alias("g")
+    )
+    words = bloom_dense_words(bloom_build(bench, "g", M_BITS, K), M_BITS)
+    name = f"q_stream_bloom_{uuid.uuid4().hex[:8]}"
+    stream = bloom_gate_stream(stream_documents(spark, sf_dir), words, M_BITS, K)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 # Audio leg of the multimodal surface: JVM-built WAV containers
@@ -10141,7 +10188,7 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 # STALEST-FIRST over the frozen basis CORRECTNESS_r01..r13 (the policy
 # test recomputes this from the artifacts):
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked — the nine registered this round:
+# (2) never driver-checked — the ten registered this round:
 #     dedup_charspan_coverage / dedup_charspan_scrub (character-level
 #     exact-substring dedup, the Lee-et-al granularity),
 #     text_lang_id_learned (one-vs-rest hashed char-n-gram lang-id,
@@ -10158,7 +10205,9 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     lang-id as a stateless ingest-time stream router, oracle shared
 #     with the batch twin), docs_bloom_decontaminate (mergeable Bloom
 #     membership sketch built over benchmark 5-grams, probed map-only
-#     as a plan literal; the oracle rebuilds and probes through joins);
+#     as a plan literal; the oracle rebuilds and probes through joins)
+#     with streaming_bloom_gate as its stateless ingest-time stream
+#     twin (oracle shared);
 # (3) forced re-verification of code touched this round (r13 ADVICE):
 #     embedding_knn_density_blocked (rounded-tie cut extension),
 #     multimodal_audio_pcm_stats (frombuffer PCM decode rewrite),
@@ -10169,10 +10218,10 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
 #     ann_ivfpq_portable, bpe_segment, graph_kcore_portable (the
 #     eighth pair rides embedding_pca_power_project above);
-# (5) the remaining 30 slots fill stalest-first: the r7 cohort from
-#     cube_quantity through set_except_all (alphabetical within the
-#     equal-staleness round); set_intersect_all onward is the r15 fill
-#     head.
+# (5) the remaining 29 slots fill stalest-first: the r7 cohort from
+#     cube_quantity through scd2_point_in_time (alphabetical within
+#     the equal-staleness round); set_except_all onward is the r15
+#     fill head.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + any rows-only
 # staleness), and let the policy test recompute the fill.
@@ -10231,6 +10280,7 @@ _DRIVER_WINDOW: list[str] = [
     "multimodal_gif_dhash",
     "multimodal_jpeg_dhash",
     "multimodal_png_dhash",
+    "streaming_bloom_gate",
     "streaming_lang_gate",
     "text_lang_id_learned",
     # -- code touched this round (r13 ADVICE fixes), re-verify:
@@ -10275,7 +10325,6 @@ _DRIVER_WINDOW: list[str] = [
     "robust_stats",
     "scd2_customer_priority",
     "scd2_point_in_time",
-    "set_except_all",
 ]
 
 

@@ -543,3 +543,36 @@ def lang_gate_stream(docs: DataFrame, models: dict) -> DataFrame:
     from cascading_hive_spark.operators.text import lang_id_scores
 
     return lang_id_scores(docs, "doc_id", "text", models, widen=False)
+
+
+def bloom_gate_stream(
+    docs: DataFrame, filter_words: list, m_bits: int, k: int = 3
+) -> DataFrame:
+    """Bloom decontamination on a document STREAM: the filter rides
+    the plan as a literal (sketches.bloom_contains — the small-filter
+    leg; a benchmark gram set is bounded by the benchmark) and the
+    5-gram scan is pure column expressions, so the exact batch chain
+    runs unchanged under Structured Streaming — stateless, no
+    watermark, no state store; streamed rows equal the batch query's
+    (oracle-shared with docs_bloom_decontaminate). This is the
+    ingest-time contamination gate: an arriving document that shares
+    a benchmark 5-gram never reaches the training corpus."""
+    from cascading_hive_spark.operators.sketches import bloom_contains
+
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda p: F.array_join(F.slice(toks, p, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    flagged = F.filter(
+        grams, lambda g: bloom_contains(g, filter_words, m_bits, k)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(flagged).cast("bigint").alias("n_flagged"),
+        (F.size(flagged) > 0).alias("contaminated"),
+    )

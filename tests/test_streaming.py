@@ -554,3 +554,55 @@ def test_streaming_lang_gate_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and len(streamed) == 500
+
+
+def test_streaming_bloom_gate_equals_batch(spark, sf_dir):
+    """The streamed Bloom contamination rows equal the batch query's
+    exactly — the stateless-gate contract for the decontamination
+    filter (plan-literal filter, no state store)."""
+    import uuid
+
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_dense_words,
+    )
+    from cascading_hive_spark.queries import _REGISTRY
+    from cascading_hive_spark.streaming.jobs import (
+        bloom_gate_stream,
+        stream_documents,
+    )
+    from cascading_hive_spark.tables import load_table
+
+    M_BITS, K = 131_072, 3
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda p: F.array_join(F.slice(toks, p, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
+        F.explode(grams).alias("g")
+    )
+    words = bloom_dense_words(bloom_build(bench, "g", M_BITS, K), M_BITS)
+    name = f"t_bloom_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        bloom_gate_stream(stream_documents(spark, sf_dir), words, M_BITS, K)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.doc_id, r.n_grams, r.n_flagged, r.contaminated)
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_grams, r.n_flagged, r.contaminated)
+        for r in _REGISTRY["docs_bloom_decontaminate"][0](spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(streamed) == 500
