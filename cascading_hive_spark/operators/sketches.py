@@ -405,8 +405,56 @@ def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
     n_words = m_bits // _BLOOM_WORD_BITS + 1
     words = [0] * n_words
     for r in bloom.collect():
+        if not 0 <= r["word_idx"] < n_words:
+            raise ValueError(
+                f"bloom_dense_words: word_idx {r['word_idx']} out of range "
+                f"for m_bits={m_bits} ({n_words} words) — the filter was "
+                "built with a different m_bits than the one passed here"
+            )
         words[r["word_idx"]] = r["bits"]
     return words
+
+
+# Above this many 64-bit words the dense plan literal stops being the
+# fast path: Catalyst tree transforms COPY the literal on every rule
+# pass, and a 2^24-bit filter (266k longs) measured 163s of pure
+# planner churn (BASELINE.md, r14) where the broadcast-join leg plans
+# in milliseconds. Below it, the literal probe is map-only full
+# codegen and beats the join. ~10^4 words == ~80 KB of task binary.
+BLOOM_LITERAL_MAX_WORDS = 10_000
+
+
+def bloom_probe(
+    df: DataFrame,
+    item_col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int = 3,
+    seed: str = "bf14|",
+    portable: bool = True,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """ONE probe entry point that picks the physical leg on filter
+    size (r14 VERDICT #7): filters up to BLOOM_LITERAL_MAX_WORDS
+    64-bit words ride the plan as a dense literal (map-only, no join
+    — bloom_contains), larger ones probe through k broadcast hash
+    joins (bloom_probe_broadcast) so Catalyst never re-copies a
+    megabit literal. Both legs share _bloom_positions, so the flags
+    are identical; only the plan shape changes."""
+    n_words = m_bits // _BLOOM_WORD_BITS + 1
+    if n_words <= BLOOM_LITERAL_MAX_WORDS:
+        words = bloom_dense_words(bloom, m_bits)
+        return df.withColumn(
+            out_col,
+            bloom_contains(
+                F.col(item_col), words, m_bits, k=k, seed=seed,
+                portable=portable,
+            ),
+        )
+    return bloom_probe_broadcast(
+        df, item_col, bloom, m_bits, k=k, seed=seed, portable=portable,
+        out_col=out_col,
+    )
 
 
 def bloom_probe_broadcast(

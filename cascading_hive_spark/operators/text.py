@@ -717,14 +717,19 @@ def lang_id_scores(
                 "lang_id_scores: all language models must share one "
                 f"n_buckets, got {len(models[lang][0])} for {lang} vs {nb}"
             )
-    wflat = F.array(
-        *[
-            F.lit(int(round(w * 1_000_000))).cast("bigint")
+    # one array LITERAL, not CreateArray of L*nb scalars: sketches.py's
+    # _bloom_bit measured CreateArray re-evaluating per row at ~3x the
+    # cost of an F.lit(list) literal for exactly this shape (r14 ADVICE)
+    wflat = F.lit(
+        [
+            int(round(w * 1_000_000))
             for lang in langs
             for w in models[lang][0]
         ]
+    ).cast("array<bigint>")
+    biases = F.lit([float(models[lang][1]) for lang in langs]).cast(
+        "array<double>"
     )
-    biases = F.array(*[F.lit(float(models[lang][1])) for lang in langs])
     acc0 = F.array_repeat(F.lit(0).cast("bigint"), len(langs))
     # materialize the bucket array in its own projection: size() and
     # the fold below each reference the COLUMN, so the gram-hash

@@ -5107,7 +5107,9 @@ def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_island GROUP BY doc_id)
     SELECT d.doc_id, CAST(d.nc AS BIGINT) AS n_chars,
            coalesce(p.covered, 0) AS dup_chars,
-           CAST(floor(coalesce(p.covered, 0) * 1000.0 / d.nc) AS BIGINT)
+           CASE WHEN d.nc = 0 THEN 0
+                ELSE CAST(floor(coalesce(p.covered, 0) * 1000.0 / d.nc)
+                          AS BIGINT) END
                AS dup_permille
     FROM d LEFT JOIN per_doc p USING (doc_id)
     """,

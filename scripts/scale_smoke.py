@@ -1213,8 +1213,11 @@ def smoke_lang_id(n: int = 1_000_000) -> None:
     for size in (n // 10, n):
         docs = synthetic_documents(spark, n=size, n_vocab=5000).localCheckpoint()
         t0 = time.monotonic()
+        # portable=True: _LID_MODELS_V1 was fit with the md5 featurizer,
+        # and a weight table is tied to its featurizer (r14 ADVICE) —
+        # scoring through xxhash64 buckets would make n_langs noise.
         out = lang_id_scores(docs, "doc_id", "text", _LID_MODELS_V1,
-                             portable=False)
+                             portable=True)
         row = out.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("pred_lang").alias("n_langs"),

@@ -271,3 +271,56 @@ def test_bloom_probe_broadcast_equals_literal(spark):
     plan = bc._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bloom_probe_auto_dispatch_boundary(spark):
+    """bloom_probe (r14 VERDICT #7) picks the physical leg on filter
+    size: <= BLOOM_LITERAL_MAX_WORDS 64-bit words rides the plan as a
+    dense literal (no join), above it probes via broadcast joins —
+    and both legs flag identically."""
+    from cascading_hive_spark.operators.sketches import (
+        _BLOOM_WORD_BITS,
+        BLOOM_LITERAL_MAX_WORDS,
+        bloom_build,
+        bloom_probe,
+    )
+
+    items = spark.createDataFrame([(f"i{i}",) for i in range(200)], "g string")
+    probe = spark.createDataFrame(
+        [(i, f"i{i}" if i % 2 == 0 else f"x{i}") for i in range(100)],
+        "pid long, g string",
+    )
+    # just-inside boundary: n_words == max -> literal leg, joinless
+    m_small = _BLOOM_WORD_BITS * (BLOOM_LITERAL_MAX_WORDS - 1)
+    small = bloom_probe(probe, "g", bloom_build(items, "g", m_small, 3), m_small)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "literal leg must be map-only"
+    # just-outside: n_words == max + 1 -> broadcast leg
+    m_big = _BLOOM_WORD_BITS * BLOOM_LITERAL_MAX_WORDS
+    assert m_big // _BLOOM_WORD_BITS + 1 == BLOOM_LITERAL_MAX_WORDS + 1
+    big = bloom_probe(probe, "g", bloom_build(items, "g", m_big, 3), m_big)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_big
+    assert "SortMergeJoin" not in plan_big
+    # both legs obey the Bloom law on inserted items
+    small_hits = {r.pid: r.bloom_hit for r in small.collect()}
+    big_hits = {r.pid: r.bloom_hit for r in big.collect()}
+    assert all(small_hits[i] for i in range(0, 100, 2))
+    assert all(big_hits[i] for i in range(0, 100, 2))
+
+
+def test_bloom_dense_words_m_bits_mismatch_raises(spark):
+    """Passing a smaller m_bits than the filter was built with must
+    raise a contract error naming the mismatch, not IndexError
+    (r14 ADVICE)."""
+    import pytest
+
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_dense_words,
+    )
+
+    items = spark.createDataFrame([(f"i{i}",) for i in range(500)], "g string")
+    bloom = bloom_build(items, "g", 131_072, 3)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_dense_words(bloom, 8192)
