@@ -401,6 +401,7 @@ def quality_classifier_fit(
     seed: str = "qc13|",
     max_train_rows: int = 100_000,
     portable: bool = True,
+    method: str = "distributed",
 ) -> tuple[list[float], float]:
     """Fit the linear classifier ``quality_classifier_score`` serves:
     L2-regularized logistic regression over hashed char-n-gram
@@ -410,23 +411,37 @@ def quality_classifier_fit(
     whatever weak/gold signal the pipeline has (Gopher-rule pass,
     human/LLM ratings) — the operator is label-agnostic.
 
-    Scale shape — the fastText/MLlib split: a quality classifier's
-    TRAINING set is label-bounded by definition (10^4–10^6 human- or
-    LLM-labeled docs), while SCORING is the 100 TB pass. So
-    featurization (map-only, the same portable buckets scoring uses)
-    runs distributed and reduces each doc to an (n_buckets+2)-value
-    row; the bounded design matrix is then collected and solved
-    exactly on the driver (the (n_buckets+1)^2 Hessian is tiny).
-    ``max_train_rows`` is the house-style guard: it RAISES (with the
-    hash-sample prescription) rather than silently melting the driver
-    — driver memory is ~rows * (n_buckets+1) * 8 bytes.
+    The DEFAULT path (``method="distributed"``, r14 VERDICT #5) has
+    NO row ceiling: every Newton round map-side-reduces the
+    sufficient statistics (per-partition Gram/gradient partials,
+    (n_buckets+1)^2 doubles each), so driver memory is independent
+    of training-set size — train on a billion weak labels. See
+    quality_classifier_fit_distributed for the full scale notes.
 
-    Determinism: featurization is exact integer counts; IRLS is a
-    fixed iteration count over a fixed-order matrix; returned weights
-    round to 6 dp (the score operator's decimal domain) so fitted
-    tables can be FROZEN as constants and re-derived on this
-    platform (pinned by test_text_classifier.py).
+    ``method="collect"`` is the bounded PROVENANCE leg: one corpus
+    pass, the design matrix collected and solved on the driver in a
+    fixed row order — the exact bit-sequence _QC_WEIGHTS_V1 was
+    frozen from (pinned by test_text_classifier.py). Its
+    ``max_train_rows`` guard RAISES (with the hash-sample
+    prescription) rather than silently melting the driver — driver
+    memory there is ~rows * (n_buckets+1) * 8 bytes. The param is
+    ignored on the distributed path.
+
+    Determinism (both paths): featurization is exact integer counts;
+    IRLS is a fixed iteration count; returned weights round to 6 dp
+    (the score operator's decimal domain) so fitted tables can be
+    FROZEN as constants and re-derived on this platform.
     """
+    if method == "distributed":
+        return quality_classifier_fit_distributed(
+            df, id_col, text_col, label_col, n_buckets=n_buckets, n=n,
+            iters=iters, ridge=ridge, seed=seed, portable=portable,
+        )
+    if method != "collect":
+        raise ValueError(
+            f"quality_classifier_fit: unknown method {method!r} "
+            "(expected 'distributed' or 'collect')"
+        )
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -611,6 +626,7 @@ def lang_classifier_fit(
     seed: str = "lid14|",
     max_train_rows: int = 100_000,
     portable: bool = True,
+    method: str = "distributed",
 ) -> dict[str, tuple[list[float], float]]:
     """Fit a LEARNED language identifier — one-vs-rest L2 logistic
     regression over hashed char-n-gram frequencies, the fastText-
@@ -620,16 +636,31 @@ def lang_classifier_fit(
     pipeline has). Returns {lang: (weights, bias)} for every distinct
     label, ready for ``lang_id_scores``.
 
-    Scale shape: featurization (the same portable buckets scoring
-    uses) runs distributed ONCE and is collected ONCE — the per-class
-    loop reuses the same bounded design matrix, so fitting L
-    languages costs one corpus pass + L driver-side (n_buckets+1)^2
-    Newton solves. Same ``max_train_rows`` raise-don't-melt guard as
-    quality_classifier_fit (labeled lang sets are label-bounded by
-    definition). Deterministic: fixed-order features, fixed IRLS
+    The DEFAULT path (``method="distributed"``, r14 VERDICT #5) has
+    NO row ceiling: each Newton round is one distributed pass that
+    reduces ALL languages' Gram/gradient partials together (see
+    lang_classifier_fit_distributed). ``method="collect"`` is the
+    bounded provenance leg _LID_MODELS_V1 was frozen from:
+    featurization runs distributed ONCE and is collected ONCE — the
+    per-class loop reuses the same bounded design matrix, so fitting
+    L languages costs one corpus pass + L driver-side
+    (n_buckets+1)^2 Newton solves, guarded by the same
+    ``max_train_rows`` raise-don't-melt contract as
+    quality_classifier_fit (ignored on the distributed path).
+    Deterministic (both paths): fixed-order features, fixed IRLS
     iteration count, weights rounded to the 6-dp scoring domain —
     frozen tables re-derive bit-for-bit (pinned by
     tests/test_text_classifier.py)."""
+    if method == "distributed":
+        return lang_classifier_fit_distributed(
+            df, id_col, text_col, label_col, n_buckets=n_buckets, n=n,
+            iters=iters, ridge=ridge, seed=seed, portable=portable,
+        )
+    if method != "collect":
+        raise ValueError(
+            f"lang_classifier_fit: unknown method {method!r} "
+            "(expected 'distributed' or 'collect')"
+        )
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -673,6 +704,126 @@ def lang_classifier_fit(
             round(float(w[n_buckets]), 6),
         )
     return models
+
+
+def lang_classifier_fit_distributed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 128,
+    n: int = 3,
+    iters: int = 8,
+    ridge: float = 1e-3,
+    seed: str = "lid14|",
+    portable: bool = True,
+) -> dict[str, tuple[list[float], float]]:
+    """``lang_classifier_fit`` WITHOUT the driver-collect ceiling
+    (r14 VERDICT #5): one-vs-rest L2-logistic IRLS where each Newton
+    round is ONE distributed pass reducing ALL L languages' sufficient
+    statistics together — per Arrow batch the feature matrix X is
+    built once, margins for every language come from a single
+    (batch, d) @ (d, L) GEMM, and the partition emits L gradients
+    (L*d doubles) plus L Gram matrices (L*d*d doubles). Driver sees
+    n_partitions * L * (d^2 + d) doubles per round, independent of
+    row count — fitting L languages on a billion labeled docs costs
+    ``iters`` passes over the cached featurized table, not L*iters.
+
+    Determinism: same contract as quality_classifier_fit_distributed —
+    partials are summed in content-sorted order, so a FIXED
+    partitioning re-derives bit-identical weights whatever the task
+    completion order; vs the collect path, weights differ only by
+    float-summation order (ulps; Newton is contracting)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _bincount(bs: pd.Series) -> pd.Series:
+        return bs.map(
+            lambda a: np.bincount(a, minlength=n_buckets).tolist()
+        )
+
+    buckets = char_ngram_buckets(F.col(text_col), n, n_buckets, seed, portable)
+    feats = df.select(
+        F.col(label_col).cast("string").alias("_lab"),
+        F.size(buckets).alias("_n"),
+        _bincount(buckets).alias("_c"),
+    ).persist()
+    try:
+        langs = sorted(
+            r["_lab"]
+            for r in feats.select("_lab").distinct().collect()
+            if r["_lab"] is not None
+        )
+        if not langs:
+            raise ValueError(
+                "lang_classifier_fit_distributed needs a non-empty "
+                "input with at least one non-null label"
+            )
+        d = n_buckets + 1
+        L = len(langs)
+        W = np.zeros((L, d))
+        eye = np.eye(d)
+        for _ in range(iters):
+            w_now = W.copy()
+
+            def _partials(it):
+                import numpy as np
+                import pandas as pd
+
+                g = np.zeros((L, d))
+                h = np.zeros((L, d, d))
+                seen = False
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    seen = True
+                    X = np.empty((len(pdf), d))
+                    X[:, :n_buckets] = np.stack(
+                        pdf["_c"].to_numpy()
+                    ) / pdf["_n"].to_numpy(dtype="float64")[:, None]
+                    X[:, n_buckets] = 1.0
+                    labs = pdf["_lab"].to_numpy()
+                    m = np.clip(X @ w_now.T, -30.0, 30.0)  # (b, L)
+                    p = 1.0 / (1.0 + np.exp(-m))
+                    s = np.maximum(p * (1.0 - p), 1e-6)
+                    for j, lang in enumerate(langs):
+                        y = (labs == lang).astype("float64")
+                        g[j] += X.T @ (p[:, j] - y)
+                        h[j] += (X.T * s[:, j]) @ X
+                if seen:
+                    yield pd.DataFrame(
+                        {
+                            "g": [g.flatten().tolist()],
+                            "h": [h.flatten().tolist()],
+                        }
+                    )
+
+            parts = feats.mapInPandas(
+                _partials, "g array<double>, h array<double>"
+            ).collect()
+            # content-sorted reduction: deterministic for a fixed
+            # partitioning regardless of task completion order
+            parts = sorted(parts, key=lambda r: (r.g, r.h))
+            g = np.zeros((L, d))
+            h = np.zeros((L, d, d))
+            for r in parts:
+                g += np.asarray(r.g).reshape(L, d)
+                h += np.asarray(r.h).reshape(L, d, d)
+            for j in range(L):
+                gj = g[j] + ridge * W[j]
+                hj = h[j] + ridge * eye
+                W[j] = W[j] - np.linalg.solve(hj, gj)
+        return {
+            lang: (
+                [round(float(v), 6) for v in W[j][:n_buckets]],
+                round(float(W[j][n_buckets]), 6),
+            )
+            for j, lang in enumerate(langs)
+        }
+    finally:
+        feats.unpersist()
 
 
 def lang_id_scores(

@@ -4131,7 +4131,9 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline runs after the Gopher heuristics above. Weights FROZEN
 # from quality_classifier_fit(documents@sf0.001, weak label =
 # function-word rate > 0.06, n_buckets=128, n=3, iters=8, ridge=1e-3,
-# seed 'qc13|'); tests/test_text_classifier.py refits with those
+# seed 'qc13|', method='collect' — the fixed-row-order provenance
+# leg; the public default is the ceiling-free distributed Gram fit,
+# r14 VERDICT #5); tests/test_text_classifier.py refits with those
 # exact params and asserts bit-equality (provenance), and scoring is
 # MAP-ONLY (weights are a plan literal — no join, no shuffle;
 # plan-gated there too). The margin is bit-exact cross-engine: 6-dp
@@ -4277,7 +4279,9 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from lang_classifier_fit on the deterministic synthetic
 # multilingual corpus text.synth_lang_corpus() (train = the i%5 != 0
 # four-fifths; n_buckets=64, n=3, iters=8, ridge=1e-3, seed 'lid14|',
-# portable=True); tests/test_text_classifier.py refits with those
+# portable=True, method='collect' — the provenance leg; the public
+# default is the ceiling-free distributed one-pass-per-round
+# one-vs-rest Gram fit); tests/test_text_classifier.py refits with those
 # exact params, asserts bit-equality (provenance) AND 100% held-out
 # accuracy on the held-out fifth (the machinery does learn language
 # where signal exists). Scoring is MAP-ONLY: all five models ride ONE

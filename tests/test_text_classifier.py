@@ -42,7 +42,7 @@ def test_frozen_weights_reproduce_from_fit(spark, docs):
     labeled = docs.withColumn("y", _weak_label(F.col("text")))
     w, b = quality_classifier_fit(
         labeled, "doc_id", "text", "y", n_buckets=128, n=3, iters=8,
-        ridge=1e-3, seed="qc13|",
+        ridge=1e-3, seed="qc13|", method="collect",
     )
     assert b == _QC_BIAS_V1
     assert w == _QC_WEIGHTS_V1
@@ -181,7 +181,8 @@ def test_fit_bounds_training_collect(spark, docs):
     labeled = docs.withColumn("y", _weak_label(F.col("text")))
     with pytest.raises(ValueError, match="max_train_rows"):
         quality_classifier_fit(
-            labeled, "doc_id", "text", "y", max_train_rows=10
+            labeled, "doc_id", "text", "y", max_train_rows=10,
+            method="collect",
         )
     with pytest.raises(ValueError, match="non-empty"):
         quality_classifier_fit(
@@ -216,7 +217,7 @@ def test_frozen_lid_models_reproduce_from_fit(spark):
     train, _ = _lang_corpus_split(spark)
     models = lang_classifier_fit(
         train, "doc_id", "text", "lang", n_buckets=64, n=3, iters=8,
-        ridge=1e-3, seed="lid14|", portable=True,
+        ridge=1e-3, seed="lid14|", portable=True, method="collect",
     )
     assert set(models) == set(_LID_MODELS_V1)
     for lang, (w, b) in _LID_MODELS_V1.items():
@@ -309,7 +310,9 @@ def test_fit_distributed_matches_collect_path(spark, docs):
     )
 
     labeled = docs.withColumn("y", _weak_label(F.col("text")))
-    w1, b1 = quality_classifier_fit(labeled, "doc_id", "text", "y")
+    w1, b1 = quality_classifier_fit(
+        labeled, "doc_id", "text", "y", method="collect"
+    )
     w2, b2 = quality_classifier_fit_distributed(labeled, "doc_id", "text", "y")
     assert abs(b1 - b2) < 1e-4, (b1, b2)
     assert max(abs(a - b) for a, b in zip(w1, w2)) < 1e-4
@@ -337,7 +340,8 @@ def test_fit_distributed_deterministic_and_scales_past_guard(spark, docs):
 
     with pytest.raises(ValueError, match="max_train_rows"):
         quality_classifier_fit(
-            labeled, "doc_id", "text", "y", max_train_rows=10
+            labeled, "doc_id", "text", "y", max_train_rows=10,
+            method="collect",
         )
     w, b = quality_classifier_fit_distributed(labeled, "doc_id", "text", "y")
     assert len(w) == 128 and isinstance(b, float)
@@ -355,3 +359,57 @@ def test_fit_distributed_empty_raises(spark, docs):
         quality_classifier_fit_distributed(
             labeled.filter(F.lit(False)), "doc_id", "text", "y"
         )
+
+
+def test_public_fit_default_has_no_row_ceiling(spark, docs):
+    """r14 VERDICT #5: the PUBLIC fit entry points default to the
+    distributed Gram path — an absurdly small max_train_rows must not
+    raise (the param only binds the collect provenance leg)."""
+    from cascading_hive_spark.operators.text import quality_classifier_fit
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    w, b = quality_classifier_fit(
+        labeled, "doc_id", "text", "y", max_train_rows=1
+    )
+    assert len(w) == 128 and isinstance(b, float)
+
+
+def test_lang_fit_distributed_matches_collect_path(spark):
+    """lang_classifier_fit_distributed (ALL languages' partials in one
+    pass per Newton round) agrees with the collect path to
+    float-summation noise, and re-derives bit-identically on a fixed
+    partitioning."""
+    from cascading_hive_spark.operators.text import (
+        lang_classifier_fit,
+        lang_classifier_fit_distributed,
+    )
+
+    train, _ = _lang_corpus_split(spark)
+    collect = lang_classifier_fit(
+        train, "doc_id", "text", "lang", n_buckets=64, method="collect"
+    )
+    dist = lang_classifier_fit_distributed(
+        train, "doc_id", "text", "lang", n_buckets=64
+    )
+    assert set(dist) == set(collect)
+    for lang, (w, b) in collect.items():
+        assert abs(dist[lang][1] - b) < 1e-4, lang
+        assert max(abs(a - c) for a, c in zip(dist[lang][0], w)) < 1e-4, lang
+    again = lang_classifier_fit_distributed(
+        train, "doc_id", "text", "lang", n_buckets=64
+    )
+    assert again == dist
+
+
+def test_fit_method_validation():
+    import pytest
+
+    from cascading_hive_spark.operators.text import (
+        lang_classifier_fit,
+        quality_classifier_fit,
+    )
+
+    with pytest.raises(ValueError, match="unknown method"):
+        quality_classifier_fit(None, "id", "text", "y", method="magic")
+    with pytest.raises(ValueError, match="unknown method"):
+        lang_classifier_fit(None, "id", "text", "lang", method="magic")
