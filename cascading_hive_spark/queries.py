@@ -9386,11 +9386,16 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The END-TO-END curation funnel: Gopher structural rules -> learned
-# classifier gate -> per-domain cap, reported as survivor counts per
-# stage (the acceptance report every curation run ships with). Each
-# stage is an operator already hash-verified on its own; this query
-# certifies their COMPOSITION — the oracle replays all three stages
-# and the funnel arithmetic in one SQL statement.
+# lang-id keep-top-language gate -> learned classifier gate ->
+# per-domain cap, reported as survivor counts per stage (the
+# acceptance report every curation run ships with). Each stage is an
+# operator already hash-verified on its own; this query certifies
+# their COMPOSITION — the oracle replays all FOUR stages and the
+# funnel arithmetic in one SQL statement (r14 VERDICT #4). The lang
+# gate is corpus-relative: the kept language is the MODAL prediction
+# among Gopher survivors (ties to the lexicographically smallest),
+# computed as a 5-row aggregate broadcast back over the corpus — no
+# driver round-trip, no second scan of the text.
 @register(
     "pipeline_curation_funnel",
     rf"""
@@ -9430,12 +9435,57 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(1000000.0 AS DOUBLE)
                / CAST(len(bk) AS DOUBLE) + CAST(2.512477 AS DOUBLE) AS margin
       FROM b),
+    lb AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1),
+               i -> CAST(concat('0x', substr(md5(concat('lid14|',
+                      substr(coalesce(text, ''), CAST(i AS INT), 3))),
+                      1, 8)) AS BIGINT) % {_LID_NB}) AS bk
+      FROM documents),
+    lm AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(bk,
+                    x -> ({_LID_W_SQL['de']})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE) / CAST(len(bk) AS DOUBLE)
+               + CAST({_LID_MODELS_V1['de'][1]} AS DOUBLE) AS m_de,
+             CAST(list_sum(list_transform(bk,
+                    x -> ({_LID_W_SQL['en']})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE) / CAST(len(bk) AS DOUBLE)
+               + CAST({_LID_MODELS_V1['en'][1]} AS DOUBLE) AS m_en,
+             CAST(list_sum(list_transform(bk,
+                    x -> ({_LID_W_SQL['es']})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE) / CAST(len(bk) AS DOUBLE)
+               + CAST({_LID_MODELS_V1['es'][1]} AS DOUBLE) AS m_es,
+             CAST(list_sum(list_transform(bk,
+                    x -> ({_LID_W_SQL['fr']})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE) / CAST(len(bk) AS DOUBLE)
+               + CAST({_LID_MODELS_V1['fr'][1]} AS DOUBLE) AS m_fr,
+             CAST(list_sum(list_transform(bk,
+                    x -> ({_LID_W_SQL['zh']})[CAST(x AS INT) + 1])) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE) / CAST(len(bk) AS DOUBLE)
+               + CAST({_LID_MODELS_V1['zh'][1]} AS DOUBLE) AS m_zh
+      FROM lb),
+    lang AS (
+      SELECT doc_id,
+             CASE greatest(m_de, m_en, m_es, m_fr, m_zh)
+             WHEN m_de THEN 'de' WHEN m_en THEN 'en' WHEN m_es THEN 'es'
+             WHEN m_fr THEN 'fr' WHEN m_zh THEN 'zh' END AS pred_lang
+      FROM lm),
+    lc AS (
+      SELECT pred_lang, count(*) AS c
+      FROM lang JOIN gs USING (doc_id) WHERE gs.g GROUP BY pred_lang),
+    top AS (SELECT pred_lang AS top_lang FROM lc
+            ORDER BY c DESC, pred_lang LIMIT 1),
     flags AS (
-      SELECT d.doc_id, d.source, gs.g, (m.margin > 0) AS c
+      SELECT d.doc_id, d.source, gs.g,
+             (lang.pred_lang = (SELECT top_lang FROM top)) AS l,
+             (m.margin > 0) AS c
       FROM documents d
       JOIN gs ON gs.doc_id = d.doc_id
+      JOIN lang ON lang.doc_id = d.doc_id
       JOIN m ON m.doc_id = d.doc_id),
-    s2 AS (SELECT doc_id, source FROM flags WHERE g AND c),
+    s2 AS (SELECT doc_id, source FROM flags WHERE g AND l AND c),
     capped AS (
       SELECT doc_id FROM (
         SELECT doc_id,
@@ -9446,7 +9496,9 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn <= 4)
     SELECT CAST(count(*) AS BIGINT) AS n_all,
            CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
-           CAST(sum(CASE WHEN g AND c THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN g AND l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang,
+           CAST(sum(CASE WHEN g AND l AND c THEN 1 ELSE 0 END) AS BIGINT)
              AS n_classifier,
            (SELECT CAST(count(*) AS BIGINT) FROM capped) AS n_domain_cap
     FROM flags
@@ -9455,7 +9507,10 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.corpus import gopher_quality_rules
     from cascading_hive_spark.operators.sampling import cap_per_key
-    from cascading_hive_spark.operators.text import quality_classifier_score
+    from cascading_hive_spark.operators.text import (
+        lang_id_scores,
+        quality_classifier_score,
+    )
 
     d = _t(spark, sf_dir, "documents")
     # the stopword rule is English-prose-specific and the synthetic
@@ -9472,11 +9527,36 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("ellipsis_ok")
         ).alias("g"),
     )
+    lid = lang_id_scores(
+        d, "doc_id", "text", _LID_MODELS_V1, n=3, seed="lid14|", widen=False
+    ).select("doc_id", "pred_lang")
     c = quality_classifier_score(
         d, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
     ).select("doc_id", F.col("quality_pass").alias("c"))
-    flags = d.select("doc_id", "source").join(g, "doc_id").join(c, "doc_id")
-    s2 = flags.filter(F.col("g") & F.col("c")).select(
+    flags = (
+        d.select("doc_id", "source")
+        .join(g, "doc_id")
+        .join(lid, "doc_id")
+        .join(c, "doc_id")
+    )
+    # stage 2, keep-top-language: modal prediction among Gopher
+    # survivors (a <=5-row aggregate), broadcast back — min_by over
+    # (-count, lang) is max-count with lexicographic tiebreak
+    top = (
+        flags.filter(F.col("g"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(
+            F.min_by(
+                "pred_lang",
+                F.struct((-F.col("_cnt")).alias("nc"), F.col("pred_lang")),
+            ).alias("_top")
+        )
+    )
+    flags = flags.join(F.broadcast(top)).withColumn(
+        "l", F.col("pred_lang") == F.col("_top")
+    )
+    s2 = flags.filter(F.col("g") & F.col("l") & F.col("c")).select(
         "doc_id",
         F.concat(
             F.col("source"),
@@ -9490,7 +9570,10 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.join(capped, "doc_id", "left").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
         F.sum(F.col("g").cast("long")).cast("bigint").alias("n_gopher"),
-        F.sum((F.col("g") & F.col("c")).cast("long"))
+        F.sum((F.col("g") & F.col("l")).cast("long"))
+        .cast("bigint")
+        .alias("n_lang"),
+        F.sum((F.col("g") & F.col("l") & F.col("c")).cast("long"))
         .cast("bigint")
         .alias("n_classifier"),
         F.sum(F.coalesce(F.col("_k"), F.lit(0)))

@@ -635,8 +635,18 @@ def test_curation_funnel_monotone(spark, sf_dir):
 
     fn, _ = _REGISTRY["pipeline_curation_funnel"]
     row = fn(spark, sf_dir).first()
-    assert row.n_all >= row.n_gopher >= row.n_classifier >= row.n_domain_cap
+    assert (
+        row.n_all
+        >= row.n_gopher
+        >= row.n_lang
+        >= row.n_classifier
+        >= row.n_domain_cap
+    )
     assert row.n_gopher > 0, "stage 1 must not be degenerate"
+    assert row.n_lang > 0, "keep-top-language keeps the modal language"
+    # the lang gate is a real filter on this corpus (5 rotating
+    # pred labels), not a pass-through
+    assert row.n_lang < row.n_gopher
     # 20 sources x (doc_id % 3) = at most 60 domains, cap 4 each
     assert row.n_domain_cap <= 60 * 4
 
