@@ -5192,6 +5192,13 @@ def q_dedup_charspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = every 17th doc. The oracle rebuilds the filter and probes it the
 # INDEPENDENT way — joins through the (word_idx, bits) table instead
 # of a dense literal array — and must land on identical flags.
+def _bloom_decon_sql(m_bits: int) -> str:
+    """The decontamination oracle at another filter size: 131072 only
+    ever appears as the m_bits modulus below, so a literal swap is the
+    whole parameterization."""
+    return _BLOOM_DECON_SQL.replace("131072", str(m_bits))
+
+
 _BLOOM_DECON_SQL = """
     WITH bt AS (
       SELECT string_split(text, ' ') AS arr, len(string_split(text, ' ')) AS n
@@ -5316,6 +5323,58 @@ def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# The SAME decontamination through the LARGE-filter physical leg
+# (sketches.bloom_probe, r14 VERDICT #7): at 2^21 bits the filter is
+# 33,289 words — past BLOOM_LITERAL_MAX_WORDS, so the dispatcher must
+# pick the broadcast-join probe (the plan-literal leg measured 163s
+# of Catalyst churn at megabit sizes, BASELINE.md r14). Grams explode
+# to rows, each probed by k broadcast hash joins (map-side, no corpus
+# shuffle), then re-aggregate per doc. The oracle replays the exact
+# same filter at the new size through its (word_idx, bits) join — so
+# this row hash-certifies BOTH the big-filter leg's flags AND the
+# dispatch boundary being honored end-to-end.
+@register("docs_bloom_decontaminate_bcast", _bloom_decon_sql(2_097_152))
+def q_docs_bloom_decontaminate_bcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    M_BITS, K = 2_097_152, 3
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda p: F.array_join(F.slice(toks, p, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
+        F.explode(grams).alias("g")
+    )
+    bloom = bloom_build(bench, "g", M_BITS, K)
+    exploded = d.select("doc_id", F.explode_outer(grams).alias("g"))
+    probed = bloom_probe(exploded, "g", bloom, M_BITS, K)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("g").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("bloom_hit").cast("long"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_flagged",
+            (F.col("n_flagged") > 0).alias("contaminated"),
+        )
+    )
 
 
 # Audio leg of the multimodal surface: JVM-built WAV containers
@@ -10272,71 +10331,75 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-# r14 ROTATION NOTE (supersedes the r13 note; r13 ran 42/50 hash-green
-# + the eight declared rows-only members). Window recomputed
-# STALEST-FIRST over the frozen basis CORRECTNESS_r01..r13 (the policy
-# test recomputes this from the artifacts):
+# r15 ROTATION NOTE (supersedes the r14 note; r14 ran 50/50
+# hash-green). Window recomputed STALEST-FIRST over the frozen basis
+# CORRECTNESS_r01..r14 (the policy test recomputes this from the
+# artifacts):
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked — the ten registered this round:
-#     dedup_charspan_coverage / dedup_charspan_scrub (character-level
-#     exact-substring dedup, the Lee-et-al granularity),
-#     text_lang_id_learned (one-vs-rest hashed char-n-gram lang-id,
-#     frozen provenance-pinned weights), multimodal_png_dhash (REAL
-#     PNG decode -> luma -> dHash, oracle regenerates pixels
-#     arithmetically), embedding_pca_power_project (power-iteration
-#     PCA whose oracle replays the whole program as unrolled CTEs —
-#     also the upgraded twin of the rows-only embedding_pca_project),
-#     multimodal_jpeg_dhash (REAL baseline-JPEG decode — Huffman +
-#     DC prediction + dequant + IDCT — whose flat-block fixture keeps
-#     the oracle on exact integers), multimodal_gif_dhash (full
-#     variable-width LZW decode under an identity-gray palette —
-#     same arithmetic-oracle discipline), streaming_lang_gate (the same
-#     lang-id as a stateless ingest-time stream router, oracle shared
-#     with the batch twin), docs_bloom_decontaminate (mergeable Bloom
-#     membership sketch built over benchmark 5-grams, probed map-only
-#     as a plan literal; the oracle rebuilds and probes through joins)
-#     with streaming_bloom_gate as its stateless ingest-time stream
-#     twin (oracle shared);
-# (3) forced re-verification of code touched this round (r13 ADVICE):
-#     embedding_knn_density_blocked (rounded-tie cut extension),
-#     multimodal_audio_pcm_stats (frombuffer PCM decode rewrite),
-#     text_line_dedup (literal separator escaping);
-# (4) rows-only pair coverage flips to the TWIN side this rotation —
-#     all eight rows-only members have fresh r13 rows, so their
-#     oracle-able twins take the slots: dedup_minhash_portable,
-#     dedup_simhash_portable, ann_ivf_portable, ann_pq_portable,
-#     ann_ivfpq_portable, bpe_segment, graph_kcore_portable (the
-#     eighth pair rides embedding_pca_power_project above);
-# (5) the remaining 29 slots fill stalest-first: the r7 cohort from
-#     cube_quantity through scd2_point_in_time (alphabetical within
-#     the equal-staleness round); set_except_all onward is the r15
-#     fill head.
+# (2) never driver-checked — registered this round:
+#     docs_bloom_decontaminate_bcast (the decontamination through the
+#     LARGE-filter broadcast-join probe leg at 2^21 bits, past the
+#     literal/broadcast dispatch boundary — hash-certifies the big
+#     filter's flags AND the dispatcher end-to-end);
+# (3) forced re-verification of code touched this round (r14 ADVICE +
+#     VERDICT items): dedup_charspan_coverage (oracle zero-length
+#     guard), text_lang_id_learned + streaming_lang_gate (weight
+#     tables rebuilt as array literals instead of CreateArray),
+#     pipeline_curation_funnel (new keep-top-language lang-id stage,
+#     four-stage oracle), docs_bloom_decontaminate +
+#     streaming_bloom_gate (probe path now behind the size-dispatched
+#     entry point);
+# (4) rows-only pair coverage flips BACK to the rows-only side this
+#     rotation (the twins all carry fresh r14 hash rows):
+#     dedup_minhash_lsh, dedup_simhash, ann_ivf_topk, ann_pq_topk,
+#     ann_ivfpq_topk, bpe_merges, graph_kcore_customers,
+#     embedding_pca_project take the slots as declared rows-only
+#     members;
+# (5) the remaining 34 slots fill stalest-first: the whole r7 cohort
+#     (set_except_all .. window_moving_median) and r9 cohort
+#     (all_types_surface .. window_rank_orders) — clearing the two
+#     oldest cohorts entirely, per r14 VERDICT #8 — plus
+#     ann_cosine_topk as the first of the r10 cohort.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
-# (wordcount + the round's code-touched queries + any rows-only
-# staleness), and let the policy test recompute the fill.
-_ROTATION_BASIS_ROUND = 13
+# (wordcount + the round's code-touched queries + whichever half of
+# each rows-only pair is staler), and let the policy test recompute
+# the fill.
+_ROTATION_BASIS_ROUND = 14
 
 # Queries forced into the window regardless of staleness rank: the
 # entry smoke, this round's code-touched re-verifications, and the
-# rows-only twins carrying pair coverage this rotation.
+# rows-only members carrying pair coverage this rotation.
 _WINDOW_FORCED: list[str] = [
     "wordcount",
-    "embedding_knn_density_blocked",
-    "multimodal_audio_pcm_stats",
-    "text_line_dedup",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "ann_ivf_portable",
-    "ann_pq_portable",
-    "ann_ivfpq_portable",
-    "bpe_segment",
-    "graph_kcore_portable",
+    "dedup_charspan_coverage",
+    "text_lang_id_learned",
+    "streaming_lang_gate",
+    "pipeline_curation_funnel",
+    "docs_bloom_decontaminate",
+    "streaming_bloom_gate",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "bpe_merges",
+    "graph_kcore_customers",
+    "embedding_pca_project",
 ]
 
-_ROWS_ONLY_WINDOW: set[str] = set()
-# no rows-only member is windowed this rotation: every pair's
-# certificate rides its oracle-able twin (note point 4), as
-# _ROWS_ONLY_TWINS' hygiene test verifies
+# the eight rows-only members are windowed this rotation (note point
+# 4) — the driver records their weaker rows-only check while each
+# pair's hash certificate stands on the twin's fresh r14 row
+_ROWS_ONLY_WINDOW: set[str] = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "bpe_merges",
+    "graph_kcore_customers",
+    "embedding_pca_project",
+}
 
 # Every rows-only-by-design query paired with its hash-matched
 # oracle-able twin (VERDICT r11 #6). The twin certifies the same
@@ -10362,58 +10425,61 @@ _ROWS_ONLY_TWINS: dict[str, str] = {
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- never driver-checked (registered this round):
+    "docs_bloom_decontaminate_bcast",
+    # -- code touched this round (r14 ADVICE/VERDICT), re-verify:
     "dedup_charspan_coverage",
-    "dedup_charspan_scrub",
-    "docs_bloom_decontaminate",
-    "embedding_pca_power_project",
-    "multimodal_gif_dhash",
-    "multimodal_jpeg_dhash",
-    "multimodal_png_dhash",
-    "streaming_bloom_gate",
-    "streaming_lang_gate",
     "text_lang_id_learned",
-    # -- code touched this round (r13 ADVICE fixes), re-verify:
-    "embedding_knn_density_blocked",
-    "multimodal_audio_pcm_stats",
-    "text_line_dedup",
-    # -- rows-only pair coverage via the oracle-able twins:
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "ann_ivf_portable",
-    "ann_pq_portable",
-    "ann_ivfpq_portable",
-    "bpe_segment",
-    "graph_kcore_portable",
-    # -- stalest-first fill (the r7 cohort, alphabetical):
-    "cube_quantity",
-    "date_functions",
-    "dedup_minhash_incremental",
-    "dedup_span_coverage",
-    "deterministic_shuffle",
-    "embedding_quantize_int8",
-    "equiheight_histogram",
-    "events_interpolate",
-    "events_multi_rollup",
-    "fuzzy_match_customers",
-    "hll_mergeable_sketches",
-    "interleave_sources",
-    "join_runtime_prefilter",
-    "key_skew_profile",
-    "like_patterns",
-    "map_type_ops",
-    "morton_code",
-    "multimodal_audio_meta",
-    "pandas_grouped_agg",
-    "pivot_linestatus",
-    "q11_important_stock",
-    "q20_excess_suppliers",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "recursive_cte_depth",
-    "robust_stats",
-    "scd2_customer_priority",
-    "scd2_point_in_time",
+    "streaming_lang_gate",
+    "pipeline_curation_funnel",
+    "docs_bloom_decontaminate",
+    "streaming_bloom_gate",
+    # -- rows-only pair coverage via the rows-only members (twins
+    #    all carry fresh r14 hash rows):
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "bpe_merges",
+    "graph_kcore_customers",
+    "embedding_pca_project",
+    # -- stalest-first fill (the whole r7 cohort, alphabetical):
+    "set_except_all",
+    "set_intersect_all",
+    "stats_bivariate",
+    "string_functions",
+    "table_profile",
+    "text_bigram_lm",
+    "text_gopher_rules",
+    "text_tfidf_topk",
+    "variant_props",
+    "window_moving_median",
+    # -- stalest-first fill (the whole r9 cohort, alphabetical):
+    "all_types_surface",
+    "decontaminate_docs_shuffle",
+    "dedup_keep_best_source",
+    "events_anomaly_mad",
+    "events_session_windows_batch",
+    "events_sessionize",
+    "events_sliding_window_counts",
+    "events_twap",
+    "filter_by_group_percentile",
+    "join_inner",
+    "join_null_safe",
+    "order_extremes_per_customer",
+    "pack_sequences",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q21_sole_returned_supplier",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "streaming_sliding_counts",
+    "table_diff_orders",
+    "window_rank_orders",
+    # -- fill head of the r10 cohort:
+    "ann_cosine_topk",
 ]
 
 

@@ -324,3 +324,16 @@ def test_bloom_dense_words_m_bits_mismatch_raises(spark):
     bloom = bloom_build(items, "g", 131_072, 3)
     with pytest.raises(ValueError, match="m_bits"):
         bloom_dense_words(bloom, 8192)
+
+
+def test_bcast_decon_query_takes_broadcast_leg(spark, sf_dir):
+    """docs_bloom_decontaminate_bcast's 2^21-bit filter is past
+    BLOOM_LITERAL_MAX_WORDS: the plan must show broadcast hash joins
+    (k probes), never a shuffled join of the corpus side — and never
+    a megabit plan literal (the 163s Catalyst-churn failure mode)."""
+    from cascading_hive_spark.queries import _REGISTRY
+
+    df = _REGISTRY["docs_bloom_decontaminate_bcast"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
