@@ -102,18 +102,32 @@ def normalize_events_ts(df: DataFrame, int64_divisor: int = 1_000) -> DataFrame:
     return df
 
 
+def _footer_probe_path(path: str) -> str:
+    """A concrete parquet FILE to footer-probe: the driver testdata
+    ships single files, but Spark-written tables (scripts/make_sf1.py
+    tiling, any user sink) are DIRECTORIES of part files — pyarrow's
+    footer reads need one member, and any member's footer speaks for
+    the table (one writer, one schema)."""
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                return os.path.join(path, f)
+    return path
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         divisor = 1_000
-        if events_ts_stored_as_nanos(path):
+        probe = _footer_probe_path(path)
+        if events_ts_stored_as_nanos(probe):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             import pyarrow.parquet as pq
 
-            if str(pq.read_schema(path).field("ts").type) == "int64":
-                divisor = int64_ts_micros_divisor(path)
+            if str(pq.read_schema(probe).field("ts").type) == "int64":
+                divisor = int64_ts_micros_divisor(probe)
         return normalize_events_ts(spark.read.parquet(path), divisor)
     return spark.read.parquet(path)
 
