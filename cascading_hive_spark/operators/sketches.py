@@ -502,3 +502,68 @@ def bloom_probe_broadcast(
     return out.withColumn(out_col, cond).drop(
         *[c for j in range(k) for c in (f"_bp{j}", f"_bw{j}", f"_bb{j}")]
     )
+
+
+def bloom_flag_grams_pandas(words: list[int], m_bits: int, k: int = 3,
+                            seed: str = "bf14|", portable: bool = True):
+    """Arrow-batched per-document probe of an ``array<string>`` gram
+    column against a LARGE dense filter: returns a pandas_udf (LONG =
+    flagged-gram count per row) whose closure carries the filter as a
+    numpy int64 array — the STREAMING big-filter leg. Above
+    BLOOM_LITERAL_MAX_WORDS the plan-literal probe churns Catalyst
+    and the broadcast-join probe needs an explode + re-aggregate
+    (stateful under Structured Streaming); this leg keeps the gate
+    STATELESS — one task-resident copy of the filter (a 2^24-bit
+    filter is ~2 MB), one vectorized bit test per position, no join,
+    no shuffle, no state store.
+
+    The position hash replicates _bloom_positions' portable
+    convention bit-for-bit (md5(seed + j + '|' + item) first-8-hex as
+    int, mod m_bits) — pinned against the column-expression probe by
+    test_bloom_pandas_probe_matches_literal; the xxhash64 scale path
+    has no public Python implementation here, so portable=False
+    raises rather than silently diverging."""
+    if not portable:
+        raise ValueError(
+            "bloom_flag_grams_pandas replicates only the portable md5 "
+            "position hash; probe xxhash64 filters through "
+            "bloom_contains/bloom_probe_broadcast instead"
+        )
+    import hashlib
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.asarray([int(x) for x in words], dtype=np.int64)
+    n_words = m_bits // _BLOOM_WORD_BITS + 1
+    if len(w) != n_words:
+        raise ValueError(
+            f"filter has {len(w)} words but m_bits={m_bits} needs "
+            f"{n_words} — built with a different m_bits?"
+        )
+    salts = [f"{seed}{j}|".encode() for j in range(k)]
+
+    @pandas_udf("long")
+    def _flagged(grams: pd.Series) -> pd.Series:
+        def one(arr) -> int:
+            if arr is None or len(arr) == 0:
+                return 0
+            n = 0
+            for g in arr:
+                gb = g.encode()
+                hit = True
+                for salt in salts:
+                    p = int(
+                        hashlib.md5(salt + gb).hexdigest()[:8], 16
+                    ) % m_bits
+                    if not (int(w[p // _BLOOM_WORD_BITS]) >> (p % _BLOOM_WORD_BITS)) & 1:
+                        hit = False
+                        break
+                if hit:
+                    n += 1
+            return n
+
+        return grams.map(one)
+
+    return _flagged

@@ -5377,6 +5377,60 @@ def q_docs_bloom_decontaminate_bcast(
     )
 
 
+# The big-filter decontamination as an ingest-time STREAM gate: at
+# megabit filter sizes the plan-literal leg (streaming_bloom_gate)
+# churns Catalyst and a broadcast-join probe would need an explode +
+# stateful re-aggregate — so the filter rides an Arrow-batched pandas
+# probe's closure as one task-resident numpy array
+# (sketches.bloom_flag_grams_pandas, hash-identical to the portable
+# column-expression probe by construction and by pytest pin). The
+# gate stays stateless: no watermark, no state store, no shuffle.
+# Oracle shared with docs_bloom_decontaminate_bcast.
+@register("streaming_bloom_gate_bigfilter", _bloom_decon_sql(2_097_152))
+def q_streaming_bloom_gate_bigfilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid
+
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_dense_words,
+    )
+    from cascading_hive_spark.streaming.jobs import (
+        bloom_gate_stream_bigfilter,
+        stream_documents,
+    )
+
+    tune_for_queries(spark)
+    M_BITS, K = 2_097_152, 3
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda p: F.array_join(F.slice(toks, p, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
+        F.explode(grams).alias("g")
+    )
+    words = bloom_dense_words(bloom_build(bench, "g", M_BITS, K), M_BITS)
+    name = f"q_stream_bloom_big_{uuid.uuid4().hex[:8]}"
+    stream = bloom_gate_stream_bigfilter(
+        stream_documents(spark, sf_dir), words, M_BITS, K
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # Audio leg of the multimodal surface: JVM-built WAV containers
 # (RIFF/fmt/data, little-endian byte construction) round-trip through
 # Arrow into the pure-Python header walker; the oracle recomputes
@@ -10340,7 +10394,11 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     docs_bloom_decontaminate_bcast (the decontamination through the
 #     LARGE-filter broadcast-join probe leg at 2^21 bits, past the
 #     literal/broadcast dispatch boundary — hash-certifies the big
-#     filter's flags AND the dispatcher end-to-end);
+#     filter's flags AND the dispatcher end-to-end) and
+#     streaming_bloom_gate_bigfilter (the same megabit filter as a
+#     STATELESS ingest-time stream gate riding an Arrow-batched
+#     numpy probe — no plan literal, no join, no state store; oracle
+#     shared with the batch bcast twin);
 # (3) forced re-verification of code touched this round (r14 ADVICE +
 #     VERDICT items): dedup_charspan_coverage (oracle zero-length
 #     guard), text_lang_id_learned + streaming_lang_gate (weight
@@ -10358,8 +10416,7 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 # (5) the remaining 34 slots fill stalest-first: the whole r7 cohort
 #     (set_except_all .. window_moving_median) and r9 cohort
 #     (all_types_surface .. window_rank_orders) — clearing the two
-#     oldest cohorts entirely, per r14 VERDICT #8 — plus
-#     ann_cosine_topk as the first of the r10 cohort.
+#     oldest cohorts entirely, per r14 VERDICT #8.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + whichever half of
 # each rows-only pair is staler), and let the policy test recompute
@@ -10426,6 +10483,7 @@ _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
     # -- never driver-checked (registered this round):
     "docs_bloom_decontaminate_bcast",
+    "streaming_bloom_gate_bigfilter",
     # -- code touched this round (r14 ADVICE/VERDICT), re-verify:
     "dedup_charspan_coverage",
     "text_lang_id_learned",
@@ -10478,8 +10536,6 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_sliding_counts",
     "table_diff_orders",
     "window_rank_orders",
-    # -- fill head of the r10 cohort:
-    "ann_cosine_topk",
 ]
 
 

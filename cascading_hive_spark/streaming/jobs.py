@@ -576,3 +576,36 @@ def bloom_gate_stream(
         F.size(flagged).cast("bigint").alias("n_flagged"),
         (F.size(flagged) > 0).alias("contaminated"),
     )
+
+
+def bloom_gate_stream_bigfilter(
+    docs: DataFrame, words: list, m_bits: int, k: int = 3
+) -> DataFrame:
+    """Bloom decontamination on a document STREAM against a LARGE
+    filter (the megabit regime where bloom_gate_stream's plan-literal
+    leg churns Catalyst and a broadcast-join probe would need an
+    explode + stateful re-aggregate): the filter rides an
+    Arrow-batched pandas probe's closure as a numpy array
+    (sketches.bloom_flag_grams_pandas — one task-resident ~m_bits/8-
+    byte copy), the 5-gram scan stays pure column expressions, and
+    the gate stays STATELESS — no watermark, no state store, no
+    shuffle. Streamed rows equal the batch broadcast-leg query's
+    (oracle shared with docs_bloom_decontaminate_bcast)."""
+    from cascading_hive_spark.operators.sketches import (
+        bloom_flag_grams_pandas,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda p: F.array_join(F.slice(toks, p, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    flag = bloom_flag_grams_pandas(words, m_bits, k)
+    return docs.select("doc_id", grams.alias("_grams")).select(
+        "doc_id",
+        F.size("_grams").cast("bigint").alias("n_grams"),
+        flag(F.col("_grams")).alias("n_flagged"),
+    ).withColumn("contaminated", F.col("n_flagged") > 0)

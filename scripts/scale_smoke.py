@@ -1785,15 +1785,30 @@ def smoke_quality_classifier(n: int = 1_000_000) -> None:
             "n_pass": row["n_pass"],
         }), flush=True)
     # bounded fit leg: 50k labeled docs through featurize + IRLS
+    # (the collect provenance path, still ceiling-guarded)
     sample = docs.filter(F.col("doc_id") % (n // 50_000) == 0).withColumn(
         "y", (F.length("text") % 2 == 0).cast("int")
     )
     t0 = _t.monotonic()
-    w, b = quality_classifier_fit(sample, "doc_id", "text", "y")
+    w, b = quality_classifier_fit(
+        sample, "doc_id", "text", "y", method="collect"
+    )
     print(json.dumps({
         "smoke": "quality_classifier_fit", "n_train": sample.count(),
         "fit_wall_sec": round(_t.monotonic() - t0, 1),
         "n_nonzero_weights": sum(1 for x in w if x != 0.0),
+    }), flush=True)
+    # ceiling-free leg (r14 VERDICT #5): the DEFAULT distributed Gram
+    # fit on the FULL corpus — 10x past the collect path's guard;
+    # driver traffic is n_partitions * 129^2 doubles per Newton round
+    # regardless of rows
+    labeled = docs.withColumn("y", (F.length("text") % 2 == 0).cast("int"))
+    t0 = _t.monotonic()
+    w2, b2 = quality_classifier_fit(labeled, "doc_id", "text", "y")
+    print(json.dumps({
+        "smoke": "quality_classifier_fit_distributed", "n_train": n,
+        "fit_wall_sec": round(_t.monotonic() - t0, 1),
+        "n_nonzero_weights": sum(1 for x in w2 if x != 0.0),
     }), flush=True)
 
 

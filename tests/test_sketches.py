@@ -337,3 +337,49 @@ def test_bcast_decon_query_takes_broadcast_leg(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bloom_pandas_probe_matches_literal(spark):
+    """The Arrow-batched numpy probe (streaming big-filter leg) must
+    replicate the portable column-expression probe's per-gram flags
+    bit-for-bit — same md5 position hash, same AND-of-k law — and
+    reject the xxhash64 convention it cannot replicate."""
+    import pytest
+
+    from cascading_hive_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_dense_words,
+        bloom_flag_grams_pandas,
+    )
+
+    m, k = 8192, 3
+    items = spark.createDataFrame([(f"i{i}",) for i in range(300)], "g string")
+    words = bloom_dense_words(bloom_build(items, "g", m, k), m)
+    probe = spark.createDataFrame(
+        [(i, [f"i{i}", f"x{i}", f"i{(i + 1) % 300}"]) for i in range(200)]
+        + [(200, []), (201, None)],
+        "pid long, grams array<string>",
+    )
+    lit = probe.select(
+        "pid",
+        F.size(
+            F.filter(
+                F.coalesce(F.col("grams"), F.array().cast("array<string>")),
+                lambda g: bloom_contains(g, words, m, k),
+            )
+        ).cast("long").alias("n"),
+    )
+    lit_n = {r.pid: r.n for r in lit.collect()}
+    flag = bloom_flag_grams_pandas(words, m, k)
+    got = {
+        r.pid: r.n
+        for r in probe.select("pid", flag(F.col("grams")).alias("n")).collect()
+    }
+    assert got == lit_n
+    assert got[200] == 0 and got[201] == 0
+    assert all(got[i] >= 2 for i in range(200))  # the two inserted grams
+    with pytest.raises(ValueError, match="portable"):
+        bloom_flag_grams_pandas(words, m, k, portable=False)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_flag_grams_pandas(words, m * 2, k)
