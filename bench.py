@@ -61,6 +61,10 @@ HEADLINE = [
     "dedup_charspan_scrub",
     "text_lang_id_learned",
     "multimodal_png_dhash",
+    # r15: the megabit-filter decontamination through the broadcast
+    # probe leg, and the four-stage composed curation funnel
+    "docs_bloom_decontaminate_bcast",
+    "pipeline_curation_funnel",
 ]
 
 

@@ -1321,6 +1321,50 @@ def smoke_bloom(n_bench: int = 1_000_000, n_probe: int = 10_000_000) -> None:
                       "probe_sec": probe_wall,
                       "fp_rate": round(fp_rate, 6),
                       "fp_analytic": round(analytic, 6)}), flush=True)
+    # streaming big-filter leg (r15): the Arrow-batched numpy probe
+    # that keeps the megabit stream gate stateless. Python md5 per
+    # position is the cost model — but a non-contaminated gram exits
+    # after its FIRST miss (p(continue) ~ sqrt3(fp)), so expected
+    # hashes/gram stay ~1.1; throughput is docs/s with ~50 grams/doc.
+    from cascading_hive_spark.operators.sketches import (
+        bloom_dense_words,
+        bloom_flag_grams_pandas,
+    )
+
+    n_docs, gpd = 100_000, 50
+    m2 = 2_097_152
+    bench2 = spark.range(50_000).select(
+        F.concat(F.lit("b-"), F.col("id")).alias("g")
+    )
+    words = bloom_dense_words(bloom_build(bench2, "g", m2, k), m2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.lit(gpd - 1)),
+        lambda i: F.when(
+            (F.col("id") % 100 == 0) & (i == 0),
+            F.concat(F.lit("b-"), F.pmod(F.col("id"), F.lit(50_000))),
+        ).otherwise(
+            F.concat(F.lit("p-"), F.col("id") * gpd + i)
+        ),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id"), grams.alias("grams"), (F.col("id") % 100 == 0).alias("planted")
+    ).localCheckpoint()
+    flag = bloom_flag_grams_pandas(words, m2, k)
+    t0 = time.monotonic()
+    row = docs.select(
+        "planted", flag(F.col("grams")).alias("nf")
+    ).agg(
+        F.sum(F.col("planted").cast("long")).alias("n_planted"),
+        F.sum((F.col("planted") & (F.col("nf") > 0)).cast("long")).alias("tp"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    wall = round(time.monotonic() - t0, 1)
+    assert row["tp"] == row["n_planted"], "false negative in pandas probe!"
+    print(json.dumps({"smoke": "bloom_stream_bigfilter",
+                      "n_docs": n_docs, "grams_per_doc": gpd,
+                      "probe_sec": wall,
+                      "docs_per_sec": round(n_docs / max(wall, 0.1))}),
+          flush=True)
 
 
 def smoke_bpe(n: int = 1_000_000, n_merges: int = 10) -> None:
