@@ -9651,6 +9651,13 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(g, "doc_id")
         .join(lid, "doc_id")
         .join(c, "doc_id")
+        # materialize the flag table ONCE: three consumers (the modal-
+        # language aggregate, the cap stage, the final report) would
+        # otherwise each replay the md5 lang/classifier folds — the
+        # expensive scans — through lineage recompute (measured ~4x
+        # the sum-of-stages wall at sf0.1). At cluster scale this is
+        # the natural "stage-2 flags land in the warehouse" boundary.
+        .localCheckpoint()
     )
     # stage 2, keep-top-language: modal prediction among Gopher
     # survivors (a <=5-row aggregate), broadcast back — min_by over
