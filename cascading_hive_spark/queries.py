@@ -5194,8 +5194,13 @@ def q_dedup_charspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of a dense literal array — and must land on identical flags.
 def _bloom_decon_sql(m_bits: int) -> str:
     """The decontamination oracle at another filter size: 131072 only
-    ever appears as the m_bits modulus below, so a literal swap is the
-    whole parameterization."""
+    ever appears as the m_bits modulus below (twice — the build and
+    the probe position hashes), so a literal swap is the whole
+    parameterization. Asserted so an edit that adds a third 131072
+    (or renames the modulus) cannot silently skew derived oracles."""
+    assert _BLOOM_DECON_SQL.count("131072") == 2, (
+        "_BLOOM_DECON_SQL changed shape; re-derive _bloom_decon_sql"
+    )
     return _BLOOM_DECON_SQL.replace("131072", str(m_bits))
 
 
