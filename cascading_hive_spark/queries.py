@@ -9613,11 +9613,12 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s2)
       WHERE rn <= 4)
     SELECT CAST(count(*) AS BIGINT) AS n_all,
-           CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
-           CAST(sum(CASE WHEN g AND l THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_lang,
-           CAST(sum(CASE WHEN g AND l AND c THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_classifier,
+           CAST(coalesce(sum(CASE WHEN g THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_gopher,
+           CAST(coalesce(sum(CASE WHEN g AND l THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_lang,
+           CAST(coalesce(sum(CASE WHEN g AND l AND c THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_classifier,
            (SELECT CAST(count(*) AS BIGINT) FROM capped) AS n_domain_cap
     FROM flags
     """,
@@ -9692,16 +9693,25 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cap_per_key(s2, "domain", "doc_id", cap=4).select(
         "doc_id", F.lit(1).alias("_k")
     )
+    # each sum coalesced to 0: over an EMPTY corpus (a partition
+    # filter that eliminated everything) sum() is NULL while the
+    # oracle's count(*) subquery is 0 — the report must read all-zero
+    # on both engines (test_empty_inputs pins this)
     return flags.join(capped, "doc_id", "left").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
-        F.sum(F.col("g").cast("long")).cast("bigint").alias("n_gopher"),
-        F.sum((F.col("g") & F.col("l")).cast("long"))
+        F.coalesce(F.sum(F.col("g").cast("long")), F.lit(0))
+        .cast("bigint")
+        .alias("n_gopher"),
+        F.coalesce(F.sum((F.col("g") & F.col("l")).cast("long")), F.lit(0))
         .cast("bigint")
         .alias("n_lang"),
-        F.sum((F.col("g") & F.col("l") & F.col("c")).cast("long"))
+        F.coalesce(
+            F.sum((F.col("g") & F.col("l") & F.col("c")).cast("long")),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("n_classifier"),
-        F.sum(F.coalesce(F.col("_k"), F.lit(0)))
+        F.coalesce(F.sum(F.coalesce(F.col("_k"), F.lit(0))), F.lit(0))
         .cast("bigint")
         .alias("n_domain_cap"),
     )

@@ -465,3 +465,83 @@ def test_dhash_encoded_images_empty_frame(spark):
 
     empty = spark.createDataFrame([], "id long, payload binary")
     assert dhash_encoded_images(empty).count() == 0
+
+
+def test_bloom_probe_empty_filter_both_legs(spark):
+    """An EMPTY filter (no benchmark items — nothing built) must flag
+    NOTHING through both physical legs of bloom_probe, not crash:
+    literal leg reads all-zero words, broadcast leg left-joins to no
+    match."""
+    from cascading_hive_spark.operators.sketches import (
+        _BLOOM_WORD_BITS,
+        BLOOM_LITERAL_MAX_WORDS,
+        bloom_build,
+        bloom_probe,
+    )
+
+    empty = spark.createDataFrame([], "g string")
+    probe = spark.createDataFrame([("a",), ("b",)], "g string")
+    for m in (8192, _BLOOM_WORD_BITS * BLOOM_LITERAL_MAX_WORDS):
+        out = bloom_probe(probe, "g", bloom_build(empty, "g", m, 3), m)
+        assert [r.bloom_hit for r in out.collect()] == [False, False], m
+
+
+def test_bloom_pandas_probe_empty_filter(spark):
+    from cascading_hive_spark.operators.sketches import (
+        bloom_flag_grams_pandas,
+    )
+
+    m = 8192
+    words = [0] * (m // 63 + 1)
+    flag = bloom_flag_grams_pandas(words, m, 3)
+    probe = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], "pid long, grams array<string>"
+    )
+    got = {r.pid: r.n for r in probe.select(
+        "pid", flag(F.col("grams")).alias("n")).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_distributed_fits_single_class_labels(spark):
+    """All-one-class labels (p -> 1 everywhere, Hessian floored at
+    1e-6) must converge to finite weights on both distributed fits,
+    and the one-language lang fit must return that one model."""
+    import math
+
+    from cascading_hive_spark.operators.text import (
+        lang_classifier_fit_distributed,
+        quality_classifier_fit_distributed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with words", 1) for i in range(40)],
+        "doc_id long, text string, y int",
+    )
+    w, b = quality_classifier_fit_distributed(docs, "doc_id", "text", "y")
+    assert math.isfinite(b) and all(math.isfinite(x) for x in w)
+    lab = docs.withColumn("lang", F.lit("xx"))
+    models = lang_classifier_fit_distributed(lab, "doc_id", "text", "lang")
+    assert set(models) == {"xx"}
+    assert math.isfinite(models["xx"][1])
+
+
+def test_curation_funnel_empty_corpus(spark, tmp_path):
+    """A funnel over zero documents reports one all-zero row (the
+    acceptance report never crashes on an empty partition-filter
+    result); the modal-language broadcast stays a 1-row NULL, not an
+    empty cross join that would erase the report."""
+    import os
+
+    from cascading_hive_spark.queries import _REGISTRY
+    from cascading_hive_spark.tables import TABLES, load_table
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t == "documents":
+            df = df.filter(F.lit(False))
+        df.write.parquet(os.path.join(out, f"{t}.parquet"))
+    row = _REGISTRY["pipeline_curation_funnel"][0](spark, out).first()
+    assert (row.n_all, row.n_gopher, row.n_lang, row.n_classifier,
+            row.n_domain_cap) == (0, 0, 0, 0, 0)
