@@ -59,7 +59,13 @@ def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table: a DIRECTORY of part files (the
+            # driver testdata ships single files) — glob the members
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     rel = con.sql(sql)
     cols = list(rel.columns)

@@ -30,17 +30,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     future data-shape change has exactly one place to go stale."""
     import os
 
-    from ..tables import events_ts_stored_as_nanos, normalize_events_ts
+    from ..tables import (
+        _footer_probe_path,
+        events_ts_stored_as_nanos,
+        normalize_events_ts,
+    )
 
     path = os.path.join(sf_dir, "events.parquet")
-    if events_ts_stored_as_nanos(path):
+    if events_ts_stored_as_nanos(_footer_probe_path(path)):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static_schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(static_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Spark-written table: stream the directory's members directly
+        raw = spark.readStream.schema(static_schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(static_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_events_ts(raw)
 
 
@@ -492,6 +500,9 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written table: stream the directory's members directly
+        return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
