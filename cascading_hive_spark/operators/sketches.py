@@ -415,9 +415,10 @@ def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
     return words
 
 
-# Above this many 64-bit words the dense plan literal stops being the
-# fast path: Catalyst tree transforms COPY the literal on every rule
-# pass, and a 2^24-bit filter (266k longs) measured 163s of pure
+# Above this many 63-bit words (stored in bigints; a 2^21-bit filter
+# is 33,289 words, NOT m_bits//64) the dense plan literal stops being
+# the fast path: Catalyst tree transforms COPY the literal on every
+# rule pass, and a 2^24-bit filter (266k longs) measured 163s of pure
 # planner churn (BASELINE.md, r14) where the broadcast-join leg plans
 # in milliseconds. Below it, the literal probe is map-only full
 # codegen and beats the join. ~10^4 words == ~80 KB of task binary.
@@ -436,11 +437,14 @@ def bloom_probe(
 ) -> DataFrame:
     """ONE probe entry point that picks the physical leg on filter
     size (r14 VERDICT #7): filters up to BLOOM_LITERAL_MAX_WORDS
-    64-bit words ride the plan as a dense literal (map-only, no join
-    — bloom_contains), larger ones probe through k broadcast hash
-    joins (bloom_probe_broadcast) so Catalyst never re-copies a
-    megabit literal. Both legs share _bloom_positions, so the flags
-    are identical; only the plan shape changes."""
+    63-bit words (stored in bigints) ride the plan as a dense literal
+    (map-only, no join — bloom_contains), larger ones probe through k
+    broadcast hash joins (bloom_probe_broadcast) so Catalyst never
+    re-copies a megabit literal. Both legs share _bloom_positions, so
+    the flags are identical; only the plan shape changes. Both legs
+    also raise on an m_bits mismatch (word_idx out of range for the
+    m_bits passed here): the literal leg via bloom_dense_words, the
+    broadcast leg via its own range precheck."""
     n_words = m_bits // _BLOOM_WORD_BITS + 1
     if n_words <= BLOOM_LITERAL_MAX_WORDS:
         words = bloom_dense_words(bloom, m_bits)
@@ -478,7 +482,25 @@ def bloom_probe_broadcast(
     copy of the filter — and the corpus scan stays a single stage.
 
     Adds ``out_col`` boolean to ``df``. Absent words read as 0 (no
-    bits), preserving the no-false-negative law."""
+    bits), preserving the no-false-negative law — which is exactly why
+    an m_bits mismatch must RAISE here rather than probe: a filter
+    built with a different m_bits hashes to different positions, and a
+    left join against it silently yields wrong flags (including false
+    negatives). The precheck below mirrors bloom_dense_words' guard on
+    the literal leg (one metadata-sized agg over the sketch table)."""
+    n_words = m_bits // _BLOOM_WORD_BITS + 1
+    rng = bloom.agg(
+        F.min("word_idx").alias("lo"), F.max("word_idx").alias("hi")
+    ).first()
+    if rng["hi"] is not None and not (
+        0 <= rng["lo"] and rng["hi"] < n_words
+    ):
+        raise ValueError(
+            f"bloom_probe_broadcast: word_idx range [{rng['lo']}, "
+            f"{rng['hi']}] out of range for m_bits={m_bits} "
+            f"({n_words} words) — the filter was built with a "
+            "different m_bits than the one passed here"
+        )
     out = df
     cond = None
     for j in range(k):
@@ -514,8 +536,11 @@ def bloom_flag_grams_pandas(words: list[int], m_bits: int, k: int = 3,
     and the broadcast-join probe needs an explode + re-aggregate
     (stateful under Structured Streaming); this leg keeps the gate
     STATELESS — one task-resident copy of the filter (a 2^24-bit
-    filter is ~2 MB), one vectorized bit test per position, no join,
-    no shuffle, no state store.
+    filter is ~2 MB), no join, no shuffle, no state store. The probe
+    itself is Arrow-batched Python: per gram, k hashlib.md5 position
+    hashes with early-exit on the first missing bit (only the filter
+    closure is numpy) — the cost model measured in scale_smoke, not a
+    vectorized bit test.
 
     The position hash replicates _bloom_positions' portable
     convention bit-for-bit (md5(seed + j + '|' + item) first-8-hex as

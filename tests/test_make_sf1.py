@@ -81,8 +81,18 @@ def test_cross_tile_text_not_exact_duplicated(spark, tiled):
     # every duplicate group stays INSIDE one tile: group count scales
     # exactly by the tile factor, never merges across tiles
     assert tiled_dup_groups == 3 * src_dup_groups
-    # and no text collides with a different tile's rendering
-    assert d.groupBy("text").count().filter("count > 3").count() == 0
+    # and no text collides with a different tile's rendering: the max
+    # multiplicity of any tiled text equals the SOURCE's max duplicate
+    # group size (a cross-tile merge would exceed it; a hardcoded
+    # "> tile count" bound would spuriously fail on a source group of
+    # 4+ identical docs rendered inside one tile — r15 ADVICE)
+    src_max = (
+        src.groupBy(F.md5("text")).count().agg(F.max("count")).first()[0]
+    )
+    tiled_max = (
+        d.groupBy("text").count().agg(F.max("count")).first()[0]
+    )
+    assert tiled_max == src_max
 
 
 def test_embeddings_not_exact_duplicated(spark, tiled):

@@ -326,6 +326,38 @@ def test_bloom_dense_words_m_bits_mismatch_raises(spark):
         bloom_dense_words(bloom, 8192)
 
 
+def test_bloom_probe_broadcast_m_bits_mismatch_raises(spark):
+    """The BROADCAST leg must guard an m_bits mismatch exactly like
+    the literal leg does (r15 ADVICE): a filter built with a larger
+    m_bits probed with a smaller one would otherwise silently join on
+    wrong positions and emit wrong flags — including false negatives,
+    violating the no-false-negative law — with no error. Both sides
+    of the 10k-word dispatch boundary now raise on the same caller
+    mistake."""
+    import pytest
+
+    from cascading_hive_spark.operators.sketches import (
+        _BLOOM_WORD_BITS,
+        BLOOM_LITERAL_MAX_WORDS,
+        bloom_build,
+        bloom_probe,
+        bloom_probe_broadcast,
+    )
+
+    items = spark.createDataFrame([(f"i{i}",) for i in range(500)], "g string")
+    probe = spark.createDataFrame([(f"i{i}",) for i in range(50)], "g string")
+    m_built = _BLOOM_WORD_BITS * (BLOOM_LITERAL_MAX_WORDS + 50)
+    bloom = bloom_build(items, "g", m_built, 3)
+    # direct broadcast-leg call with a too-small m_bits
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe_broadcast(probe, "g", bloom, 8192 * 63)
+    # and through the dispatcher: the wrong m_bits still lands the
+    # call above the boundary, so it must hit the broadcast guard
+    m_wrong = _BLOOM_WORD_BITS * (BLOOM_LITERAL_MAX_WORDS + 10)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(probe, "g", bloom, m_wrong)
+
+
 def test_bcast_decon_query_takes_broadcast_leg(spark, sf_dir):
     """docs_bloom_decontaminate_bcast's 2^21-bit filter is past
     BLOOM_LITERAL_MAX_WORDS: the plan must show broadcast hash joins
