@@ -10407,78 +10407,59 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-# r15 ROTATION NOTE (supersedes the r14 note; r14 ran 50/50
-# hash-green). Window recomputed STALEST-FIRST over the frozen basis
-# CORRECTNESS_r01..r14 (the policy test recomputes this from the
-# artifacts):
+# r16 ROTATION NOTE (supersedes the r15 note; r15 ran 50/50 green —
+# 42 hash-matches + the 8 declared rows-only). Window recomputed
+# STALEST-FIRST over the frozen basis CORRECTNESS_r01..r15 (the
+# policy test recomputes this from the artifacts). This rotation is
+# the r15 VERDICT #1 staleness burn-down: 40 of the 50 slots go to
+# the cohort whose latest green row is round 10.
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked — registered this round:
-#     docs_bloom_decontaminate_bcast (the decontamination through the
-#     LARGE-filter broadcast-join probe leg at 2^21 bits, past the
-#     literal/broadcast dispatch boundary — hash-certifies the big
-#     filter's flags AND the dispatcher end-to-end) and
-#     streaming_bloom_gate_bigfilter (the same megabit filter as a
-#     STATELESS ingest-time stream gate riding an Arrow-batched
-#     numpy probe — no plan literal, no join, no state store; oracle
-#     shared with the batch bcast twin);
-# (3) forced re-verification of code touched this round (r14 ADVICE +
-#     VERDICT items): dedup_charspan_coverage (oracle zero-length
-#     guard), text_lang_id_learned + streaming_lang_gate (weight
-#     tables rebuilt as array literals instead of CreateArray),
-#     pipeline_curation_funnel (new keep-top-language lang-id stage,
-#     four-stage oracle), docs_bloom_decontaminate +
-#     streaming_bloom_gate (probe path now behind the size-dispatched
-#     entry point);
-# (4) rows-only pair coverage flips BACK to the rows-only side this
-#     rotation (the twins all carry fresh r14 hash rows):
-#     dedup_minhash_lsh, dedup_simhash, ann_ivf_topk, ann_pq_topk,
-#     ann_ivfpq_topk, bpe_merges, graph_kcore_customers,
-#     embedding_pca_project take the slots as declared rows-only
-#     members;
-# (5) the remaining 34 slots fill stalest-first: the whole r7 cohort
-#     (set_except_all .. window_moving_median) and r9 cohort
-#     (all_types_surface .. window_rank_orders) — clearing the two
-#     oldest cohorts entirely, per r14 VERDICT #8.
+# (2) never driver-checked: none — no new registrations this round
+#     (the surface is complete; r16 is burn-down + evidence gaps);
+# (3) forced re-verification of code touched this round:
+#     docs_bloom_decontaminate_bcast (its broadcast probe leg gained
+#     the eager m-bits range precheck, r15 ADVICE — the one
+#     behavior-touched query; the other bloom queries took only
+#     comment/docstring edits and were self-swept green at sf0.01);
+# (4) rows-only pair coverage flips to the PORTABLE twins this
+#     rotation (the rows-only members all carry fresh r15 rows; the
+#     twins' hash rows date to r14, so the twins are the staler
+#     half): dedup_minhash_portable, dedup_simhash_portable,
+#     ann_ivf_portable, ann_pq_portable, ann_ivfpq_portable,
+#     bpe_segment, graph_kcore_portable, embedding_pca_power_project
+#     — all oracle-able, so EVERY query in this window hash-checks
+#     (no rows-only slots this round);
+# (5) the remaining 40 slots fill stalest-first: 40 of the 43
+#     round-10 cohort queries, alphabetical (ann_cosine_topk ..
+#     streaming_dedup). The 3 that do not fit — streaming_enrich,
+#     streaming_hourly_counts, text_analyze — are self-swept this
+#     round (BASELINE.md) and top the r17 fill.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + whichever half of
 # each rows-only pair is staler), and let the policy test recompute
 # the fill.
-_ROTATION_BASIS_ROUND = 14
+_ROTATION_BASIS_ROUND = 15
 
 # Queries forced into the window regardless of staleness rank: the
-# entry smoke, this round's code-touched re-verifications, and the
-# rows-only members carrying pair coverage this rotation.
+# entry smoke, this round's code-touched re-verification, and the
+# portable twins carrying pair coverage this rotation.
 _WINDOW_FORCED: list[str] = [
     "wordcount",
-    "dedup_charspan_coverage",
-    "text_lang_id_learned",
-    "streaming_lang_gate",
-    "pipeline_curation_funnel",
-    "docs_bloom_decontaminate",
-    "streaming_bloom_gate",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "bpe_merges",
-    "graph_kcore_customers",
-    "embedding_pca_project",
+    "docs_bloom_decontaminate_bcast",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "ann_ivf_portable",
+    "ann_pq_portable",
+    "ann_ivfpq_portable",
+    "bpe_segment",
+    "graph_kcore_portable",
+    "embedding_pca_power_project",
 ]
 
-# the eight rows-only members are windowed this rotation (note point
-# 4) — the driver records their weaker rows-only check while each
-# pair's hash certificate stands on the twin's fresh r14 row
-_ROWS_ONLY_WINDOW: set[str] = {
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "bpe_merges",
-    "graph_kcore_customers",
-    "embedding_pca_project",
-}
+# No rows-only members are windowed this rotation (note point 4):
+# pair coverage rides the oracle-able portable twins, so all 50
+# slots hash-check.
+_ROWS_ONLY_WINDOW: set[str] = set()
 
 # Every rows-only-by-design query paired with its hash-matched
 # oracle-able twin (VERDICT r11 #6). The twin certifies the same
@@ -10503,61 +10484,60 @@ _ROWS_ONLY_TWINS: dict[str, str] = {
 
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
-    # -- never driver-checked (registered this round):
+    # -- code touched this round (r15 ADVICE), re-verify:
     "docs_bloom_decontaminate_bcast",
-    "streaming_bloom_gate_bigfilter",
-    # -- code touched this round (r14 ADVICE/VERDICT), re-verify:
-    "dedup_charspan_coverage",
-    "text_lang_id_learned",
-    "streaming_lang_gate",
-    "pipeline_curation_funnel",
-    "docs_bloom_decontaminate",
-    "streaming_bloom_gate",
-    # -- rows-only pair coverage via the rows-only members (twins
-    #    all carry fresh r14 hash rows):
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "bpe_merges",
-    "graph_kcore_customers",
-    "embedding_pca_project",
-    # -- stalest-first fill (the whole r7 cohort, alphabetical):
-    "set_except_all",
-    "set_intersect_all",
-    "stats_bivariate",
-    "string_functions",
-    "table_profile",
-    "text_bigram_lm",
-    "text_gopher_rules",
-    "text_tfidf_topk",
-    "variant_props",
-    "window_moving_median",
-    # -- stalest-first fill (the whole r9 cohort, alphabetical):
-    "all_types_surface",
-    "decontaminate_docs_shuffle",
-    "dedup_keep_best_source",
-    "events_anomaly_mad",
-    "events_session_windows_batch",
-    "events_sessionize",
-    "events_sliding_window_counts",
-    "events_twap",
-    "filter_by_group_percentile",
-    "join_inner",
-    "join_null_safe",
-    "order_extremes_per_customer",
-    "pack_sequences",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q21_sole_returned_supplier",
-    "q3_shipping_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "streaming_sliding_counts",
-    "table_diff_orders",
-    "window_rank_orders",
+    # -- rows-only pair coverage via the PORTABLE twins (staler half;
+    #    the rows-only members all carry fresh r15 rows):
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "ann_ivf_portable",
+    "ann_pq_portable",
+    "ann_ivfpq_portable",
+    "bpe_segment",
+    "graph_kcore_portable",
+    "embedding_pca_power_project",
+    # -- stalest-first fill (40 of the 43 round-10 cohort queries,
+    #    alphabetical — the r15 VERDICT #1 burn-down):
+    "ann_cosine_topk",
+    "ann_ivf_append_probe",
+    "ann_ivf_kmeans_probe",
+    "ann_ivfpq_disk",
+    "ann_knn_join",
+    "cdc_apply_orders",
+    "dedup_embedding_cosine",
+    "dedup_semantic_keep",
+    "dedup_semantic_pairs",
+    "dedup_tfidf_cosine",
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    "docs_token_budget_mix",
+    "dq_orders_constraints",
+    "embedding_centroid_confusion",
+    "embedding_centroids",
+    "embedding_kmeans_fit",
+    "embedding_kmeans_inertia",
+    "embedding_standardize",
+    "events_ab_test",
+    "events_ab_test_by_type",
+    "events_cusum_changepoint",
+    "events_funnel_conversion",
+    "events_markov_transitions",
+    "events_psi_drift",
+    "events_resample_daily",
+    "events_retention_cohorts",
+    "events_sequence_trigrams",
+    "events_winsorized_stats",
+    "graph_pagerank_hubs",
+    "graph_triangle_count",
+    "heavy_hitters_events",
+    "incremental_agg_merge",
+    "multimodal_meta",
+    "orders_basket_lift",
+    "orders_target_encoding",
+    "part_pareto_frontier",
+    "sample_exact_quota",
+    "sample_weighted_aes",
+    "streaming_dedup",
 ]
 
 
