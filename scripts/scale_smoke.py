@@ -1693,6 +1693,113 @@ def smoke_curation_scan(n: int = 1_000_000) -> None:
         }), flush=True)
 
 
+def smoke_funnel(n: int = 1_000_000) -> None:
+    """The FOUR-STAGE curation funnel composition at corpus scale
+    (r15 VERDICT #5): Gopher structural rules -> keep-top-language
+    (modal lang among survivors, a <=5-row aggregate broadcast back)
+    -> learned classifier gate -> per-domain cap, composed exactly as
+    pipeline_curation_funnel does it — flags materialized ONCE via
+    localCheckpoint so the three consumers (modal aggregate, cap
+    stage, report) never replay the md5 scan folds through lineage.
+    Wall must stay near-linear between the 100k and 1M slices and the
+    per-stage survivor FRACTIONS must be stable (the gates are
+    per-document, so attrition is scale-free by construction)."""
+    import time as _t
+
+    from cascading_hive_spark.operators.corpus import gopher_quality_rules
+    from cascading_hive_spark.operators.sampling import cap_per_key
+    from cascading_hive_spark.operators.text import (
+        lang_id_scores,
+        quality_classifier_score,
+    )
+    from cascading_hive_spark.queries import (
+        _LID_MODELS_V1,
+        _QC_BIAS_V1,
+        _QC_WEIGHTS_V1,
+    )
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (n // 10, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.0, n_vocab=5000
+        ).localCheckpoint()
+        t0 = _t.monotonic()
+        g = gopher_quality_rules(docs, "doc_id", "text").select(
+            "doc_id",
+            (
+                F.col("word_count_ok")
+                & F.col("word_len_ok")
+                & F.col("symbol_ok")
+                & F.col("bullet_ok")
+                & F.col("ellipsis_ok")
+            ).alias("g"),
+        )
+        lid = lang_id_scores(
+            docs, "doc_id", "text", _LID_MODELS_V1, n=3, seed="lid14|",
+            widen=False,
+        ).select("doc_id", "pred_lang")
+        c = quality_classifier_score(
+            docs, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
+        ).select("doc_id", F.col("quality_pass").alias("c"))
+        flags = (
+            docs.select("doc_id", "source")
+            .join(g, "doc_id")
+            .join(lid, "doc_id")
+            .join(c, "doc_id")
+            .localCheckpoint()
+        )
+        top = (
+            flags.filter(F.col("g"))
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .agg(
+                F.min_by(
+                    "pred_lang",
+                    F.struct(
+                        (-F.col("_cnt")).alias("nc"), F.col("pred_lang")
+                    ),
+                ).alias("_top")
+            )
+        )
+        flags = flags.join(F.broadcast(top)).withColumn(
+            "l", F.col("pred_lang") == F.col("_top")
+        )
+        s2 = flags.filter(F.col("g") & F.col("l") & F.col("c")).select(
+            "doc_id",
+            F.concat(
+                F.col("source"),
+                F.lit("-"),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            ).alias("domain"),
+        )
+        capped = cap_per_key(s2, "domain", "doc_id", cap=max(4, size // 100))
+        row = (
+            flags.join(
+                capped.select("doc_id", F.lit(1).alias("_k")),
+                "doc_id",
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_all"),
+                F.sum(F.col("g").cast("long")).alias("n_gopher"),
+                F.sum((F.col("g") & F.col("l")).cast("long")).alias("n_lang"),
+                F.sum(
+                    (F.col("g") & F.col("l") & F.col("c")).cast("long")
+                ).alias("n_classifier"),
+                F.sum(F.coalesce(F.col("_k"), F.lit(0))).alias("n_cap"),
+            )
+            .first()
+        )
+        wall = round(_t.monotonic() - t0, 1)
+        assert row["n_all"] == size, row
+        print(json.dumps({
+            "smoke": "funnel", "n_docs": size, "wall_sec": wall,
+            "n_gopher": row["n_gopher"], "n_lang": row["n_lang"],
+            "n_classifier": row["n_classifier"], "n_cap": row["n_cap"],
+        }), flush=True)
+
+
 def smoke_knn_density(n: int = 100_000, dim: int = 16) -> None:
     """knn_density_blocked over a FULL corpus (every vector is a
     query — the data-pruning shape, much heavier than an n-query ANN
@@ -2252,6 +2359,7 @@ if __name__ == "__main__":
         "dsir": smoke_dsir,
         "domain_cap": smoke_domain_cap,
         "curation_scan": smoke_curation_scan,
+        "funnel": smoke_funnel,
         "charspan": smoke_charspan,
         "lang_id": smoke_lang_id,
         "image_decode": smoke_image_decode,
