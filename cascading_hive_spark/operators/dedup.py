@@ -1167,34 +1167,42 @@ def semantic_dedup_pairs(
         # the exact cut below redoes both in left-to-right double order.
         nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
         nrm[nrm == 0.0] = 1.0
+        # exact square-norm folds, hoisted: cumsum's recurrence IS the
+        # left-to-right IEEE sequence (out[i] = out[i-1] + x[i]), so
+        # the last column is bit-for-bit the sequential Python fold it
+        # replaces — once per row instead of twice per candidate pair
+        sq = np.cumsum(mat * mat, axis=1)[:, -1]
         block = max(1, min(c, 8_388_608 // c))  # ~64 MB of sims per block
         for lo in range(0, c, block):
             hi = min(lo + block, c)
             sims = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
             ii, jj = np.nonzero(sims >= thr - 1e-9)
-            for bi, j in zip(ii.tolist(), jj.tolist()):
+            # group candidates by their left row so the exact dot folds
+            # run as ONE cumsum over (candidates x dim) per row — each
+            # row of that cumsum replays the old per-pair sequential
+            # fold bit-for-bit; sqrt/divide/compare are the same scalar
+            # IEEE ops elementwise, so the kept pairs and their cosines
+            # are unchanged to the last bit
+            ii, jj = np.asarray(ii), np.asarray(jj)
+            for bi in np.unique(ii).tolist():
                 i = lo + bi
-                if j <= i:
-                    continue
-                # exact sequential fold — the cross-engine contract
-                prod = mat[i] * mat[j]
-                dot = 0.0
-                for t in prod.tolist():
-                    dot += t
-                sa = 0.0
-                for t in (mat[i] * mat[i]).tolist():
-                    sa += t
-                sb = 0.0
-                for t in (mat[j] * mat[j]).tolist():
-                    sb += t
-                if sa == 0.0 or sb == 0.0:
+                if sq[i] == 0.0:
                     # zero-norm vector: cosine undefined — skip, matching
                     # the BLAS candidate filter's nrm==0 -> 1.0 convention
                     # (which yields sim 0 < thr for any positive thr).
                     continue
-                cos = dot / (sa**0.5 * sb**0.5)
-                if cos >= thr:
-                    a_, b_ = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                js = jj[ii == bi]
+                js = js[js > i]
+                js = js[sq[js] != 0.0]
+                if js.size == 0:
+                    continue
+                dots = np.cumsum(mat[i] * mat[js], axis=1)[:, -1]
+                cosv = dots / (sq[i] ** 0.5 * sq[js] ** 0.5)
+                keep = cosv >= thr
+                for j, cos in zip(js[keep].tolist(), cosv[keep].tolist()):
+                    a_, b_ = (
+                        (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                    )
                     out_a.append(a_)
                     out_b.append(b_)
                     out_c.append(cos)
