@@ -1433,3 +1433,143 @@ def group_percentile_rank(
         ).alias(out_col),
     )
     return df.join(ranked, [group_col, value_col])
+
+
+def autocorrelation(
+    daily: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key sample autocorrelation of a regular (gap-filled) count
+    series at lags 1..``max_lag`` — the seasonality probe that sits
+    next to ``cusum_changepoint`` in a metrics pipeline (is the daily
+    series periodic before we fit a seasonal model?).
+
+    acf_k = sum_t (x_t - mean)(x_{t-k} - mean) / sum_t (x_t - mean)^2
+    computed entirely in scaled-integer algebra so the DuckDB oracle
+    replays it bit-for-bit: deviations are carried as
+    ``n * x_t - tot`` (integers — n and tot from one per-key
+    aggregate), lag products summed as DECIMAL(38,0) exactly, and the
+    single double division rounded once at the end. The n^2 scale
+    factor cancels in the ratio.
+
+    Scale: one ≤|keys|-row aggregate broadcast back, one window pass
+    ordered by bucket per key (series length = days, bounded by the
+    calendar not the data), one per-key aggregate. No data-sized
+    state; a constant series (den = 0) yields NULL acf, not a crash
+    (ANSI divide guard).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    stats = daily.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(cnt_col).alias("_tot")
+    )
+    dev = (
+        (F.col("_n") * F.col(cnt_col) - F.col("_tot"))
+        .cast("decimal(18,0)")
+        .alias("_dev")
+    )
+    d = daily.join(F.broadcast(stats), key_cols).select(
+        *key_cols, F.col(bucket_col), dev
+    )
+    w = Window.partitionBy(*key_cols).orderBy(bucket_col)
+    lagged = d.select(
+        *key_cols,
+        "_dev",
+        *[
+            F.lag("_dev", k).over(w).alias(f"_dl{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = lagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum((F.col("_dev") * F.col("_dev")).cast("decimal(38,0)")).alias(
+            "_den"
+        ),
+        *[
+            F.sum(
+                (F.col("_dev") * F.col(f"_dl{k}")).cast("decimal(38,0)")
+            ).alias(f"_num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    pairs = ", ".join(
+        f"{k}, _acf{k}" for k in range(1, max_lag + 1)
+    )
+    acfs = agg.select(
+        *key_cols,
+        "n_points",
+        *[
+            (
+                F.when(
+                    F.col("_den") != 0,
+                    F.round(
+                        F.col(f"_num{k}").cast("double")
+                        / F.col("_den").cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0),
+                ).alias(f"_acf{k}")
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    return acfs.select(
+        *key_cols,
+        "n_points",
+        F.expr(f"stack({max_lag}, {pairs}) as (lag, acf)"),
+    ).select(*key_cols, F.col("lag").cast("int"), "acf", "n_points")
+
+
+def dow_seasonality(
+    daily: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Day-of-week seasonal indices via the classical-decomposition
+    recipe (trend = centered 7-day moving average over the gap-filled
+    daily series; seasonal index = mean detrended value per weekday).
+
+    Exactness: interior days (full 7-row window) only; the detrended
+    value is carried as the integer ``7*x_t - sum7`` so the per-dow
+    mean is one DECIMAL(38,0) sum and one final rounded double
+    division by ``7 * n_obs`` — bit-for-bit replayable in SQL.
+    ``dow`` is DuckDB-aligned (0 = Sunday .. 6 = Saturday;
+    Spark's dayofweek is 1-based).
+
+    Scale: one window pass per key over calendar-bounded series, one
+    (key, dow) aggregate — ≤ 7·|keys| output rows.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-3, 3)
+    )
+    t = (
+        daily.withColumn("_wsum", F.sum(cnt_col).over(w))
+        .withColumn("_wn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_wn") == 7)
+    )
+    dev7 = (F.lit(7) * F.col(cnt_col) - F.col("_wsum")).cast("decimal(38,0)")
+    out = t.groupBy(
+        *key_cols, (F.dayofweek(bucket_col) - 1).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(dev7).alias("_s"),
+    )
+    return out.select(
+        *key_cols,
+        "dow",
+        "n_obs",
+        (
+            F.round(
+                F.col("_s").cast("double")
+                / (F.lit(7) * F.col("n_obs")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("seasonal"),
+    )

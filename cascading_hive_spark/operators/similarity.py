@@ -2015,3 +2015,93 @@ def pca_power_project(
             ).alias("pc1"),
         )
     )
+
+
+def hard_negative_mine(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Triplet mining for contrastive training: for each query anchor,
+    the top-k most-cosine-similar corpus rows with a DIFFERENT label
+    (hard negatives) plus the nearest SAME-label row (the positive)
+    and the triplet margin ``pos_sim - neg_sim`` — negative margins
+    mark anchors whose nearest impostor outranks their nearest
+    genuine neighbor, exactly the rows a metric-learning curriculum
+    feeds first.
+
+    Brute force over a broadcast anchor set (the knn_join shape: one
+    corpus scan, two windows); for anchor sets beyond broadcast size,
+    run the same label filters through ivf_knn_join's cell-probe path
+    instead. Cosine is the sequential-double fold (bit-identical to
+    the SQL oracle); ranking frontier is (rounded sim DESC, id) like
+    every ANN operator here. Anchors whose label has no second member
+    keep their negatives with NULL positive/margin.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qv"),
+            F.col(label_col).alias("_ql"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    scored = (
+        vectors.withColumn("_n", norm(F.col(vec_col)))
+        .crossJoin(q)
+        .select(
+            F.col("_qid"),
+            F.col("_ql"),
+            F.col(id_col),
+            F.col(label_col),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"))
+                / (F.col("_n") * F.col("_qn")),
+                6,
+            ).alias("_sim"),
+        )
+    )
+    wneg = Window.partitionBy("_qid").orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    negs = (
+        scored.filter(F.col(label_col) != F.col("_ql"))
+        .withColumn("rnk", F.row_number().over(wneg))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col).alias("neg_id"),
+            F.col("_sim").alias("neg_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+    pos = (
+        scored.filter(
+            (F.col(label_col) == F.col("_ql"))
+            & (F.col(id_col) != F.col("_qid"))
+        )
+        .withColumn("_rp", F.row_number().over(wneg))
+        .filter(F.col("_rp") == 1)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col).alias("pos_id"),
+            F.col("_sim").alias("pos_sim"),
+        )
+    )
+    return negs.join(pos, query_id_col, "left").select(
+        query_id_col,
+        "neg_id",
+        "neg_sim",
+        "rnk",
+        "pos_id",
+        "pos_sim",
+        (
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6) + F.lit(0.0)
+        ).alias("margin"),
+    )

@@ -592,3 +592,99 @@ def bloom_flag_grams_pandas(words: list[int], m_bits: int, k: int = 3,
         return grams.map(one)
 
     return _flagged
+
+
+# --- KMV (k minimum values) distinct sketch -------------------------
+#
+# Bar-Yossef et al. 2002 ("Counting distinct elements in a data
+# stream"): keep the k smallest hash values of the set; with R_k the
+# k-th smallest hash normalized to (0,1), E[distinct] ~ (k-1)/R_k.
+# The sketch is mergeable (union = bottom-k of the concatenation), so
+# per-source sketches roll up to a union estimate without re-reading
+# the sources — the cheap cross-partition "how many distinct users
+# across ALL segments" that HLL answers, but with a trivially
+# portable integer algebra (md5 bottom-k, one double division) that a
+# SQL oracle replays bit-for-bit. Error ~ 1/sqrt(k).
+
+
+def kmv_distinct_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: str = "kmv16",
+    union_key: str = "__ALL__",
+) -> DataFrame:
+    """Per-key KMV distinct estimate + a merged ``union_key`` row.
+
+    Hashes are the first 13 hex chars of md5 (52 bits — exactly
+    representable in a double, identical in Spark and DuckDB); the
+    bottom-k per key is a window row_number over the DISTINCT hash
+    set. Keys with fewer than k distinct values fall back to the
+    exact sketch size (the standard KMV small-set branch). Exact
+    distincts ride along for the rel_err column — at 100 TB you would
+    drop them and keep only the sketch pass; they are here so the
+    estimate is certifiable.
+
+    Scale: the shuffle carries (key, 8-byte hash) distinct pairs —
+    never values; the union row merges per-key sketches by re-ranking
+    the same distinct-hash relation under one key, not by re-reading
+    the input.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(seed), F.col(value_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("key"), h)
+        .distinct()
+    )
+    merged = hashed.select(F.lit(union_key).alias("key"), "h").distinct()
+    allh = hashed.unionByName(merged)
+    w = Window.partitionBy("key").orderBy("h")
+    sk = allh.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    stats = allh.groupBy("key").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    agg = sk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("exact_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * 2.0**52) / F.col("_hk").cast("double")
+    )
+    return (
+        agg.join(stats, "key")
+        .select(
+            "key",
+            "n_sketch",
+            "exact_distinct",
+            (F.round(est, 4) + F.lit(0.0)).alias("est_distinct"),
+            (
+                F.round(
+                    est / F.col("exact_distinct").cast("double") - 1.0, 4
+                )
+                + F.lit(0.0)
+            ).alias("rel_err"),
+        )
+    )

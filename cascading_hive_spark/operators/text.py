@@ -1257,3 +1257,75 @@ def synth_lang_corpus() -> list[tuple[int, str, str]]:
             rows.append((doc_id, " ".join(words), lang))
             doc_id += 1
     return rows
+
+
+# RAKE stopword inventory (Rose et al. 2010, "Automatic keyword
+# extraction from individual documents"): phrase delimiters. Kept as
+# a module constant so the SQL oracle embeds the SAME alternation —
+# the list is part of the operator's contract, not a tunable.
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "or", "that",
+    "the", "to", "was", "were", "will", "with",
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """RAKE corpus keywords (Rose et al. 2010): split text into
+    candidate phrases at punctuation/stopword boundaries, then score
+    each word by ``degree / freq`` where ``freq`` counts the word's
+    phrase occurrences and ``degree`` sums the lengths of the phrases
+    it occurs in (co-occurrence degree including self). High scores
+    mark words that live inside long multi-word phrases — keyword
+    material; connective vocabulary scores ~1.
+
+    Spark-first shape: the phrase segmentation is pure string algebra
+    on the scan (lowercase → collapse non-alnum to spaces → replace
+    stopword occurrences with '|' → split), so the only shuffle is
+    the word-keyed aggregate and the result is a
+    TakeOrderedAndProject top-k. Integer freq/degree make the score a
+    single rounded double division — bit-replayable in SQL.
+    """
+    stop_alt = "|".join(RAKE_STOPWORDS)
+    phrases = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col(text_col)), "[^a-z0-9]+", " "
+                    ),
+                    rf"\b({stop_alt})\b",
+                    "|",
+                ),
+                r"[|]",
+            )
+        ).alias("_ph")
+    )
+    words = phrases.select(
+        F.filter(
+            F.split(F.trim(F.col("_ph")), " +"), lambda t: t != ""
+        ).alias("_ws")
+    ).filter(F.size("_ws") > 0)
+    exploded = words.select(
+        F.size("_ws").alias("_plen"), F.explode("_ws").alias("word")
+    )
+    agg = exploded.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("_plen").alias("degree"),
+    )
+    scored = agg.select(
+        "word",
+        "freq",
+        "degree",
+        F.round(
+            F.col("degree").cast("double") / F.col("freq").cast("double"),
+            6,
+        ).alias("rake_score"),
+    )
+    return scored.orderBy(
+        F.col("rake_score").desc(), F.col("freq").desc(), F.col("word")
+    ).limit(top_n)

@@ -10407,6 +10407,273 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# ---------------------------------------------------------------- #
+# r16 continuation registrations: time-series diagnostics (ACF,    #
+# day-of-week seasonality), a KMV distinct sketch, triplet hard-   #
+# negative mining, and RAKE keyword extraction. Each follows the   #
+# established exactness idioms: integer/decimal-image sums, one    #
+# rounded double division, (rounded measure, id) rank frontiers,   #
+# and the +0.0 zero-straddle guard on sign-crossing floats.        #
+# ---------------------------------------------------------------- #
+
+
+# Sample autocorrelation of the gap-filled daily count series per
+# event_type, lags 1..7 (the "is this series weekly-periodic" probe
+# that precedes any seasonal model). Deviations are carried as the
+# integer image n*x_t - tot so numerator/denominator are exact
+# DECIMAL(38,0) sums; the n^2 scale cancels in the single rounded
+# division. Constant series (den = 0) yield NULL, not a crash.
+@register(
+    "events_acf",
+    """
+    WITH a AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM a GROUP BY 1),
+    g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM b),
+    s AS (
+      SELECT g.event_type, g.bucket, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS tot
+      FROM s GROUP BY 1),
+    d AS (
+      SELECT s.event_type, bucket,
+             CAST(n * cnt - tot AS DECIMAL(18,0)) AS dev
+      FROM s JOIN st USING (event_type)),
+    l AS (
+      SELECT event_type, dev,
+             lag(dev, 1) OVER w AS dl1, lag(dev, 2) OVER w AS dl2,
+             lag(dev, 3) OVER w AS dl3, lag(dev, 4) OVER w AS dl4,
+             lag(dev, 5) OVER w AS dl5, lag(dev, 6) OVER w AS dl6,
+             lag(dev, 7) OVER w AS dl7
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+    ag AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+             sum(CAST(dev * dev AS DECIMAL(38,0))) AS den,
+             sum(CAST(dev * dl1 AS DECIMAL(38,0))) AS num1,
+             sum(CAST(dev * dl2 AS DECIMAL(38,0))) AS num2,
+             sum(CAST(dev * dl3 AS DECIMAL(38,0))) AS num3,
+             sum(CAST(dev * dl4 AS DECIMAL(38,0))) AS num4,
+             sum(CAST(dev * dl5 AS DECIMAL(38,0))) AS num5,
+             sum(CAST(dev * dl6 AS DECIMAL(38,0))) AS num6,
+             sum(CAST(dev * dl7 AS DECIMAL(38,0))) AS num7
+      FROM l GROUP BY 1),
+    ks AS (SELECT unnest(range(1, 8)) AS lag)
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CASE WHEN den <> 0 THEN
+             round(CAST(CASE lag WHEN 1 THEN num1 WHEN 2 THEN num2
+                        WHEN 3 THEN num3 WHEN 4 THEN num4 WHEN 5 THEN num5
+                        WHEN 6 THEN num6 WHEN 7 THEN num7 END AS DOUBLE)
+                   / CAST(den AS DOUBLE), 6) + 0.0
+           END AS acf,
+           n_points
+    FROM ag CROSS JOIN ks
+    """,
+)
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import (
+        autocorrelation,
+        resample_counts,
+    )
+
+    daily = resample_counts(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", grain="day"
+    )
+    return autocorrelation(daily, ["event_type"], "bucket", "cnt", max_lag=7)
+
+
+# Day-of-week seasonal indices by classical decomposition: trend =
+# centered 7-day moving average (interior days only), seasonal index
+# = per-dow mean of the detrended series, carried as the integer
+# 7*x_t - sum7 so the per-dow mean is one exact DECIMAL sum and one
+# rounded division. dow is DuckDB-aligned (0 = Sunday).
+@register(
+    "events_dow_seasonality",
+    """
+    WITH a AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM a GROUP BY 1),
+    g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM b),
+    s AS (
+      SELECT g.event_type, g.bucket, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket),
+    t AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER w AS wsum, count(*) OVER w AS wn
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    f AS (
+      SELECT event_type, CAST(dayofweek(bucket) AS INT) AS dow,
+             CAST(7 * cnt - wsum AS DECIMAL(38,0)) AS dev7
+      FROM t WHERE wn = 7)
+    SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(dev7) AS DOUBLE)
+                 / CAST(7 * count(*) AS DOUBLE), 6) + 0.0 AS seasonal
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import (
+        dow_seasonality,
+        resample_counts,
+    )
+
+    daily = resample_counts(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", grain="day"
+    )
+    return dow_seasonality(daily, ["event_type"], "bucket", "cnt")
+
+
+# KMV bottom-k distinct sketch (Bar-Yossef et al. 2002) per
+# event_type + the merged '__ALL__' union row — the mergeable
+# distinct-count sketch family next to HLL, with a fully portable
+# md5 bottom-k algebra the oracle replays bit-for-bit. Keys with
+# fewer than k distinct values take the exact small-set branch.
+@register(
+    "events_kmv_distinct",
+    """
+    WITH hv AS (
+      SELECT DISTINCT CAST(event_type AS VARCHAR) AS key,
+             CAST(concat('0x', substr(md5(concat('kmv16', '|',
+                 CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    allh AS (
+      SELECT key, h FROM hv
+      UNION ALL
+      SELECT '__ALL__' AS key, h FROM (SELECT DISTINCT h FROM hv)),
+    sk AS (
+      SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+      FROM allh),
+    ag AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hk
+      FROM sk WHERE rn <= 64 GROUP BY 1),
+    ex AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM allh GROUP BY 1),
+    est AS (
+      SELECT key, n_sketch, exact_distinct,
+             CASE WHEN n_sketch < 64 THEN CAST(exact_distinct AS DOUBLE)
+                  -- 63 * 2^52 (6 significant bits): exactly the
+                  -- double Spark carries as F.lit(63 * 2.0**52)
+                  ELSE CAST(283726776524341248 AS DOUBLE)
+                       / CAST(hk AS DOUBLE)
+             END AS e
+      FROM ag JOIN ex USING (key))
+    SELECT key, n_sketch, exact_distinct,
+           round(e, 4) + 0.0 AS est_distinct,
+           round(e / CAST(exact_distinct AS DOUBLE) - 1.0, 4) + 0.0 AS rel_err
+    FROM est
+    """,
+)
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.sketches import kmv_distinct_by_key
+
+    return kmv_distinct_by_key(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", k=64
+    )
+
+
+# Triplet hard-negative mining over the labeled embeddings: per
+# anchor (vec_id < 8), the top-3 most-similar DIFFERENT-label rows,
+# the nearest same-label positive, and the margin pos - neg. Brute
+# force over the broadcast anchor set (the knn_join shape); the
+# label-filtered windows are the only new machinery, so the oracle
+# replays the whole path with the shared sequential-fold cosine.
+@register(
+    "embedding_hard_negatives",
+    f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8),
+    s AS (
+      SELECT q.vec_id AS qid, q.label AS ql, e.vec_id AS id,
+             e.label AS lbl, round({_QCOS}, 6) AS sim
+      FROM embeddings e, q),
+    negs AS (
+      SELECT qid, id, sim,
+             CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, id) AS BIGINT) AS rnk
+      FROM s WHERE lbl <> ql),
+    pos AS (
+      SELECT qid, id AS pos_id, sim AS pos_sim,
+             row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, id) AS rp
+      FROM s WHERE lbl = ql AND id <> qid)
+    SELECT n.qid AS query_id, n.id AS neg_id, n.sim AS neg_sim, n.rnk,
+           p.pos_id, p.pos_sim,
+           round(p.pos_sim - n.sim, 6) + 0.0 AS margin
+    FROM negs n
+    LEFT JOIN (SELECT qid, pos_id, pos_sim FROM pos WHERE rp = 1) p
+      USING (qid)
+    WHERE n.rnk <= 3
+    """,
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.similarity import hard_negative_mine
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 8)
+    return hard_negative_mine(e, anchors, k=3, query_id_col="query_id")
+
+
+# RAKE corpus keywords (Rose et al. 2010): phrase segmentation at
+# punctuation/stopword boundaries as pure scan-side string algebra,
+# one word-keyed aggregate, TakeOrderedAndProject top-20 by
+# degree/freq. The stopword alternation is shared from
+# text.RAKE_STOPWORDS so both engines segment identically.
+from cascading_hive_spark.operators.text import (  # noqa: E402
+    RAKE_STOPWORDS as _RAKE_STOPWORDS,
+)
+
+_RAKE_ALT = "|".join(_RAKE_STOPWORDS)
+
+
+@register(
+    "text_rake_keywords",
+    rf"""
+    WITH ph AS (
+      SELECT unnest(string_split_regex(
+          regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                         '\b({_RAKE_ALT})\b', '|', 'g'),
+          '[|]')) AS ph
+      FROM documents WHERE text IS NOT NULL),
+    ws AS (
+      SELECT list_filter(string_split_regex(trim(ph), ' +'),
+                         t -> t <> '') AS ws
+      FROM ph),
+    ex AS (
+      SELECT len(ws) AS plen, unnest(ws) AS word
+      FROM ws WHERE len(ws) > 0),
+    ag AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM ex GROUP BY 1)
+    SELECT word, freq, degree,
+           round(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+             AS rake_score
+    FROM ag
+    ORDER BY rake_score DESC, freq DESC, word
+    LIMIT 20
+    """,
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.text import rake_keywords
+
+    return rake_keywords(_t(spark, sf_dir, "documents"), "text", top_n=20)
+
+
 # r16 ROTATION NOTE (supersedes the r15 note; r15 ran 50/50 green —
 # 42 hash-matches + the 8 declared rows-only). Window recomputed
 # STALEST-FIRST over the frozen basis CORRECTNESS_r01..r15 (the
@@ -10414,8 +10681,10 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 # the r15 VERDICT #1 staleness burn-down: 40 of the 50 slots go to
 # the cohort whose latest green row is round 10.
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked: none — no new registrations this round
-#     (the surface is complete; r16 is burn-down + evidence gaps);
+# (2) never driver-checked: the five r16-continuation registrations
+#     (events_acf, events_dow_seasonality, events_kmv_distinct,
+#     embedding_hard_negatives, text_rake_keywords) enter per policy,
+#     displacing the five alphabetically-last round-10 fill slots;
 # (3) forced re-verification of code touched this round:
 #     docs_bloom_decontaminate_bcast (its broadcast probe leg gained
 #     the eager m-bits range precheck, r15 ADVICE — the one
@@ -10429,11 +10698,13 @@ def q_embedding_knn_density_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 #     bpe_segment, graph_kcore_portable, embedding_pca_power_project
 #     — all oracle-able, so EVERY query in this window hash-checks
 #     (no rows-only slots this round);
-# (5) the remaining 40 slots fill stalest-first: 40 of the 43
+# (5) the remaining 35 slots fill stalest-first: 35 of the 43
 #     round-10 cohort queries, alphabetical (ann_cosine_topk ..
-#     streaming_dedup). The 3 that do not fit — streaming_enrich,
-#     streaming_hourly_counts, text_analyze — are self-swept this
-#     round (BASELINE.md) and top the r17 fill.
+#     streaming_dedup minus the five displaced). The 8 that do not
+#     fit — orders_target_encoding, part_pareto_frontier,
+#     sample_exact_quota, sample_weighted_aes, streaming_dedup,
+#     streaming_enrich, streaming_hourly_counts, text_analyze — are
+#     self-swept this round (BASELINE.md) and top the r17 fill.
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + whichever half of
 # each rows-only pair is staler), and let the policy test recompute
@@ -10484,6 +10755,12 @@ _ROWS_ONLY_TWINS: dict[str, str] = {
 
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
+    # -- never driver-checked (r16-continuation registrations):
+    "events_acf",
+    "events_dow_seasonality",
+    "events_kmv_distinct",
+    "embedding_hard_negatives",
+    "text_rake_keywords",
     # -- code touched this round (r15 ADVICE), re-verify:
     "docs_bloom_decontaminate_bcast",
     # -- rows-only pair coverage via the PORTABLE twins (staler half;
@@ -10533,11 +10810,6 @@ _DRIVER_WINDOW: list[str] = [
     "incremental_agg_merge",
     "multimodal_meta",
     "orders_basket_lift",
-    "orders_target_encoding",
-    "part_pareto_frontier",
-    "sample_exact_quota",
-    "sample_weighted_aes",
-    "streaming_dedup",
 ]
 
 

@@ -1,0 +1,240 @@
+"""Properties of the r16-continuation operators: autocorrelation,
+day-of-week seasonality, KMV distinct sketch, triplet hard-negative
+mining, RAKE keywords — exact values on constructed inputs, estimator
+accuracy bounds, and empty/degenerate-input robustness (the ANSI
+divide-by-zero lesson from r13)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_hive_spark.operators.relational import (
+    autocorrelation,
+    dow_seasonality,
+)
+from cascading_hive_spark.operators.similarity import hard_negative_mine
+from cascading_hive_spark.operators.sketches import kmv_distinct_by_key
+from cascading_hive_spark.operators.text import RAKE_STOPWORDS, rake_keywords
+
+
+def _daily(spark, counts, key="a", start="2024-01-01"):
+    rows = [(key, f"{start[:8]}{1 + i:02d}", int(c)) for i, c in enumerate(counts)]
+    return spark.createDataFrame(
+        rows, "k string, bucket string, cnt long"
+    ).withColumn("bucket", F.col("bucket").cast("timestamp"))
+
+
+def test_acf_matches_numpy_definition(spark):
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7]
+    out = autocorrelation(
+        _daily(spark, xs), ["k"], "bucket", "cnt", max_lag=3
+    ).collect()
+    # mirror the operator's exact integer image (n^2 cancels in the
+    # ratio) so the expected value is bit-identical, not approximate
+    n, tot = len(xs), sum(xs)
+    dev = [n * x - tot for x in xs]
+    den = sum(d * d for d in dev)
+    for r in out:
+        num = sum(dev[t] * dev[t - r.lag] for t in range(r.lag, len(xs)))
+        assert r.n_points == n
+        assert r.acf == round(num / den, 6)
+
+
+def test_acf_period2_series_alternates_sign(spark):
+    xs = [0, 10] * 8
+    out = {
+        r.lag: r.acf
+        for r in autocorrelation(
+            _daily(spark, xs), ["k"], "bucket", "cnt", max_lag=2
+        ).collect()
+    }
+    assert out[1] < 0 < out[2]
+
+
+def test_acf_constant_series_null_not_crash(spark):
+    out = autocorrelation(
+        _daily(spark, [5] * 10), ["k"], "bucket", "cnt", max_lag=2
+    ).collect()
+    assert len(out) == 2 and all(r.acf is None for r in out)
+
+
+def test_acf_empty_input(spark):
+    empty = spark.createDataFrame([], "k string, bucket timestamp, cnt long")
+    assert autocorrelation(empty, ["k"], "bucket", "cnt").count() == 0
+
+
+def test_dow_seasonality_constant_series_is_zero(spark):
+    out = dow_seasonality(_daily(spark, [4] * 21), ["k"]).collect()
+    assert len(out) == 7  # 15 interior days cover all 7 weekdays
+    assert all(r.seasonal == 0.0 for r in out)
+
+
+def test_dow_seasonality_weekly_pattern_recovered(spark):
+    # period-7 impulse: day 0, 7, 14, ... carry +7 extra events
+    xs = [10 + (7 if i % 7 == 0 else 0) for i in range(28)]
+    out = dow_seasonality(_daily(spark, xs), ["k"]).collect()
+    # 2024-01-01 is a Monday -> impulse lands on dow=1 (0=Sunday)
+    by_dow = {r.dow: r.seasonal for r in out}
+    assert by_dow[1] == max(by_dow.values())
+    assert by_dow[1] == 6.0  # 7 - 7/7 (impulse minus its trend share)
+    assert all(v == -1.0 for d, v in by_dow.items() if d != 1)
+
+
+def test_dow_seasonality_empty_input(spark):
+    empty = spark.createDataFrame([], "k string, bucket timestamp, cnt long")
+    assert dow_seasonality(empty, ["k"]).count() == 0
+
+
+def test_kmv_small_set_branch_is_exact(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(20)], "grp string, v long"
+    )
+    rows = {
+        r.key: r for r in kmv_distinct_by_key(df, "grp", "v", k=64).collect()
+    }
+    for key in ("a", "__ALL__"):
+        assert rows[key].exact_distinct == 20
+        assert rows[key].est_distinct == 20.0
+        assert rows[key].rel_err == 0.0
+
+
+def test_kmv_estimator_within_error_bound(spark):
+    # 3 groups x 2000 distinct values (plus overlap through __ALL__);
+    # KMV k=64 has std err ~ 1/sqrt(k-2) ~ 12.7%; assert a 4-sigma band
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(6000)], "grp string, v long"
+    )
+    out = kmv_distinct_by_key(df, "grp", "v", k=64).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_sketch == 64
+        assert abs(r.rel_err) < 4 / math.sqrt(62), (r.key, r.rel_err)
+
+
+def test_kmv_union_row_merges_all_groups(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(5, 15)],
+        "grp string, v long",
+    )
+    rows = {r.key: r for r in kmv_distinct_by_key(df, "grp", "v").collect()}
+    assert rows["__ALL__"].exact_distinct == 15  # union, not sum
+    assert rows["a"].exact_distinct == rows["b"].exact_distinct == 10
+
+
+def test_kmv_null_values_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2)], "grp string, v long"
+    )
+    rows = {r.key: r for r in kmv_distinct_by_key(df, "grp", "v").collect()}
+    assert rows["a"].exact_distinct == 2
+
+
+def test_kmv_empty_input(spark):
+    empty = spark.createDataFrame([], "grp string, v long")
+    assert kmv_distinct_by_key(empty, "grp", "v").count() == 0
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_hard_negatives_labels_and_margin(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # nearest same-label to 0
+        (2, [0.95, 0.05], 1),  # nearest impostor to 0
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    e = _emb(spark, rows)
+    out = hard_negative_mine(e, e.filter("vec_id = 0"), k=2).collect()
+    assert [r.neg_id for r in sorted(out, key=lambda r: r.rnk)] == [2, 3]
+    top = next(r for r in out if r.rnk == 1)
+    assert top.pos_id == 1
+    # impostor 2 is closer than genuine 1 -> negative margin
+    assert top.margin < 0
+    assert all(r.pos_id == 1 and r.pos_sim == top.pos_sim for r in out)
+
+
+def test_hard_negatives_singleton_label_null_positive(spark):
+    rows = [(0, [1.0, 0.0], 0), (1, [0.5, 0.5], 1), (2, [0.0, 1.0], 1)]
+    e = _emb(spark, rows)
+    out = hard_negative_mine(e, e.filter("vec_id = 0"), k=2).collect()
+    assert len(out) == 2
+    assert all(r.pos_id is None and r.margin is None for r in out)
+
+
+def test_hard_negatives_empty_anchor_set(spark):
+    rows = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)]
+    e = _emb(spark, rows)
+    assert hard_negative_mine(e, e.filter("vec_id < 0"), k=2).count() == 0
+
+
+def test_rake_scores_known_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of the deep model"),
+            (2, "deep learning is great; model training"),
+        ],
+        "doc_id long, text string",
+    )
+    # phrases: [deep learning], [deep model] / [deep learning],
+    #          [great model training]  ("is" and ";" delimit; nothing
+    #          separates great/model/training)
+    out = {r.word: r for r in rake_keywords(docs, "text", top_n=10).collect()}
+    assert out["deep"].freq == 3 and out["deep"].degree == 6
+    assert out["learning"].freq == 2 and out["learning"].degree == 4
+    assert out["model"].freq == 2 and out["model"].degree == 5
+    assert out["great"].freq == 1 and out["great"].degree == 3
+    assert out["deep"].rake_score == 2.0
+    assert out["great"].rake_score == 3.0
+    # stopwords never surface as keywords
+    assert not set(out) & set(RAKE_STOPWORDS)
+
+
+def test_rake_top_n_frontier_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(docs, "text", top_n=3).collect()
+    # all score 2.0; ties break by freq desc then word asc
+    assert [r.word for r in out] == ["alpha", "beta", "delta"]
+
+
+def test_rake_empty_and_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "; , .")], "doc_id long, text string"
+    )
+    assert rake_keywords(docs, "text").count() == 0
+
+
+def test_new_queries_no_cartesian(spark, sf_dir):
+    from cascading_hive_spark import queries as Q
+    from cascading_hive_spark.plans.explain import assert_no_cartesian
+
+    for name in (
+        "events_acf",
+        "events_dow_seasonality",
+        "events_kmv_distinct",
+        "embedding_hard_negatives",
+        "text_rake_keywords",
+    ):
+        assert_no_cartesian(Q.queries()[name](spark, sf_dir))
+
+
+def test_rake_query_plans_take_ordered(spark, sf_dir):
+    from cascading_hive_spark import queries as Q
+
+    plan = (
+        Q.queries()["text_rake_keywords"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
