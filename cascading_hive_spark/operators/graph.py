@@ -486,3 +486,61 @@ def k_core(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    deterministic tie-break: labels start as node ids; each round
+    every node adopts the most frequent label among its neighbors
+    (undirected), ties to the SMALLEST label. Fixed ``iterations``
+    rather than a convergence stop so the result is a deterministic
+    function of the graph — the same fixed-round contract as
+    pagerank_portable / the k-core twin, which is what lets a SQL
+    oracle replay the unrolled rounds exactly.
+
+    Returns (node, community). Scale shape per round: one join of the
+    symmetrized edge list against the (node, label) table (shuffle on
+    the edge key) + one (node, label) count aggregate + a per-node
+    argmax window over the ≤degree-sized label counts; rows never
+    carry more than two ids. Lineage is cut with ``localCheckpoint``
+    every ``checkpoint_every`` rounds (the iteration hygiene shared
+    with connected_components / pagerank).
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates(["u", "v"])
+        .filter(F.col("u") != F.col("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("label")
+    )
+    for i in range(iterations):
+        votes = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(sym["u"].alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select("node", F.col("label").alias("community"))

@@ -70,3 +70,125 @@ def interpolate_daily(
         filled.alias(value_col),
         v.isNull().alias("interpolated"),
     )
+
+
+def ewma_forecast(
+    daily: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+    alpha: float = 0.3,
+    one_minus_alpha: float = 0.7,
+) -> DataFrame:
+    """Simple exponential smoothing over the gap-filled daily series:
+    level_t = alpha*x_t + (1-alpha)*level_{t-1}, seeded with x_1; the
+    final level IS the one-step-ahead forecast. The recurrence runs as
+    a sequential double left-fold (``F.aggregate`` over the
+    bucket-sorted array) — the same cross-engine-exact fold idiom as
+    the cosine operators, replayed in DuckDB by ``list_reduce`` (whose
+    accumulator seeds with the first element, hence the slice-from-2
+    here). Both coefficient literals are passed explicitly so the two
+    engines multiply by bit-identical doubles.
+
+    Scale: per-key array length = the key's calendar span in days —
+    bounded by time, not traffic; one shuffle on the series key.
+    """
+    xs = F.expr(
+        f"transform(array_sort(collect_list(struct({bucket_col}, "
+        f"{cnt_col}))), s -> CAST(s.{cnt_col} AS DOUBLE))"
+    )
+    grouped = daily.groupBy(*key_cols).agg(
+        xs.alias("_xs"), F.count(F.lit(1)).alias("n_days")
+    )
+    ew = F.aggregate(
+        F.expr("slice(_xs, 2, size(_xs) - 1)"),
+        F.element_at("_xs", 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(one_minus_alpha) * acc,
+    )
+    return grouped.select(
+        *key_cols,
+        "n_days",
+        F.element_at("_xs", -1).alias("last_obs"),
+        (F.round(ew, 6) + F.lit(0.0)).alias("ewma_forecast"),
+    )
+
+
+def mann_kendall(
+    daily: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per key over the gap-filled
+    daily series: S = sum over i<j of sign(x_j - x_i); the normal
+    approximation with the tie correction
+    var(S) = (n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)) / 18 and the
+    continuity-corrected z = (S -/+ 1)/sqrt(var). |z| > 1.96 labels
+    the trend at 5% significance. Everything up to the final division
+    is exact integer algebra, so the SQL twin replays it bit-for-bit;
+    an all-tied series (var = 0) yields NULL z / 'no_trend'.
+
+    Scale: the pairwise self-join is per key over the calendar-bounded
+    series (n = days — at 30 days, 435 sign terms per key), never over
+    event rows; tie groups and n come from two bounded aggregates.
+    """
+    d = daily.select(*key_cols, F.col(bucket_col), F.col(cnt_col))
+    a, b = d.alias("a"), d.alias("b")
+    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    pairs = a.join(
+        b, on + [F.col(f"a.{bucket_col}") < F.col(f"b.{bucket_col}")]
+    ).select(
+        *[F.col(f"a.{k}").alias(k) for k in key_cols],
+        F.when(F.col(f"b.{cnt_col}") > F.col(f"a.{cnt_col}"), F.lit(1))
+        .when(F.col(f"b.{cnt_col}") < F.col(f"a.{cnt_col}"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("_sgn"),
+    )
+    s_stat = pairs.groupBy(*key_cols).agg(
+        F.sum("_sgn").cast("bigint").alias("s_stat")
+    )
+    ties = (
+        d.groupBy(*key_cols, cnt_col)
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            ).alias("_tie_term"),
+            F.sum("_t").alias("n_days"),
+        )
+    )
+    j = s_stat.join(ties, key_cols)
+    var_num = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("_tie_term")
+    )
+    var_s = var_num.cast("double") / F.lit(18.0)
+    z = F.when(
+        var_num > 0,
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0)),
+    )
+    return j.select(
+        *key_cols,
+        "n_days",
+        "s_stat",
+        (F.round(var_s, 6) + F.lit(0.0)).alias("var_s"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        F.when(z > 1.96, F.lit("increasing"))
+        .when(z < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

@@ -10674,6 +10674,187 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(_t(spark, sf_dir, "documents"), "text", top_n=20)
 
 
+# EWMA one-step forecast: the F.aggregate double recurrence replayed
+# by DuckDB's list_reduce (accumulator seeds with the first element
+# on both sides — Spark slices from position 2 and seeds explicitly).
+# Coefficients ride as explicit double literals so both engines run
+# the identical IEEE sequence; bit-exactness certified by the hash.
+@register(
+    "events_ewma_forecast",
+    """
+    WITH a AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM a GROUP BY 1),
+    g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM b),
+    s AS (
+      SELECT g.event_type, g.bucket, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket),
+    arrs AS (
+      SELECT event_type, list(CAST(cnt AS DOUBLE) ORDER BY bucket) AS xs,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM s GROUP BY 1)
+    SELECT event_type, n_days,
+           xs[len(xs)] AS last_obs,
+           round(list_reduce(xs, (acc, x) ->
+                 CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc), 6)
+             + 0.0 AS ewma_forecast
+    FROM arrs
+    """,
+)
+def q_events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import resample_counts
+    from cascading_hive_spark.operators.timeseries import ewma_forecast
+
+    daily = resample_counts(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", grain="day"
+    )
+    return ewma_forecast(daily, ["event_type"], "bucket", "cnt", alpha=0.3)
+
+
+# Mann-Kendall monotone-trend test per event_type over the gap-filled
+# daily series: integer S statistic + tie-corrected variance, one
+# final division/sqrt. The pairwise join is over the calendar-bounded
+# series (30 days -> 435 sign terms per key), never event rows.
+@register(
+    "events_trend_mannkendall",
+    """
+    WITH a AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM a GROUP BY 1),
+    g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM b),
+    s AS (
+      SELECT g.event_type, g.bucket, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket),
+    p AS (
+      SELECT x.event_type,
+             CASE WHEN y.cnt > x.cnt THEN 1
+                  WHEN y.cnt < x.cnt THEN -1 ELSE 0 END AS sgn
+      FROM s x JOIN s y
+        ON x.event_type = y.event_type AND x.bucket < y.bucket),
+    ss AS (
+      SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat
+      FROM p GROUP BY 1),
+    tg AS (
+      SELECT event_type, cnt, CAST(count(*) AS BIGINT) AS t
+      FROM s GROUP BY 1, 2),
+    tt AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+             CAST(sum(t) AS BIGINT) AS n_days
+      FROM tg GROUP BY 1),
+    j AS (
+      SELECT ss.event_type, s_stat, n_days,
+             n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var_num
+      FROM ss JOIN tt ON ss.event_type = tt.event_type),
+    jz AS (
+      SELECT event_type, n_days, s_stat, var_num,
+             CAST(var_num AS DOUBLE) / CAST(18 AS DOUBLE) AS var_s,
+             CASE WHEN var_num > 0 THEN
+               CASE WHEN s_stat > 0 THEN
+                      CAST(s_stat - 1 AS DOUBLE)
+                      / sqrt(CAST(var_num AS DOUBLE) / CAST(18 AS DOUBLE))
+                    WHEN s_stat < 0 THEN
+                      CAST(s_stat + 1 AS DOUBLE)
+                      / sqrt(CAST(var_num AS DOUBLE) / CAST(18 AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END
+             END AS z
+      FROM j)
+    SELECT event_type, n_days, s_stat,
+           round(var_s, 6) + 0.0 AS var_s,
+           round(z, 6) + 0.0 AS z,
+           CASE WHEN z > CAST(1.96 AS DOUBLE) THEN 'increasing'
+                WHEN z < CAST(-1.96 AS DOUBLE) THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM jz
+    """,
+)
+def q_events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import resample_counts
+    from cascading_hive_spark.operators.timeseries import mann_kendall
+
+    daily = resample_counts(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", grain="day"
+    )
+    return mann_kendall(daily, ["event_type"], "bucket", "cnt")
+
+
+# Synchronous label propagation (Raghavan et al. 2007) on the
+# customer ring+clique demo graph, 3 fixed rounds, most-frequent-
+# neighbor label with min-label tie-break — the community-detection
+# sibling of the fixed-round pagerank/k-core twins; the oracle
+# unrolls the three rounds verbatim.
+@register(
+    "graph_label_propagation",
+    """
+    WITH rk AS (
+      SELECT c_custkey, c_nationkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_custkey) AS rk,
+             lead(c_custkey) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_custkey) AS nxt
+      FROM customer),
+    ring AS (SELECT c_custkey AS src, nxt AS dst FROM rk
+             WHERE nxt IS NOT NULL),
+    six AS (SELECT c_nationkey, c_custkey AS k, rk FROM rk WHERE rk <= 6),
+    clq AS (
+      SELECT x.k AS src, y.k AS dst
+      FROM six x JOIN six y
+        ON x.c_nationkey = y.c_nationkey AND x.rk < y.rk),
+    e AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM clq),
+    sym AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM e
+        UNION ALL
+        SELECT dst AS u, src AS v FROM e)
+      WHERE u <> v),
+    lab0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+    v1 AS (
+      SELECT s.u AS node, l.label, count(*) AS cnt
+      FROM sym s JOIN lab0 l ON l.node = s.v GROUP BY 1, 2),
+    lab1 AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY cnt DESC, label) AS rn FROM v1)
+      WHERE rn = 1),
+    v2 AS (
+      SELECT s.u AS node, l.label, count(*) AS cnt
+      FROM sym s JOIN lab1 l ON l.node = s.v GROUP BY 1, 2),
+    lab2 AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY cnt DESC, label) AS rn FROM v2)
+      WHERE rn = 1),
+    v3 AS (
+      SELECT s.u AS node, l.label, count(*) AS cnt
+      FROM sym s JOIN lab2 l ON l.node = s.v GROUP BY 1, 2),
+    lab3 AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY cnt DESC, label) AS rn FROM v3)
+      WHERE rn = 1)
+    SELECT node, label AS community FROM lab3
+    """,
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _kcore_demo_edges(spark, sf_dir), iterations=3
+    )
+
+
 # r16 ROTATION NOTE (supersedes the r15 note; r15 ran 50/50 green —
 # 42 hash-matches + the 8 declared rows-only). Window recomputed
 # STALEST-FIRST over the frozen basis CORRECTNESS_r01..r15 (the
@@ -10681,10 +10862,12 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the r15 VERDICT #1 staleness burn-down: 40 of the 50 slots go to
 # the cohort whose latest green row is round 10.
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked: the five r16-continuation registrations
+# (2) never driver-checked: the eight r16-continuation registrations
 #     (events_acf, events_dow_seasonality, events_kmv_distinct,
-#     embedding_hard_negatives, text_rake_keywords) enter per policy,
-#     displacing the five alphabetically-last round-10 fill slots;
+#     events_ewma_forecast, events_trend_mannkendall,
+#     embedding_hard_negatives, graph_label_propagation,
+#     text_rake_keywords) enter per policy, displacing the eight
+#     alphabetically-last round-10 fill slots;
 # (3) forced re-verification of code touched this round:
 #     docs_bloom_decontaminate_bcast (its broadcast probe leg gained
 #     the eager m-bits range precheck, r15 ADVICE — the one
@@ -10698,10 +10881,11 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     bpe_segment, graph_kcore_portable, embedding_pca_power_project
 #     — all oracle-able, so EVERY query in this window hash-checks
 #     (no rows-only slots this round);
-# (5) the remaining 35 slots fill stalest-first: 35 of the 43
+# (5) the remaining 32 slots fill stalest-first: 32 of the 43
 #     round-10 cohort queries, alphabetical (ann_cosine_topk ..
-#     streaming_dedup minus the five displaced). The 8 that do not
-#     fit — orders_target_encoding, part_pareto_frontier,
+#     heavy_hitters_events). The 11 that do not fit —
+#     incremental_agg_merge, multimodal_meta, orders_basket_lift,
+#     orders_target_encoding, part_pareto_frontier,
 #     sample_exact_quota, sample_weighted_aes, streaming_dedup,
 #     streaming_enrich, streaming_hourly_counts, text_analyze — are
 #     self-swept this round (BASELINE.md) and top the r17 fill.
@@ -10759,7 +10943,10 @@ _DRIVER_WINDOW: list[str] = [
     "events_acf",
     "events_dow_seasonality",
     "events_kmv_distinct",
+    "events_ewma_forecast",
+    "events_trend_mannkendall",
     "embedding_hard_negatives",
+    "graph_label_propagation",
     "text_rake_keywords",
     # -- code touched this round (r15 ADVICE), re-verify:
     "docs_bloom_decontaminate_bcast",
@@ -10807,9 +10994,6 @@ _DRIVER_WINDOW: list[str] = [
     "graph_pagerank_hubs",
     "graph_triangle_count",
     "heavy_hitters_events",
-    "incremental_agg_merge",
-    "multimodal_meta",
-    "orders_basket_lift",
 ]
 
 

@@ -238,3 +238,121 @@ def test_rake_query_plans_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---- wave 2: EWMA forecast, Mann-Kendall, label propagation ----
+
+
+def test_ewma_matches_python_fold(spark):
+    from cascading_hive_spark.operators.timeseries import ewma_forecast
+
+    xs = [10, 12, 9, 15, 11, 14]
+    out = ewma_forecast(_daily(spark, xs), ["k"], "bucket", "cnt").collect()
+    acc = float(xs[0])
+    for x in xs[1:]:
+        acc = 0.3 * x + 0.7 * acc
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == len(xs) and r.last_obs == float(xs[-1])
+    assert r.ewma_forecast == pytest.approx(round(acc, 6), abs=1e-9)
+
+
+def test_ewma_single_day_is_identity(spark):
+    from cascading_hive_spark.operators.timeseries import ewma_forecast
+
+    out = ewma_forecast(_daily(spark, [7]), ["k"], "bucket", "cnt").collect()
+    assert out[0].ewma_forecast == 7.0 and out[0].n_days == 1
+
+
+def test_ewma_empty_input(spark):
+    from cascading_hive_spark.operators.timeseries import ewma_forecast
+
+    empty = spark.createDataFrame([], "k string, bucket timestamp, cnt long")
+    assert ewma_forecast(empty, ["k"]).count() == 0
+
+
+def test_mann_kendall_increasing_series(spark):
+    from cascading_hive_spark.operators.timeseries import mann_kendall
+
+    n = 10
+    out = mann_kendall(
+        _daily(spark, list(range(1, n + 1))), ["k"], "bucket", "cnt"
+    ).collect()
+    r = out[0]
+    assert r.s_stat == n * (n - 1) // 2  # every pair ascending
+    var = n * (n - 1) * (2 * n + 5) / 18
+    assert r.var_s == pytest.approx(var, abs=1e-6)
+    assert r.z == pytest.approx(round((r.s_stat - 1) / math.sqrt(var), 6), abs=1e-9)
+    assert r.trend == "increasing"
+
+
+def test_mann_kendall_constant_series_null_z(spark):
+    from cascading_hive_spark.operators.timeseries import mann_kendall
+
+    out = mann_kendall(_daily(spark, [5] * 8), ["k"], "bucket", "cnt").collect()
+    r = out[0]
+    assert r.s_stat == 0 and r.var_s == 0.0
+    assert r.z is None and r.trend == "no_trend"
+
+
+def test_mann_kendall_decreasing_series(spark):
+    from cascading_hive_spark.operators.timeseries import mann_kendall
+
+    out = mann_kendall(
+        _daily(spark, list(range(12, 0, -1))), ["k"], "bucket", "cnt"
+    ).collect()
+    assert out[0].s_stat == -66 and out[0].trend == "decreasing"
+
+
+def test_mann_kendall_empty_input(spark):
+    from cascading_hive_spark.operators.timeseries import mann_kendall
+
+    empty = spark.createDataFrame([], "k string, bucket timestamp, cnt long")
+    assert mann_kendall(empty, ["k"]).count() == 0
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    from cascading_hive_spark.operators.graph import label_propagation
+
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+    )
+    out = {r.node: r.community for r in label_propagation(e, iterations=3).collect()}
+    # hand-traced synchronous rounds with min-label tie-break:
+    # the triangles stabilize on labels 1 and 3 respectively
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[10], out[11], out[12]} == {3}
+
+
+def test_label_propagation_deterministic_and_guarded(spark):
+    from cascading_hive_spark.operators.graph import label_propagation
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    a = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        label_propagation(e, iterations=0)
+
+
+def test_label_propagation_empty_edges(spark):
+    from cascading_hive_spark.operators.graph import label_propagation
+
+    assert label_propagation(_edges(spark, []), iterations=2).count() == 0
+
+
+def test_wave2_queries_no_cartesian(spark, sf_dir):
+    from cascading_hive_spark import queries as Q
+    from cascading_hive_spark.plans.explain import assert_no_cartesian
+
+    for name in (
+        "events_ewma_forecast",
+        "events_trend_mannkendall",
+        "graph_label_propagation",
+    ):
+        assert_no_cartesian(Q.queries()[name](spark, sf_dir))
