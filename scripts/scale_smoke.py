@@ -2310,6 +2310,73 @@ def smoke_rfm(n_orders: int = 10_000_000, n_cust: int = 1_000_000) -> None:
               flush=True)
 
 
+
+def smoke_rake(n: int = 1_000_000) -> None:
+    """rake_keywords at corpus scale: the phrase segmentation is
+    scan-side string algebra, so cost must track total token volume
+    (explode + one word-keyed aggregate + top-k). The synthetic vocab
+    is stopword-free, so every doc is one long phrase — the worst
+    case for the degree sum (plen rides every exploded row)."""
+    from cascading_hive_spark.operators.text import rake_keywords
+    from cascading_hive_spark.sources.synthetic import synthetic_documents
+
+    spark = _spark()
+    for size in (100_000, n):
+        docs = synthetic_documents(
+            spark, n=size, dup_rate=0.0, n_vocab=5000
+        ).localCheckpoint()
+        wall, n_rows = _timed(rake_keywords(docs, "text", top_n=20))
+        print(json.dumps({"smoke": "rake", "n_docs": size,
+                          "wall_sec": wall, "n_rows": n_rows}), flush=True)
+
+
+def smoke_kmv(n: int = 20_000_000, n_keys: int = 10,
+              n_distinct: int = 2_000_000) -> None:
+    """kmv_distinct_by_key at traffic scale: the sketch pass shuffles
+    only DISTINCT (key, 8-byte hash) pairs, so 10x raw rows over the
+    same value domain must cost ~the distinct pass, not 10x; the
+    estimator must stay inside the 4-sigma KMV band at k=64."""
+    import math
+
+    from cascading_hive_spark.operators.sketches import kmv_distinct_by_key
+
+    spark = _spark()
+    for size in (n // 10, n):
+        df = spark.range(size).select(
+            (F.col("id") % n_keys).cast("string").alias("grp"),
+            (F.col("id") % n_distinct).alias("v"),
+        ).localCheckpoint()
+        t0 = time.time()
+        rows = kmv_distinct_by_key(df, "grp", "v", k=64).collect()
+        wall = time.time() - t0
+        worst = max(abs(r.rel_err) for r in rows)
+        assert worst < 4 / math.sqrt(62), worst
+        print(json.dumps({"smoke": "kmv", "n_rows": size,
+                          "n_sketches": len(rows), "wall_sec": wall,
+                          "worst_rel_err": worst}), flush=True)
+
+
+def smoke_lpa(n_edges: int = 10_000_000, iterations: int = 3) -> None:
+    """label_propagation at graph scale: 3 fixed rounds of
+    edge-join + count + argmax over a pseudo-random sparse graph
+    (avg degree ~10); wall must track edge count across a decade."""
+    from cascading_hive_spark.operators.graph import label_propagation
+
+    spark = _spark()
+    for size in (n_edges // 10, n_edges):
+        n_nodes = max(size // 10, 100)
+        edges = spark.range(size).select(
+            (F.col("id") % n_nodes).alias("src"),
+            ((F.col("id") * 2654435761) % n_nodes).alias("dst"),
+        ).filter(F.col("src") != F.col("dst")).localCheckpoint()
+        t0 = time.time()
+        n_out = label_propagation(edges, iterations=iterations).count()
+        wall = time.time() - t0
+        print(json.dumps({"smoke": "lpa", "n_edges": size,
+                          "n_nodes": n_out, "wall_sec": wall,
+                          "iterations": iterations}), flush=True)
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -2364,4 +2431,7 @@ if __name__ == "__main__":
         "lang_id": smoke_lang_id,
         "image_decode": smoke_image_decode,
         "bloom": smoke_bloom,
+        "rake": smoke_rake,
+        "kmv": smoke_kmv,
+        "lpa": smoke_lpa,
     }[name](*args)
