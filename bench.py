@@ -65,6 +65,11 @@ HEADLINE = [
     # probe leg, and the four-stage composed curation funnel
     "docs_bloom_decontaminate_bcast",
     "pipeline_curation_funnel",
+    # r16 continuation: one row per new family — KMV distinct sketch,
+    # RAKE keywords (token-volume string algebra), fixed-round LPA
+    "events_kmv_distinct",
+    "text_rake_keywords",
+    "graph_label_propagation",
 ]
 
 

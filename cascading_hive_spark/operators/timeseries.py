@@ -192,3 +192,92 @@ def mann_kendall(
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+def rolling_distinct_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct actors per window-end day (the WAU/MAU
+    family): a sliding COUNT DISTINCT, which no window frame computes
+    directly. Shape: dedupe to (actor, day) pairs first, then each
+    pair votes for the ``window_days`` window-ends it falls in
+    (array-side ``sequence`` explode — a bounded N-way fan-out of the
+    DEDUPED pairs, never of raw events), dedupe votes, count per end
+    day. Windows whose end day exceeds the observed span are clipped.
+
+    Scale: raw traffic collapses to distinct (actor, day) before any
+    fan-out, so the shuffle is bounded by actors x days x N — at 100
+    TB the first distinct is the only traffic-sized stage and it
+    combines map-side.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    pairs = df.select(
+        F.col(id_col).alias("_actor"),
+        F.date_trunc("day", F.col(ts_col)).alias("_day"),
+    ).distinct()
+    hi = pairs.agg(F.max("_day").alias("_hi"))
+    votes = pairs.select(
+        "_actor",
+        F.explode(
+            F.expr(
+                f"sequence(_day, _day + interval {window_days - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("window_end"),
+    ).distinct()
+    return (
+        votes.join(F.broadcast(hi), votes["window_end"] <= hi["_hi"])
+        .groupBy("window_end")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+    )
+
+
+def theil_sen_slope(
+    daily: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Theil-Sen robust trend slope per key: the MEDIAN of all
+    pairwise slopes (x_j - x_i) / (j - i) over the gap-filled daily
+    series — the magnitude companion to the Mann-Kendall direction
+    test (median-of-slopes tolerates ~29% outliers where OLS breaks).
+
+    The median is computed manually (row_number to the two middle
+    ranks, averaged) so both engines pick the identical frontier;
+    slopes are exact-integer divisions evaluated identically in IEEE.
+    Scale: pairwise over the calendar-bounded series per key (30 days
+    -> 435 slopes), never over event rows.
+    """
+    d = daily.select(*key_cols, F.col(bucket_col), F.col(cnt_col))
+    a, b = d.alias("a"), d.alias("b")
+    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    slopes = a.join(
+        b, on + [F.col(f"a.{bucket_col}") < F.col(f"b.{bucket_col}")]
+    ).select(
+        *[F.col(f"a.{k}").alias(k) for k in key_cols],
+        (
+            (F.col(f"b.{cnt_col}") - F.col(f"a.{cnt_col}")).cast("double")
+            / (
+                F.datediff(F.col(f"b.{bucket_col}"), F.col(f"a.{bucket_col}"))
+            ).cast("double")
+        ).alias("_slope"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_slope")
+    ranked = slopes.withColumn("_rn", F.row_number().over(w))
+    n = slopes.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_pairs"))
+    lo = F.floor((F.col("n_pairs") + 1) / 2)
+    hi2 = F.floor(F.col("n_pairs") / 2) + 1
+    mid = ranked.join(n, key_cols).filter(
+        (F.col("_rn") == lo) | (F.col("_rn") == hi2)
+    )
+    return mid.groupBy(*key_cols).agg(
+        F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        (
+            F.round(F.sum("_slope") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("slope"),
+    )

@@ -10855,6 +10855,86 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rolling 7-day distinct active users (the WAU family): sliding COUNT
+# DISTINCT computed by the dedupe-then-vote shape — raw events first
+# collapse to distinct (user, day) pairs, each pair fans out to the 7
+# window-ends it belongs to, votes dedupe, count per end day. No
+# window frame ever sees raw traffic.
+@register(
+    "events_rolling_active_users",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    hi AS (SELECT max(d) AS hi_d FROM pairs),
+    fan AS (
+      SELECT user_id,
+             unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS window_end
+      FROM pairs),
+    votes AS (SELECT DISTINCT user_id, window_end FROM fan)
+    SELECT window_end, CAST(count(*) AS BIGINT) AS active_users
+    FROM votes, hi WHERE window_end <= hi_d
+    GROUP BY 1
+    """,
+)
+def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.timeseries import rolling_distinct_users
+
+    return rolling_distinct_users(
+        _t(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+
+
+# Theil-Sen robust slope per event_type over the gap-filled daily
+# series — the magnitude companion to events_trend_mannkendall.
+# Median of all pairwise slopes, picked by explicit floor-rank
+# frontier so both engines average the identical middle rows.
+@register(
+    "events_theilsen_slope",
+    """
+    WITH a AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM a GROUP BY 1),
+    g AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM b),
+    s AS (
+      SELECT g.event_type, g.bucket, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket),
+    sl AS (
+      SELECT x.event_type,
+             CAST(y.cnt - x.cnt AS DOUBLE)
+             / CAST(date_diff('day', x.bucket, y.bucket) AS DOUBLE) AS slope
+      FROM s x JOIN s y
+        ON x.event_type = y.event_type AND x.bucket < y.bucket),
+    rk AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM sl),
+    mid AS (
+      SELECT event_type, n_pairs, slope FROM rk
+      WHERE rn = floor((n_pairs + 1) / 2) OR rn = floor(n_pairs / 2) + 1)
+    SELECT event_type, CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+           round(sum(slope) / count(*), 6) + 0.0 AS slope
+    FROM mid GROUP BY 1
+    """,
+)
+def q_events_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cascading_hive_spark.operators.relational import resample_counts
+    from cascading_hive_spark.operators.timeseries import theil_sen_slope
+
+    daily = resample_counts(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", grain="day"
+    )
+    return theil_sen_slope(daily, ["event_type"], "bucket", "cnt")
+
+
 # r16 ROTATION NOTE (supersedes the r15 note; r15 ran 50/50 green —
 # 42 hash-matches + the 8 declared rows-only). Window recomputed
 # STALEST-FIRST over the frozen basis CORRECTNESS_r01..r15 (the
@@ -10862,11 +10942,12 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the r15 VERDICT #1 staleness burn-down: 40 of the 50 slots go to
 # the cohort whose latest green row is round 10.
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked: the eight r16-continuation registrations
+# (2) never driver-checked: the ten r16-continuation registrations
 #     (events_acf, events_dow_seasonality, events_kmv_distinct,
 #     events_ewma_forecast, events_trend_mannkendall,
+#     events_rolling_active_users, events_theilsen_slope,
 #     embedding_hard_negatives, graph_label_propagation,
-#     text_rake_keywords) enter per policy, displacing the eight
+#     text_rake_keywords) enter per policy, displacing the ten
 #     alphabetically-last round-10 fill slots;
 # (3) forced re-verification of code touched this round:
 #     docs_bloom_decontaminate_bcast (its broadcast probe leg gained
@@ -10881,9 +10962,10 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     bpe_segment, graph_kcore_portable, embedding_pca_power_project
 #     — all oracle-able, so EVERY query in this window hash-checks
 #     (no rows-only slots this round);
-# (5) the remaining 32 slots fill stalest-first: 32 of the 43
+# (5) the remaining 30 slots fill stalest-first: 30 of the 43
 #     round-10 cohort queries, alphabetical (ann_cosine_topk ..
-#     heavy_hitters_events). The 11 that do not fit —
+#     graph_pagerank_hubs). The 13 that do not fit —
+#     graph_triangle_count, heavy_hitters_events,
 #     incremental_agg_merge, multimodal_meta, orders_basket_lift,
 #     orders_target_encoding, part_pareto_frontier,
 #     sample_exact_quota, sample_weighted_aes, streaming_dedup,
@@ -10945,6 +11027,8 @@ _DRIVER_WINDOW: list[str] = [
     "events_kmv_distinct",
     "events_ewma_forecast",
     "events_trend_mannkendall",
+    "events_rolling_active_users",
+    "events_theilsen_slope",
     "embedding_hard_negatives",
     "graph_label_propagation",
     "text_rake_keywords",
@@ -10992,8 +11076,6 @@ _DRIVER_WINDOW: list[str] = [
     "events_sequence_trigrams",
     "events_winsorized_stats",
     "graph_pagerank_hubs",
-    "graph_triangle_count",
-    "heavy_hitters_events",
 ]
 
 

@@ -356,3 +356,105 @@ def test_wave2_queries_no_cartesian(spark, sf_dir):
         "graph_label_propagation",
     ):
         assert_no_cartesian(Q.queries()[name](spark, sf_dir))
+
+
+# ---- wave 3: rolling distinct actives, Theil-Sen slope ----
+
+
+def test_rolling_distinct_counts_by_hand(spark):
+    from cascading_hive_spark.operators.timeseries import rolling_distinct_users
+
+    rows = [
+        (1, "2024-01-01 05:00:00"),
+        (1, "2024-01-01 09:00:00"),  # same user+day dupes collapse
+        (2, "2024-01-02 05:00:00"),
+        (1, "2024-01-09 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        str(r.window_end)[:10]: r.active_users
+        for r in rolling_distinct_users(df, window_days=7).collect()
+    }
+    # hand-traced: Jan1 end covers only user 1; Jan2-7 ends cover
+    # {1, 2}; Jan8 covers {2}; Jan9 covers {1}; ends past the max
+    # observed day (Jan 9) are clipped
+    assert out["2024-01-01"] == 1
+    assert all(out[f"2024-01-0{d}"] == 2 for d in range(2, 8))
+    assert out["2024-01-08"] == 1
+    assert out["2024-01-09"] == 1
+    assert max(out) == "2024-01-09" and len(out) == 9
+
+
+def test_rolling_distinct_window1_is_daily_distinct(spark):
+    from cascading_hive_spark.operators.timeseries import rolling_distinct_users
+
+    rows = [(1, "2024-01-01 01:00:00"), (2, "2024-01-01 02:00:00"),
+            (1, "2024-01-03 01:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        str(r.window_end)[:10]: r.active_users
+        for r in rolling_distinct_users(df, window_days=1).collect()
+    }
+    assert out == {"2024-01-01": 2, "2024-01-03": 1}
+
+
+def test_rolling_distinct_empty_and_guard(spark):
+    from cascading_hive_spark.operators.timeseries import rolling_distinct_users
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert rolling_distinct_users(empty).count() == 0
+    with pytest.raises(ValueError):
+        rolling_distinct_users(empty, window_days=0)
+
+
+def test_theil_sen_exact_linear_series(spark):
+    from cascading_hive_spark.operators.timeseries import theil_sen_slope
+
+    # perfectly linear: every pairwise slope is exactly 3
+    out = theil_sen_slope(
+        _daily(spark, [2 + 3 * i for i in range(10)]), ["k"]
+    ).collect()
+    assert out[0].slope == 3.0 and out[0].n_pairs == 45
+
+
+def test_theil_sen_resists_outlier(spark):
+    from cascading_hive_spark.operators.timeseries import theil_sen_slope
+
+    xs = [2 + 3 * i for i in range(10)]
+    xs[5] = 1000  # single spike barely moves the median slope
+    out = theil_sen_slope(_daily(spark, xs), ["k"]).collect()
+    assert abs(out[0].slope - 3.0) < 1.0
+
+
+def test_theil_sen_matches_python_median(spark):
+    from cascading_hive_spark.operators.timeseries import theil_sen_slope
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    slopes = sorted(
+        (xs[j] - xs[i]) / (j - i)
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    n = len(slopes)
+    med = (slopes[(n + 1) // 2 - 1] + slopes[n // 2]) / 2
+    out = theil_sen_slope(_daily(spark, xs), ["k"]).collect()
+    assert out[0].slope == pytest.approx(round(med, 6), abs=1e-9)
+
+
+def test_theil_sen_empty(spark):
+    from cascading_hive_spark.operators.timeseries import theil_sen_slope
+
+    empty = spark.createDataFrame([], "k string, bucket timestamp, cnt long")
+    assert theil_sen_slope(empty, ["k"]).count() == 0
+
+
+def test_wave3_queries_no_cartesian(spark, sf_dir):
+    from cascading_hive_spark import queries as Q
+    from cascading_hive_spark.plans.explain import assert_no_cartesian
+
+    for name in ("events_rolling_active_users", "events_theilsen_slope"):
+        assert_no_cartesian(Q.queries()[name](spark, sf_dir))
