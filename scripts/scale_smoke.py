@@ -2377,6 +2377,34 @@ def smoke_lpa(n_edges: int = 10_000_000, iterations: int = 3) -> None:
                           "iterations": iterations}), flush=True)
 
 
+
+def smoke_wau(n: int = 100_000_000, n_users: int = 1_000_000,
+              n_days: int = 60) -> None:
+    """rolling_distinct_users at traffic scale: the dedupe-then-vote
+    shape must collapse raw events to distinct (user, day) BEFORE the
+    7-way fan-out, so 10x raw events over the same (user, day) domain
+    costs ~the distinct pass, not 10x the fan-out."""
+    from cascading_hive_spark.operators.timeseries import rolling_distinct_users
+
+    spark = _spark()
+    for size in (n // 10, n):
+        df = spark.range(size).select(
+            (F.col("id") % n_users).alias("user_id"),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                ((F.col("id") * 2654435761) % n_days).cast("int"),
+            )
+            .cast("timestamp")
+            .alias("ts"),
+        )
+        t0 = time.time()
+        rows = rolling_distinct_users(df, "ts", "user_id", 7).count()
+        wall = time.time() - t0
+        print(json.dumps({"smoke": "wau", "n_events": size,
+                          "n_window_ends": rows, "wall_sec": wall}),
+              flush=True)
+
+
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "ivf_knn"
     args = [int(a) for a in sys.argv[2:]]
@@ -2434,4 +2462,5 @@ if __name__ == "__main__":
         "rake": smoke_rake,
         "kmv": smoke_kmv,
         "lpa": smoke_lpa,
+        "wau": smoke_wau,
     }[name](*args)
