@@ -87,6 +87,36 @@ def tfidf_topk_terms(
     )
 
 
+def gopher_rule_exprs(text) -> dict:
+    """The Gopher rule battery as named column expressions over a text
+    column — extracted from ``gopher_quality_rules`` (same arithmetic,
+    single source of truth) so single-scan compositions (the curation
+    funnel) can evaluate the rules alongside other per-doc stages
+    without a join."""
+    words = F.filter(_word_array(text), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    # all non-whitespace chars; mean word length band as cross-multiply
+    n_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), F.lit(0)))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*]")))  # noqa: E741
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))  # noqa: E741
+    n_stop = sum(
+        F.when(F.lower(text).rlike(rf"\b{w}\b"), 1).otherwise(0)
+        for w in GOPHER_STOPWORDS
+    )
+    return {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "word_len_ok": (3 * n_words <= n_chars) & (n_chars <= 10 * n_words),
+        "symbol_ok": 10 * (n_hash + n_ellipsis) <= n_words,
+        "bullet_ok": 10 * n_bullet <= 9 * n_lines,
+        "ellipsis_ok": 10 * n_ell_lines <= 3 * n_lines,
+        "stopword_ok": n_stop >= 2,
+    }
+
+
 def gopher_quality_rules(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style quality rule battery as one narrow scan.
 
@@ -102,29 +132,10 @@ def gopher_quality_rules(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     - ``ellipsis_ok``     <= 30% of lines end with '...'
     - ``stopword_ok``     >= 2 distinct GOPHER_STOPWORDS present
     """
-    text = F.col(text_col)
-    words = F.filter(_word_array(text), lambda x: x != F.lit(""))
-    n_words = F.size(words)
-    # all non-whitespace chars; mean word length band as cross-multiply
-    n_chars = F.length(F.regexp_replace(text, r"\s+", ""))
-    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
-    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), F.lit(0)))
-    lines = F.split(text, "\n")
-    n_lines = F.size(lines)
-    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*]")))  # noqa: E741
-    n_ell_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))  # noqa: E741
-    n_stop = sum(
-        F.when(F.lower(text).rlike(rf"\b{w}\b"), 1).otherwise(0)
-        for w in GOPHER_STOPWORDS
+    rules = gopher_rule_exprs(F.col(text_col))
+    n_words = F.size(
+        F.filter(_word_array(F.col(text_col)), lambda x: x != F.lit(""))
     )
-    rules = {
-        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
-        "word_len_ok": (3 * n_words <= n_chars) & (n_chars <= 10 * n_words),
-        "symbol_ok": 10 * (n_hash + n_ellipsis) <= n_words,
-        "bullet_ok": 10 * n_bullet <= 9 * n_lines,
-        "ellipsis_ok": 10 * n_ell_lines <= 3 * n_lines,
-        "stopword_ok": n_stop >= 2,
-    }
     out = docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
@@ -237,9 +248,15 @@ def lm_perplexity_buckets(
             F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"),
         )
     )
+    # c2/c1 are vocabulary-sized by construction (the reference corpus
+    # is the small, clean side — see the scale note above), so the two
+    # lookups BROADCAST: without the hint Catalyst can't estimate the
+    # aggregated tables and sort-merge-joins, shuffling every scored
+    # bigram twice (guide §3.1 — the big side is never shuffled by a
+    # broadcast join). Join results are identical either way.
     per_doc = (
-        sb.join(c2, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
+        sb.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
@@ -708,12 +725,13 @@ def dsir_bucket_counts(
 
 def dsir_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str,
     n_buckets: int = 128,
     n: int = 3,
     seed: str = "dsir13|",
     portable: bool = True,
+    target_flag=None,
 ) -> list[float]:
     """DSIR importance weights: per-bucket log(p_target / p_raw) under
     add-one-smoothed hashed-n-gram bag models (Xie et al. 2023, "Data
@@ -734,24 +752,48 @@ def dsir_weights(
 
     from cascading_hive_spark.operators.text import char_ngram_buckets
 
-    tagged = raw.select(
-        F.lit(0).alias("_side"), F.col(text_col).alias("_t")
-    ).unionByName(
-        target.select(F.lit(1).alias("_side"), F.col(text_col).alias("_t"))
-    )
-    counts = (
-        tagged.select(
-            "_side",
-            F.explode(
-                char_ngram_buckets(F.col("_t"), n, n_buckets, seed, portable)
-            ).alias("bucket"),
+    if target_flag is not None:
+        # SINGLE-SCAN path for the common "target is a slice of raw"
+        # case (guide §1.2 — don't compute things twice): one gram
+        # fold per document instead of re-hashing every target doc a
+        # second time through the union, and one corpus scan instead
+        # of two. Counts (hence weights) are identical: rc counts all
+        # raw grams, tc counts the flagged subset's grams.
+        counts = (
+            raw.select(
+                target_flag.alias("_is_t"),
+                F.explode(
+                    char_ngram_buckets(F.col(text_col), n, n_buckets, seed, portable)
+                ).alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("_rc"),
+                F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_tc"),
+            )
+            .collect()
         )
-        .groupBy("_side", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    rc = {r["bucket"]: r["cnt"] for r in counts if r["_side"] == 0}
-    tc = {r["bucket"]: r["cnt"] for r in counts if r["_side"] == 1}
+        rc = {r["bucket"]: r["_rc"] for r in counts}
+        tc = {r["bucket"]: r["_tc"] for r in counts if r["_tc"]}
+    else:
+        tagged = raw.select(
+            F.lit(0).alias("_side"), F.col(text_col).alias("_t")
+        ).unionByName(
+            target.select(F.lit(1).alias("_side"), F.col(text_col).alias("_t"))
+        )
+        counts = (
+            tagged.select(
+                "_side",
+                F.explode(
+                    char_ngram_buckets(F.col("_t"), n, n_buckets, seed, portable)
+                ).alias("bucket"),
+            )
+            .groupBy("_side", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        rc = {r["bucket"]: r["cnt"] for r in counts if r["_side"] == 0}
+        tc = {r["bucket"]: r["cnt"] for r in counts if r["_side"] == 1}
     big_r, big_t = sum(rc.values()), sum(tc.values())
     return [
         round(
@@ -830,18 +872,27 @@ def dsir_score(
     from cascading_hive_spark.operators.text import char_ngram_buckets
 
     nb = len(weights)
-    w_arr = F.array(
-        *[F.lit(int(round(w * 1_000_000))).cast("bigint") for w in weights]
+    # ONE array literal, not CreateArray of scalars (the r14-measured
+    # 3x inside HOF lambdas, where CreateArray re-evaluates per row)
+    w_arr = F.lit([int(round(w * 1_000_000)) for w in weights]).cast(
+        "array<bigint>"
     )
-    buckets = char_ngram_buckets(F.col(text_col), n, nb, seed, portable)
     micro = F.aggregate(
-        buckets,
+        F.col("_bk"),
         F.lit(0).cast("bigint"),
         lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
     )
-    return (spread(df) if widen else df).select(
+    # bucket array materialized in its own projection so size() and
+    # the weight fold share ONE gram-hash evaluation (the md5-per-
+    # position transform is the scan's hot cost — the
+    # quality_classifier_score discipline)
+    bucketed = (spread(df) if widen else df).select(
         F.col(id_col),
-        F.size(buckets).cast("bigint").alias("n_grams"),
+        char_ngram_buckets(F.col(text_col), n, nb, seed, portable).alias("_bk"),
+    )
+    return bucketed.select(
+        F.col(id_col),
+        F.size(F.col("_bk")).cast("bigint").alias("n_grams"),
         (F.round(micro.cast("double") / F.lit(1_000_000.0), 6) + F.lit(0.0)).alias(
             "dsir_logratio"
         ),

@@ -1119,13 +1119,16 @@ def semantic_dedup_pairs(
     similarities plus the cell's vectors, both bounded by
     ``max_cell``.
     """
-    from cascading_hive_spark.operators.similarity import argmin_cell, cell_distances
+    from cascading_hive_spark.operators.similarity import assign_min_cell
 
     base = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    assigned = argmin_cell(cell_distances(base, centroids, dist_scale))
-    sided = base.join(assigned, "_id").select("cid", "_id", "_v")
+    # MAP-ONLY E-step (assign_min_cell): cid lands on the vector's own
+    # row, so the old n*k argmin shuffle AND the id-key join shuffling
+    # every vector back to its assignment are both gone (guide §2.4) —
+    # the only remaining exchange is the cid-key cogroup itself
+    sided = assign_min_cell(base, centroids, dist_scale).select("cid", "_id", "_v")
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1294,14 +1297,17 @@ def _dup_span_islands(toks: DataFrame, n: int) -> DataFrame:
             F.md5(F.array_join(F.slice(F.col("_arr"), F.col("_p"), n), " ")).alias("_g"),
         )
     )
-    dup = (
-        grams.groupBy("_g")
-        .agg(F.count_distinct("_id").alias("_nd"))
+    # duplicate detection in ONE pass over the gram table (see
+    # _dup_charspan_islands: the agg+join form computed and shuffled
+    # the gram table twice; dense_rank's max over (_g ORDER BY _id)
+    # IS the distinct-doc count, on a single exchange)
+    w_gi = Window.partitionBy("_g").orderBy("_id")
+    w_g = Window.partitionBy("_g")
+    spans = (
+        grams.withColumn("_dr", F.dense_rank().over(w_gi))
+        .withColumn("_nd", F.max("_dr").over(w_g))
         .filter(F.col("_nd") >= 2)
-        .select("_g")
-    )
-    spans = grams.join(dup, "_g").select(
-        "_id", F.col("_p").alias("_s"), (F.col("_p") + (n - 1)).alias("_e")
+        .select("_id", F.col("_p").alias("_s"), (F.col("_p") + (n - 1)).alias("_e"))
     )
     w_prev = (
         Window.partitionBy("_id")
@@ -1440,14 +1446,24 @@ def _dup_charspan_islands(
             F.md5(F.col("_txt").substr(F.col("_p"), F.lit(min_len))).alias("_g"),
         )
     )
-    dup = (
-        grams.groupBy("_g")
-        .agg(F.count_distinct("_id").alias("_nd"))
+    # duplicate detection in ONE pass over the gram table: dense_rank
+    # over (_g ORDER BY _id) peaks at the distinct-doc count, so the
+    # ">= 2 docs" filter rides the same exchange as the gram rows. The
+    # previous agg+join formulation materialized the gram table twice
+    # (the scan's md5-window fold is the expensive part) and shuffled
+    # it twice — once into count_distinct, once into the join
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange). Kept rows are identical: every gram row whose digest
+    # occurs in >= 2 distinct documents.
+    w_gi = Window.partitionBy("_g").orderBy("_id")
+    w_g = Window.partitionBy("_g")
+    spans = (
+        grams.withColumn("_dr", F.dense_rank().over(w_gi))
+        .withColumn("_nd", F.max("_dr").over(w_g))
         .filter(F.col("_nd") >= 2)
-        .select("_g")
-    )
-    spans = grams.join(dup, "_g").select(
-        "_id", F.col("_p").alias("_s"), (F.col("_p") + (min_len - 1)).alias("_e")
+        .select(
+            "_id", F.col("_p").alias("_s"), (F.col("_p") + (min_len - 1)).alias("_e")
+        )
     )
     w_prev = (
         Window.partitionBy("_id")
@@ -1714,10 +1730,19 @@ def tfidf_cosine_pairs(
         )
         .distinct()
     )
-    gdf = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_gdf"))
-    rare = grams.join(
-        gdf.filter((F.col("_gdf") >= 2) & (F.col("_gdf") <= max_gram_df)), "_g"
-    ).select("_id", "_g")
+    # gram doc-frequency via a window over the SAME exchange as the
+    # posting rows — the agg+join form computed and shuffled the
+    # (distinct) gram table twice (guide §2.4); rows kept are
+    # identical: every (_id, _g) whose gram df is in [2, max_gram_df]
+    from pyspark.sql import Window as _W
+
+    rare = (
+        grams.withColumn(
+            "_gdf", F.count(F.lit(1)).over(_W.partitionBy("_g"))
+        )
+        .filter((F.col("_gdf") >= 2) & (F.col("_gdf") <= max_gram_df))
+        .select("_id", "_g")
+    )
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "_g")

@@ -293,8 +293,16 @@ def pagerank_portable(
     ``pagerank`` remains the plain-double path (property-tested
     against a dense numpy power iteration).
 
-    Scale shape identical to ``pagerank``: per iteration one shuffle
-    on src (contributions) + one on dst (sums); rows never carry more
+    Scale shape per iteration: ONE shuffle — the contribution sums on
+    dst. The edge table is pre-joined with the out-degrees and pinned
+    to a fixed hash partitioning on src ONCE (localCheckpoint keeps
+    the partitioning), and the rank vector is re-pinned to the same
+    partitioning each round, so the per-iteration edges-⋈-ranks join,
+    the dangling semi-join, and the nodes-⋈-contribs update are all
+    exchange-free on the heavy side (guide §2.4: two operations keyed
+    the same way share one exchange). Every per-round float
+    accumulation is an exact decimal image, so the re-partitioning
+    cannot move a single bit of the result. Rows never carry more
     than (node, rank)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -305,20 +313,37 @@ def pagerank_portable(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
         ["u", "v"]
     )
+    # fixed partition count for every per-iteration key exchange:
+    # explicit so AQE's partition coalescing can't leave the pinned
+    # edge table and the per-round rank vector at different counts
+    # (which would silently re-shuffle the edges every iteration)
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
+        .repartition(n_part, "node")
         .localCheckpoint()
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    # the degree column rides the edge table: pre-join once, pin the
+    # result to hashpartitioning(u, n_part) — iterations reuse this
+    # layout instead of re-shuffling the edges every round
+    e_deg = (
+        e.join(out_deg, "u")
+        .select("u", "v", "_deg")
+        .repartition(n_part, "u")
+        .localCheckpoint()
+    )
     # the dangling-node SET is static (nodes with no out-edges) —
     # compute it once so each iteration pays a semi-join on the
     # checkpointed set instead of re-deriving it from a left join
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.u, "left_anti"
-    ).localCheckpoint()
+    dangling_nodes = (
+        nodes.join(out_deg, nodes.node == out_deg.u, "left_anti")
+        .repartition(n_part, "node")
+        .localCheckpoint()
+    )
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
@@ -327,7 +352,7 @@ def pagerank_portable(
             F.coalesce(dec_sum(F.col("rank")), F.lit(0.0)).alias("_dm")
         )
         contribs = (
-            e.join(ranks.join(out_deg, ranks.node == out_deg.u), e.u == F.col("node"))
+            e_deg.join(ranks, e_deg.u == ranks.node)
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("node")
             .agg(dec_sum(F.col("_c")).alias("_sum"))
@@ -344,6 +369,7 @@ def pagerank_portable(
                     * (F.coalesce(F.col("_sum"), F.lit(0.0)) + F.col("_dm") / F.col("_n"))
                 ).alias("rank"),
             )
+            .repartition(n_part, "node")
             .localCheckpoint()
         )
     return ranks
@@ -517,18 +543,25 @@ def label_propagation(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # symmetrize ONCE, pinned to hashpartitioning(v, n_part) and
+    # checkpointed: each round's edges-⋈-labels join reuses this
+    # layout instead of re-running the union+dedup and re-shuffling
+    # the edge table every iteration (guide §2.4). Fixed n_part so
+    # AQE coalescing can't leave the two join sides at different
+    # partition counts.
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .dropDuplicates(["u", "v"])
         .filter(F.col("u") != F.col("v"))
+        .repartition(n_part, "v")
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-    )
-    w = Window.partitionBy("node").orderBy(
-        F.col("_cnt").desc(), F.col("label")
+        .repartition(n_part, "node")
     )
     for i in range(iterations):
         votes = (
@@ -536,10 +569,15 @@ def label_propagation(
             .groupBy(sym["u"].alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("_cnt"))
         )
+        # per-node argmax as a map-side-combinable min-struct aggregate
+        # — (_cnt DESC, label ASC) == min(struct(-_cnt, label)), the
+        # exact order the row_number window used, without the window's
+        # full sort of the vote table
         labels = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("_cnt")).alias("_nc"), F.col("label"))).alias("_m"))
+            .select("node", F.col("_m.label").alias("label"))
+            .repartition(n_part, "node")
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=False)

@@ -318,6 +318,24 @@ def char_ngram_buckets(
     return F.transform(starts, bucket)
 
 
+def classifier_dot_expr(bk: Column, weights: list[float]) -> Column:
+    """The quality_classifier_score micro-unit weight fold as a column
+    expression over a MATERIALIZED bucket-array column. The weight
+    table is ONE array literal (F.lit of the whole list, not
+    CreateArray of scalars — the r14-measured 3x inside HOF lambdas,
+    where CreateArray is re-evaluated per row). Extracted so
+    single-scan compositions (the curation funnel) share one text
+    scan; the arithmetic is byte-for-byte the classifier fold."""
+    w_arr = F.lit([int(round(w * 1_000_000)) for w in weights]).cast(
+        "array<bigint>"
+    )
+    return F.aggregate(
+        bk,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
+    )
+
+
 def quality_classifier_score(
     df: DataFrame,
     id_col: str,
@@ -355,14 +373,7 @@ def quality_classifier_score(
     from cascading_hive_spark.operators.dedup import spread
 
     nb = len(weights)
-    w_arr = F.array(
-        *[F.lit(int(round(w * 1_000_000))).cast("bigint") for w in weights]
-    )
-    dot = F.aggregate(
-        F.col("_bk"),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
-    )
+    dot = classifier_dot_expr(F.col("_bk"), weights)
     # widen=False: streaming plans score in place (spread's
     # inputFiles probe and round-robin exchange are batch concepts;
     # a stream's parallelism follows its source).
@@ -868,20 +879,6 @@ def lang_id_scores(
                 "lang_id_scores: all language models must share one "
                 f"n_buckets, got {len(models[lang][0])} for {lang} vs {nb}"
             )
-    # one array LITERAL, not CreateArray of L*nb scalars: sketches.py's
-    # _bloom_bit measured CreateArray re-evaluating per row at ~3x the
-    # cost of an F.lit(list) literal for exactly this shape (r14 ADVICE)
-    wflat = F.lit(
-        [
-            int(round(w * 1_000_000))
-            for lang in langs
-            for w in models[lang][0]
-        ]
-    ).cast("array<bigint>")
-    biases = F.lit([float(models[lang][1]) for lang in langs]).cast(
-        "array<double>"
-    )
-    acc0 = F.array_repeat(F.lit(0).cast("bigint"), len(langs))
     # materialize the bucket array in its own projection: size() and
     # the fold below each reference the COLUMN, so the gram-hash
     # transform (md5-per-position — the expensive part) runs once per
@@ -892,28 +889,17 @@ def lang_id_scores(
             "_bk"
         ),
     )
-    sums = F.aggregate(
-        F.col("_bk"),
-        acc0,
-        lambda acc, b: F.transform(
-            acc,
-            lambda v, j: v
-            + F.element_at(wflat, j * F.lit(nb) + b.cast("int") + F.lit(1)),
-        ),
-    )
     out = bucketed.select(
         F.col(id_col),
         F.size(F.col("_bk")).cast("bigint").alias("n_grams"),
-        sums.alias("_sums"),
+        lang_id_sums_expr(F.col("_bk"), models).alias("_sums"),
     )
-    margins = F.transform(
-        F.col("_sums"),
-        lambda s, j: s.cast("double")
-        / F.lit(1_000_000.0)
-        / F.col("n_grams").cast("double")
-        + F.element_at(biases, j + F.lit(1)),
+    out = out.withColumn(
+        "_m",
+        lang_id_margins_expr(
+            F.col("_sums"), F.col("n_grams").cast("double"), models
+        ),
     )
-    out = out.withColumn("_m", margins)
     mcols = [F.element_at(F.col("_m"), i + 1) for i in range(len(langs))]
     best = F.greatest(*mcols) if len(langs) > 1 else mcols[0]
     # first match in lang-sorted order = lexicographic tiebreak
@@ -927,6 +913,65 @@ def lang_id_scores(
         pred.alias("pred_lang"),
         (F.round(best, 6) + F.lit(0.0)).alias("margin"),
     )
+
+
+def lang_id_sums_expr(bk: Column, models: dict) -> Column:
+    """The lang_id_scores micro-unit fold as a column expression over
+    a MATERIALIZED bucket-array column — array<bigint> of per-language
+    weight sums. Extracted so single-scan compositions (the curation
+    funnel) share one text scan with the other stages; the arithmetic
+    is byte-for-byte the lang_id_scores fold."""
+    langs = sorted(models)
+    nb = len(models[langs[0]][0])
+    # one array LITERAL, not CreateArray of L*nb scalars: sketches.py's
+    # _bloom_bit measured CreateArray re-evaluating per row at ~3x the
+    # cost of an F.lit(list) literal for exactly this shape (r14 ADVICE)
+    wflat = F.lit(
+        [
+            int(round(w * 1_000_000))
+            for lang in langs
+            for w in models[lang][0]
+        ]
+    ).cast("array<bigint>")
+    acc0 = F.array_repeat(F.lit(0).cast("bigint"), len(langs))
+    return F.aggregate(
+        bk,
+        acc0,
+        lambda acc, b: F.transform(
+            acc,
+            lambda v, j: v
+            + F.element_at(wflat, j * F.lit(nb) + b.cast("int") + F.lit(1)),
+        ),
+    )
+
+
+def lang_id_margins_expr(sums: Column, n_grams_dbl: Column, models: dict) -> Column:
+    """Per-language margins (array<double>) from a materialized sums
+    column — the exact lang_id_scores margin sequence."""
+    langs = sorted(models)
+    biases = F.lit([float(models[lang][1]) for lang in langs]).cast(
+        "array<double>"
+    )
+    return F.transform(
+        sums,
+        lambda s, j: s.cast("double")
+        / F.lit(1_000_000.0)
+        / n_grams_dbl
+        + F.element_at(biases, j + F.lit(1)),
+    )
+
+
+def lang_id_pred_expr(margins: Column, models: dict) -> Column:
+    """Argmax language from a materialized margins column — the exact
+    lang_id_scores greatest + lexicographic-tiebreak chain."""
+    langs = sorted(models)
+    mcols = [F.element_at(margins, i + 1) for i in range(len(langs))]
+    best = F.greatest(*mcols) if len(langs) > 1 else mcols[0]
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = mcols[i] == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return pred
 
 
 def deterministic_split(

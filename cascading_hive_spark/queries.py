@@ -9207,13 +9207,32 @@ def q_sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
     withfp = d.withColumn("_fp", fp)
-    a = withfp.select(F.col("_fp"), F.col("doc_id").alias("id_a"))
-    b = withfp.select(F.col("_fp"), F.col("doc_id").alias("id_b"))
-    pairs = (
-        a.join(b, "_fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # pair generation via ONE fingerprint-key shuffle into buckets and
+    # an in-bucket index-aware transform (the minhash_lsh_pairs bucket
+    # idiom) — the previous self-join shuffled the fingerprint table
+    # twice and re-computed the md5 scan on both sides (guide §2.4).
+    # Pairs produced are identical: all (id_a < id_b) sharing a
+    # fingerprint.
+    buckets = (
+        withfp.select("_fp", "doc_id")
+        .groupBy("_fp")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.array_sort("_ids").alias("_ids"))
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     out = leakage_safe_split(d, "doc_id", pairs, test_permille=200)
     return out.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -9356,7 +9375,10 @@ def q_docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    w = dsir_weights(d, d.filter(F.col("lang") == "en"), "text")
+    # single-scan weights: the target is a slice of the raw corpus, so
+    # the flag path folds each document's grams ONCE (identical counts
+    # and weights; the union path hashed every English doc twice)
+    w = dsir_weights(d, None, "text", target_flag=F.col("lang") == "en")
     scored = dsir_score(d, "doc_id", "text", w)
     return dsir_gumbel_topk(scored, "doc_id", k=50)
 
@@ -9624,39 +9646,77 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cascading_hive_spark.operators.corpus import gopher_quality_rules
+    from cascading_hive_spark.operators.corpus import gopher_rule_exprs
+    from cascading_hive_spark.operators.dedup import spread
     from cascading_hive_spark.operators.sampling import cap_per_key
     from cascading_hive_spark.operators.text import (
-        lang_id_scores,
-        quality_classifier_score,
+        char_ngram_buckets,
+        classifier_dot_expr,
+        lang_id_margins_expr,
+        lang_id_pred_expr,
+        lang_id_sums_expr,
     )
 
     d = _t(spark, sf_dir, "documents")
     # the stopword rule is English-prose-specific and the synthetic
     # corpus is random-vocab (it zeroes the whole funnel) — stage 1 is
     # the five STRUCTURAL Gopher rules so every stage shows real
-    # attrition; `keep` (all six) stays the text_gopher_rules contract
-    g = gopher_quality_rules(d, "doc_id", "text").select(
-        "doc_id",
-        (
-            F.col("word_count_ok")
-            & F.col("word_len_ok")
-            & F.col("symbol_ok")
-            & F.col("bullet_ok")
-            & F.col("ellipsis_ok")
-        ).alias("g"),
+    # attrition; `keep` (all six) stays the text_gopher_rules contract.
+    #
+    # All three per-doc stages (Gopher rules, lang-id fold, classifier
+    # fold) are map-only expressions over the SAME text column, so the
+    # flag table is built in ONE scan — the previous formulation ran
+    # four separate scans of `documents` and three doc_id sort-merge
+    # joins just to put the flags on one row (guide §2.4/§1.2). Each
+    # stage's arithmetic is the operator's own, via the shared
+    # column-expression helpers, so every flag is bit-identical.
+    rules = gopher_rule_exprs(F.col("text"))
+    g_expr = (
+        rules["word_count_ok"]
+        & rules["word_len_ok"]
+        & rules["symbol_ok"]
+        & rules["bullet_ok"]
+        & rules["ellipsis_ok"]
     )
-    lid = lang_id_scores(
-        d, "doc_id", "text", _LID_MODELS_V1, n=3, seed="lid14|", widen=False
-    ).select("doc_id", "pred_lang")
-    c = quality_classifier_score(
-        d, "doc_id", "text", _QC_WEIGHTS_V1, _QC_BIAS_V1
-    ).select("doc_id", F.col("quality_pass").alias("c"))
+    qc_nb = len(_QC_WEIGHTS_V1)
+    # bucket arrays materialized in their own projection (the
+    # lang_id_scores/classifier CSE discipline: the md5-per-position
+    # transforms are the scan's hot cost and must run once per row)
+    b1 = spread(d.select("doc_id", "source", "text")).select(
+        "doc_id",
+        "source",
+        g_expr.alias("g"),
+        char_ngram_buckets(F.col("text"), 3, _LID_NB, "lid14|").alias("_lbk"),
+        char_ngram_buckets(F.col("text"), 3, qc_nb, "qc13|").alias("_qbk"),
+    )
+    b2 = b1.select(
+        "doc_id",
+        "source",
+        "g",
+        lang_id_sums_expr(F.col("_lbk"), _LID_MODELS_V1).alias("_ls"),
+        F.size(F.col("_lbk")).cast("bigint").alias("_lng"),
+        classifier_dot_expr(F.col("_qbk"), _QC_WEIGHTS_V1).alias("_qd"),
+        F.size(F.col("_qbk")).cast("bigint").alias("_qng"),
+    )
+    qc_margin = (
+        F.col("_qd").cast("double")
+        / F.lit(1_000_000.0)
+        / F.col("_qng").cast("double")
+        + F.lit(float(_QC_BIAS_V1))
+    )
     flags = (
-        d.select("doc_id", "source")
-        .join(g, "doc_id")
-        .join(lid, "doc_id")
-        .join(c, "doc_id")
+        b2.select(
+            "doc_id",
+            "source",
+            "g",
+            lang_id_pred_expr(
+                lang_id_margins_expr(
+                    F.col("_ls"), F.col("_lng").cast("double"), _LID_MODELS_V1
+                ),
+                _LID_MODELS_V1,
+            ).alias("pred_lang"),
+            (qc_margin > 0).alias("c"),
+        )
         # materialize the flag table ONCE: three consumers (the modal-
         # language aggregate, the cap stage, the final report) would
         # otherwise each replay the md5 lang/classifier folds — the
