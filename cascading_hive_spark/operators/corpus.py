@@ -23,6 +23,8 @@ only as *reported* scores (rounded), never as *ranking* keys.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -526,42 +528,140 @@ def bm25_topk(
     partitioning; a plain float sum would tie-break differently run
     to run.
 
-    Scale shape: one narrow tokenize scan with the IN-list filter on
-    the exploded term (only query-term rows survive — the scan output
-    is ~|q| rows per matching doc, not the corpus token stream); tf is
-    a map-side-combined (id, term) agg; df and the corpus stats are
-    broadcast 1-row/|q|-row tables; the final order-by-limit compiles
-    to TakeOrderedAndProject (no global sort). No driver collect.
+    Scale shape (|q| <= 8, the retrieval norm): ONE tokenize scan —
+    a single F.aggregate lambda folds each doc's word array into
+    (dl, tf per query term) in one pass (one lambda with distinct
+    embedded literals, the shape this Spark build evaluates correctly
+    — N same-shape lambdas differing only in a literal collapse to
+    one result, see minhash_lsh_pairs), checkpointed as a NARROW
+    per-doc stats table (id + |q|+1 ints; at warehouse scale this
+    boundary would be a parquet write, the funnel-flag-table
+    precedent). Corpus stats and per-term df then come from one 1-row
+    aggregate broadcast back — no token explode, no (id, term)
+    exchange, and the tokenizer runs once instead of three times
+    (stats scan + tf scan + df re-execution; guide §2.4/§5). The
+    final order-by-limit compiles to TakeOrderedAndProject (no
+    global sort). No driver collect. Larger |q| falls back to the
+    explode + IN-list path (per-term fold branches stop paying off).
     """
     words = F.filter(_word_array(F.col(text_col)), lambda x: x != F.lit(""))
-    stats = docs.select(F.size(words).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("dl").cast("bigint")).alias("total_len"),
-    )
-    toks = docs.select(
-        F.col(id_col), F.size(words).alias("dl"), F.explode(words).alias("term")
-    ).filter(F.col("term").isin(query_terms))
-    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    w_td = (
-        idf
-        * (F.col("tf") * (F.lit(k1) + 1.0))
-        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl))
-    )
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
-            F.sum(F.round(w_td, 7).cast("decimal(38,7)")).alias("_s"),
+    nq = len(query_terms)
+    if 1 <= nq <= 8:
+        zero = F.struct(
+            F.lit(0).cast("int").alias("dl"),
+            *[F.lit(0).cast("int").alias(f"t{i}") for i in range(nq)],
         )
-    )
+
+        def _step(acc, x):
+            return F.struct(
+                (acc["dl"] + F.lit(1)).alias("dl"),
+                *[
+                    (
+                        acc[f"t{i}"]
+                        + F.when(x == F.lit(t), F.lit(1)).otherwise(F.lit(0))
+                    ).alias(f"t{i}")
+                    for i, t in enumerate(query_terms)
+                ],
+            )
+
+        per = (
+            docs.select(F.col(id_col), F.aggregate(words, zero, _step).alias("_f"))
+            .select(
+                id_col,
+                F.col("_f.dl").alias("dl"),
+                *[F.col(f"_f.t{i}").alias(f"t{i}") for i in range(nq)],
+            )
+            .localCheckpoint(eager=False)
+        )
+        gl = per.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("dl").cast("bigint")).alias("total_len"),
+            *[
+                F.sum((F.col(f"t{i}") > 0).cast("bigint")).alias(f"df{i}")
+                for i in range(nq)
+            ],
+        )
+        avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+
+        def _w(i: int):
+            # identical formula/operand types as the explode path: tf
+            # and df are bigint, dl int — same double promotions, same
+            # IEEE ops, so each 7-decimal contribution is bit-equal
+            tf_i = F.col(f"t{i}").cast("bigint")
+            df_i = F.col(f"df{i}")
+            idf_i = F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+            )
+            return (
+                idf_i
+                * (tf_i * (F.lit(k1) + 1.0))
+                / (
+                    tf_i
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+                )
+            )
+
+        # decimal(30,7) addends so the k-term chain add never lands on
+        # the (38,s)+(38,s) scale-reducing special case (session.py
+        # decimal discipline); absent terms add an exact 0.0000000
+        zero_dec = F.lit("0").cast("decimal(30,7)")
+        total = F.when(F.col("t0") > 0, F.round(_w(0), 7).cast("decimal(30,7)")).otherwise(
+            zero_dec
+        )
+        for i in range(1, nq):
+            total = total + F.when(
+                F.col(f"t{i}") > 0, F.round(_w(i), 7).cast("decimal(30,7)")
+            ).otherwise(zero_dec)
+        n_matched = reduce(
+            lambda a, c: a + c,
+            [(F.col(f"t{i}") > 0).cast("int") for i in range(nq)],
+        )
+        any_match = reduce(
+            lambda a, c: a | c, [F.col(f"t{i}") > 0 for i in range(nq)]
+        )
+        scored = (
+            per.crossJoin(F.broadcast(gl))
+            .filter(any_match)
+            .select(
+                id_col,
+                n_matched.cast("bigint").alias("n_terms_matched"),
+                total.cast("decimal(38,7)").alias("_s"),
+            )
+        )
+    else:
+        stats = docs.select(F.size(words).alias("dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("dl").cast("bigint")).alias("total_len"),
+        )
+        toks = docs.select(
+            F.col(id_col), F.size(words).alias("dl"), F.explode(words).alias("term")
+        ).filter(F.col("term").isin(query_terms))
+        tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+        df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        w_td = (
+            idf
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+            )
+        )
+        scored = (
+            tf.join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+                F.sum(F.round(w_td, 7).cast("decimal(38,7)")).alias("_s"),
+            )
+        )
     return (
         scored.orderBy(F.col("_s").desc(), F.col(id_col).asc())
         .limit(topk)

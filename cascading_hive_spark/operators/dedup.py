@@ -278,7 +278,16 @@ def minhash_lsh_pairs(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
-    cand = pairs.dropDuplicates(["id_a", "id_b"])
+    # candidate pairs are REFERENCED TWICE below (the id side of the
+    # semi-join and the verification join) and the shingle subtree
+    # three times — without a cut, Spark re-executes the whole
+    # tokenize+shingle+hash scan and the bucket shuffle per consumer
+    # (the r15 funnel lineage-re-execution lesson; guide §5
+    # localCheckpoint as the cheap lineage cut). Both checkpoints are
+    # candidate-scale (pair ids / candidate shingles), never
+    # corpus-scale, so the pinned blocks stay metadata-sized at any
+    # corpus size.
+    cand = pairs.dropDuplicates(["id_a", "id_b"]).localCheckpoint(eager=False)
 
     # Verification joins shingles back for CANDIDATE docs only, in two
     # steps that keep the full corpus shingle table out of any wide op:
@@ -293,7 +302,7 @@ def minhash_lsh_pairs(
     # (no distinct on the ids — left_semi ignores duplicates, and the
     # dedup would cost an extra shuffle)
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
-    sh_cand = base.join(cand_ids, "_id", "left_semi")
+    sh_cand = base.join(cand_ids, "_id", "left_semi").localCheckpoint(eager=False)
     sh_a = sh_cand.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = sh_cand.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = (
@@ -1036,7 +1045,12 @@ def embedding_lsh_pairs(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
-    cand = pairs.dropDuplicates(["id_a", "id_b"])
+    # same lineage cut as minhash_lsh_pairs: cand and the candidate
+    # vectors are each consumed twice below — checkpoint both
+    # (candidate-scale, never corpus-scale) so the band/bucket
+    # pipeline and the corpus scan run ONCE instead of three times
+    # (guide §5 localCheckpoint as the cheap lineage cut)
+    cand = pairs.dropDuplicates(["id_a", "id_b"]).localCheckpoint(eager=False)
 
     # Exact-cosine verification on candidates only; same two-step
     # semi-join shape as minhash (corpus vectors never broadcast or
@@ -1044,8 +1058,10 @@ def embedding_lsh_pairs(
     from cascading_hive_spark.operators.similarity import dot as _dot, norm as _norm
 
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
-    v_cand = base.join(cand_ids, "_id", "left_semi").select(
-        "_id", F.col("_v"), _norm(F.col("_v")).alias("_n")
+    v_cand = (
+        base.join(cand_ids, "_id", "left_semi")
+        .select("_id", F.col("_v"), _norm(F.col("_v")).alias("_n"))
+        .localCheckpoint(eager=False)
     )
     v_a = v_cand.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
@@ -1119,16 +1135,13 @@ def semantic_dedup_pairs(
     similarities plus the cell's vectors, both bounded by
     ``max_cell``.
     """
-    from cascading_hive_spark.operators.similarity import assign_min_cell
+    from cascading_hive_spark.operators.similarity import argmin_cell, cell_distances
 
     base = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    # MAP-ONLY E-step (assign_min_cell): cid lands on the vector's own
-    # row, so the old n*k argmin shuffle AND the id-key join shuffling
-    # every vector back to its assignment are both gone (guide §2.4) —
-    # the only remaining exchange is the cid-key cogroup itself
-    sided = assign_min_cell(base, centroids, dist_scale).select("cid", "_id", "_v")
+    assigned = argmin_cell(cell_distances(base, centroids, dist_scale))
+    sided = base.join(assigned, "_id").select("cid", "_id", "_v")
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 

@@ -30,6 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# target rows per partition for the iterative operators' pinned key
+# exchanges (pagerank_portable / label_propagation): node/rank and
+# vote rows are a few dozen bytes, so ~500k rows is tens of MB — the
+# guide §2.2 partition-size band. The derived count is clamped to the
+# session's defaultParallelism; callers on unusual clusters can pin
+# n_part explicitly.
+_GRAPH_ROWS_PER_PART = 500_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -280,6 +288,7 @@ def pagerank_portable(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    n_part: int | None = None,
 ) -> DataFrame:
     """ENGINE-PORTABLE fixed-iteration PageRank: same algorithm as
     ``pagerank`` (dangling mass redistributed uniformly), but the two
@@ -313,18 +322,33 @@ def pagerank_portable(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
         ["u", "v"]
     )
-    # fixed partition count for every per-iteration key exchange:
-    # explicit so AQE's partition coalescing can't leave the pinned
-    # edge table and the per-round rank vector at different counts
-    # (which would silently re-shuffle the edges every iteration)
-    n_part = edges.sparkSession.sparkContext.defaultParallelism
-    nodes = (
+    nodes_raw = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .repartition(n_part, "node")
         .localCheckpoint()
     )
+    # fixed partition count for every per-iteration key exchange:
+    # explicit so AQE's partition coalescing can't leave the pinned
+    # edge table and the per-round rank vector at different counts
+    # (which would silently re-shuffle the edges every iteration).
+    # SCALE-ADAPTIVE (guide §2): derived from the actual node count
+    # (~500k node/rank rows per partition) and clamped to the session
+    # core count — a toy graph runs its ten per-iteration stages as a
+    # couple of tasks instead of defaultParallelism tasks each, and a
+    # warehouse graph still spreads to every core. The count is one
+    # cheap pass over the already-checkpointed node list; decimal-
+    # image sums make any partitioning choice bit-identical.
+    if n_part is None:
+        n_nodes = nodes_raw.count()
+        n_part = max(
+            1,
+            min(
+                edges.sparkSession.sparkContext.defaultParallelism,
+                (n_nodes + _GRAPH_ROWS_PER_PART - 1) // _GRAPH_ROWS_PER_PART,
+            ),
+        )
+    nodes = nodes_raw.repartition(n_part, "node").localCheckpoint()
     n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
     out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
     # the degree column rides the edge table: pre-join once, pin the
@@ -520,6 +544,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 3,
     checkpoint_every: int = 2,
+    n_part: int | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with a
     deterministic tie-break: labels start as node ids; each round
@@ -548,15 +573,28 @@ def label_propagation(
     # layout instead of re-running the union+dedup and re-shuffling
     # the edge table every iteration (guide §2.4). Fixed n_part so
     # AQE coalescing can't leave the two join sides at different
-    # partition counts.
-    n_part = edges.sparkSession.sparkContext.defaultParallelism
-    sym = (
+    # partition counts; SCALE-ADAPTIVE from the symmetrized edge
+    # count (~500k vote-sized rows per partition, guide §2) so a toy
+    # graph runs each round's stages as a couple of tasks while a
+    # warehouse graph spreads over every core. Vote argmax is a
+    # count + min-struct aggregate, so partitioning cannot change
+    # the result.
+    sym_raw = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .dropDuplicates(["u", "v"])
         .filter(F.col("u") != F.col("v"))
-        .repartition(n_part, "v")
         .localCheckpoint()
     )
+    if n_part is None:
+        n_edges = sym_raw.count()
+        n_part = max(
+            1,
+            min(
+                edges.sparkSession.sparkContext.defaultParallelism,
+                (n_edges + _GRAPH_ROWS_PER_PART - 1) // _GRAPH_ROWS_PER_PART,
+            ),
+        )
+    sym = sym_raw.repartition(n_part, "v").localCheckpoint()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

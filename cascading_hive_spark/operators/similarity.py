@@ -111,89 +111,23 @@ def knn_join(
     )
 
 
-def _collect_cells(centroids: DataFrame) -> list[tuple]:
-    """Collect the (cell, centroid) table driver-side, sorted by cell
-    id. Metadata-sized by construction (n_cells rows of dim doubles —
-    the codebook/centroid-collect precedent from kmeans/BPE), never
-    corpus-sized. Doubles round-trip Spark -> Python -> literal
-    exactly, so expressions over the re-lit centroids are bit-identical
-    to expressions over the centroid column."""
-    rows = centroids.select("cell", "centroid").collect()
-    return sorted((r["cell"], list(r["centroid"])) for r in rows)
-
-
-def _lit_vec(values: list) -> Column:
-    return F.array(*[F.lit(float(x)).cast("double") for x in values])
-
-
-def _cell_sims(vec: Column, cells: list, cell_type) -> Column:
-    """array<struct<s,cell>> of cosine(vec, centroid) for every
-    collected cell — the same ``cosine`` fold as the join formulation
-    (same IEEE ops in the same order on the same doubles), evaluated
-    MAP-SIDE against plan literals instead of joined centroid rows."""
-    return F.array(
-        *[
-            F.struct(
-                cosine(vec, _lit_vec(cv)).alias("s"),
-                F.lit(cid).cast(cell_type).alias("cell"),
-            )
-            for cid, cv in cells
-        ]
-    )
-
-
-def _desc_sim_cmp(left, right):
-    """array_sort comparator replaying the (sim DESC, cell ASC) window
-    order exactly, including Spark's NaN-is-largest sort semantics
-    (NaN first under DESC) and -0.0 == 0.0."""
-    tie = (
-        F.when(left["cell"] < right["cell"], F.lit(-1))
-        .when(left["cell"] > right["cell"], F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    return (
-        F.when(F.isnan(left["s"]) & F.isnan(right["s"]), tie)
-        .when(F.isnan(left["s"]), F.lit(-1))
-        .when(F.isnan(right["s"]), F.lit(1))
-        .when(left["s"] > right["s"], F.lit(-1))
-        .when(left["s"] < right["s"], F.lit(1))
-        .otherwise(tie)
-    )
-
-
-def _top_cells(vec: Column, centroids: DataFrame, nprobe: int) -> Column:
-    """The ``nprobe`` nearest cells of ``vec`` as an array<cell>,
-    computed entirely map-side (collected-centroid literals + one
-    array_sort) — replaces the crossJoin + per-id row_number window,
-    whose exchange shuffled every vector n_cells times (guide §2.4:
-    remove shuffles outright). Ordering is bit-identical to the window
-    formulation: same cosine fold, same (sim DESC, cell ASC) ranking."""
-    cells = _collect_cells(centroids)
-    cell_type = centroids.schema["cell"].dataType
-    ranked = F.array_sort(_cell_sims(vec, cells, cell_type), _desc_sim_cmp)
-    return F.slice(ranked, 1, nprobe)["cell"]
-
-
 def _assign_cells(
     vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Nearest-centroid assignment, MAP-ONLY: centroids are collected
-    (metadata-sized) and re-lit into the plan, so every vector scores
-    all cells and keeps the argmax inside one narrow projection — no
-    crossJoin fan-out, no per-id window exchange (which shuffled each
-    vector n_cells times). Argmax order (sim DESC, cell ASC) and the
-    cosine fold are bit-identical to the previous window formulation."""
-    cells = _collect_cells(centroids)
-    cell_type = centroids.schema["cell"].dataType
-    if not cells:
-        return vectors.select(
-            F.col(id_col), F.col(vec_col), F.lit(None).cast(cell_type).alias("cell")
-        ).filter(F.lit(False))
-    best = F.array_sort(
-        _cell_sims(F.col(vec_col), cells, cell_type), _desc_sim_cmp
-    )[0]
-    return vectors.select(
-        F.col(id_col), F.col(vec_col), best["cell"].alias("cell")
+    """Nearest-centroid assignment: broadcast the (tiny) centroid
+    table, score every vector against every centroid in one narrow
+    pass, keep the argmax via a per-vector window."""
+    from pyspark.sql import Window
+
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r", "_sim")
     )
 
 
@@ -385,15 +319,23 @@ def ivf_knn_join(
     """
     from pyspark.sql import Window
 
-    # probe selection is MAP-ONLY (_top_cells: collected-centroid
-    # literals + array_sort + explode) — the previous crossJoin +
-    # per-qid row_number window shuffled every query n_cells times
-    # just to rank cells (guide §2.4); ranking order is bit-identical
-    probes = queries.select(
+    q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).alias("_qv"),
         norm(F.col(vec_col)).alias("_qn"),
-        F.explode(_top_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    cscored = q.crossJoin(F.broadcast(centroids)).select(
+        "_qid",
+        "_qv",
+        "_qn",
+        "cell",
+        cosine(F.col("_qv"), F.col("centroid")).alias("_csim"),
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.col("_csim").desc(), F.col("cell"))
+    probes = (
+        cscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("_qid", "_qv", "_qn", "cell")
     )
     # corpus norms precomputed ONCE per corpus row (not once per
     # query x corpus candidate)
@@ -436,15 +378,18 @@ def ivf_knn_join_from_disk(
     degenerates to a full scan — exactly the right cost either way.
     Scoring then reuses ivf_knn_join on the pruned vectors."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    # probed-cell union via the map-only _top_cells ranking (same
-    # order as the previous per-qid window; guide §2.4 — no exchange)
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    from pyspark.sql import Window
+
+    cscored = q.crossJoin(F.broadcast(centroids)).select(
+        "_qid", "cell", cosine(F.col("_qv"), F.col("centroid")).alias("_csim")
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.col("_csim").desc(), F.col("cell"))
     cells = [
         r.cell
-        for r in queries.select(
-            F.explode(
-                _top_cells(F.col(vec_col), centroids, nprobe)
-            ).alias("cell")
-        )
+        for r in cscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("cell")
         .distinct()
         .collect()
     ]
@@ -1220,9 +1165,8 @@ def centroid_confusion(
         F.col(label_col).alias("label"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    # MAP-ONLY E-step (assign_min_cell) — same decimal argmin with
-    # ties to the lower candidate label, no n*k min-struct shuffle
-    assigned = assign_min_cell(base, centroids, dist_scale)
+    d2 = cell_distances(base, centroids, dist_scale)
+    assigned = argmin_cell(d2, group_cols=["_id", "label"])
     return assigned.groupBy("label", F.col("cid").alias("assigned_label")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1301,15 +1245,8 @@ def kmeans_fit(
         ex.withColumn("cid", F.pmod(hash_order(F.col("_id")), F.lit(k)))
     ).localCheckpoint()
     for _ in range(iters):
-        # MAP-ONLY E-step (assign_min_cell): cid lands on the same row
-        # as the vector, so the M-step explodes in place — no n*k
-        # argmin shuffle and no ex-join shuffle of n*dim rows back to
-        # the assignment (guide §2.4); sums are exact decimals, so the
-        # round's centroids are bit-identical either way
-        assigned = assign_min_cell(base, centroids, dist_scale)
-        means = _means(
-            assigned.select("cid", F.posexplode("_v").alias("dim", "_val"))
-        )
+        assign = argmin_cell(cell_distances(base, centroids, dist_scale))
+        means = _means(ex.join(assign, "_id"))
         prior = centroids.select("cid", "dim", F.col("centroid").alias("_prev"))
         centroids = (
             prior.join(means, ["cid", "dim"], "left")
@@ -1405,68 +1342,6 @@ def argmin_cell(d2: DataFrame, group_cols: list[str] | None = None) -> DataFrame
     )
 
 
-def assign_min_cell(
-    base: DataFrame,
-    centroids_long: DataFrame,
-    dist_scale: int = 9,
-    keep_dist: bool = False,
-) -> DataFrame:
-    """MAP-ONLY E-step: ``argmin_cell(cell_distances(base, ...))``
-    with zero shuffles — the k*dim centroid table is collected
-    (metadata-sized, the codebook precedent) and re-lit into the plan,
-    so every vector computes all k decimal distance folds and takes
-    the argmin inside one narrow projection. The previous formulation
-    fanned each vector out to k rows (broadcast crossJoin) and
-    shuffled them all through a per-id min-struct aggregate just to
-    pick the winner (guide §2.4: remove shuffles outright).
-
-    Bit-identical to the join formulation: the same round/decimal
-    fold per (vector, centroid) pair (literal centroids round-trip
-    exactly), and ``array_min`` over struct(_d2, _ccid) is the same
-    (d2 ASC, cid ASC) order as ``F.min(F.struct(...))``. Appends
-    ``cid`` (and ``_d2`` when ``keep_dist``) to ``base``'s columns.
-    """
-    dec_el = f"decimal(30,{dist_scale})"
-    dec_acc = f"decimal(37,{dist_scale})"
-    cells_df = centroids_to_cells(centroids_long).select(
-        F.col("cell").alias("_ccid"), F.col("centroid").alias("_cv")
-    )
-    cid_type = cells_df.schema["_ccid"].dataType
-    cells = sorted(
-        (r["_ccid"], list(r["_cv"])) for r in cells_df.collect()
-    )
-    if not cells:
-        out = base.withColumn("cid", F.lit(None).cast(cid_type))
-        if keep_dist:
-            out = out.withColumn("_d2", F.lit(None).cast(dec_acc))
-        return out.filter(F.lit(False))
-
-    def _d2(cv: list) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                _lit_vec(cv),
-                lambda a, b: F.round((a - b) * (a - b), dist_scale).cast(dec_el),
-            ),
-            F.lit(0).cast(dec_acc),
-            lambda acc, x: (acc + x).cast(dec_acc),
-        )
-
-    arr = F.array(
-        *[
-            F.struct(
-                _d2(cv).alias("_d2"), F.lit(cid).cast(cid_type).alias("_ccid")
-            )
-            for cid, cv in cells
-        ]
-    )
-    best = F.array_min(arr)
-    out = base.withColumn("cid", best["_ccid"])
-    if keep_dist:
-        out = out.withColumn("_d2", best["_d2"])
-    return out
-
-
 def ivf_build_from_kmeans(
     vectors: DataFrame,
     k: int = 8,
@@ -1514,9 +1389,12 @@ def kmeans_inertia(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    # MAP-ONLY E-step (assign_min_cell, keep_dist) — same decimal
-    # argmin, no n*k min-struct shuffle (guide §2.4)
-    nearest = assign_min_cell(base, centroids, dist_scale, keep_dist=True)
+    d2 = cell_distances(base, centroids, dist_scale)
+    nearest = (
+        d2.groupBy("_id")
+        .agg(F.min(F.struct("_d2", "_ccid")).alias("_m"))
+        .select("_id", F.col("_m._ccid").alias("cid"), F.col("_m._d2").alias("_d2"))
+    )
     return nearest.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("_d2").cast("double").alias("inertia"),
@@ -1863,14 +1741,21 @@ def knn_density_blocked(
     from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    # probe selection is MAP-ONLY (_top_cells: collected-centroid
-    # literals + array_sort + explode) — the previous crossJoin +
-    # per-qid row_number window shuffled every vector n_cells times
-    # just to rank cells (guide §2.4); ranking order is bit-identical
-    probes = assignments.select(
+    q0 = assignments.select(
         F.col(id_col).alias("_qid"),
         F.col(vec_col).alias("_qv"),
-        F.explode(_top_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    cscored = q0.crossJoin(F.broadcast(centroids)).select(
+        "_qid",
+        "_qv",
+        "cell",
+        cosine(F.col("_qv"), F.col("centroid")).alias("_csim"),
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.col("_csim").desc(), F.col("cell"))
+    probes = (
+        cscored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("_qid", "_qv", "cell")
     )
     members = assignments.select(
         "cell", F.col(id_col).alias("_mid"), F.col(vec_col).alias("_mv")

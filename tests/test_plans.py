@@ -486,11 +486,10 @@ def test_new_r10_operator_plans(spark, sf_dir):
 def test_new_r10b_operator_plans(spark, sf_dir):
     """Plan shapes for the late-r10 additions: sequence_ngrams is one
     window + one partial-aggregated count (no Generate/explode, no
-    collect_list); semantic_dedup_pairs' E-step is MAP-ONLY since r16
-    (collected-centroid literals — no centroid join, no argmin
-    shuffle; the only exchange is the cid-key cogroup) and never a
-    cartesian; rrf_fuse compiles the final cut to
-    TakeOrderedAndProject (no global Sort of all rows)."""
+    collect_list); semantic_dedup_pairs broadcasts the centroid table
+    and keeps the within-cell self-join a shuffled hash join (never a
+    broadcast of the corpus or a cartesian); rrf_fuse compiles the
+    final cut to TakeOrderedAndProject (no global Sort of all rows)."""
     from cascading_hive_spark.operators.corpus import rrf_fuse
     from cascading_hive_spark.operators.dedup import semantic_dedup_pairs
     from cascading_hive_spark.operators.relational import sequence_ngrams
@@ -511,14 +510,11 @@ def test_new_r10b_operator_plans(spark, sf_dir):
     dplan = physical_plan(
         semantic_dedup_pairs(emb, cents, threshold=0.5, max_cell=None)
     )
-    # r16: the E-step rides the scan as literal-centroid arithmetic —
-    # NO join of any kind feeds the cogroup (one exchange total)
-    assert "BroadcastHashJoin" not in dplan, dplan
-    assert "SortMergeJoin" not in dplan, dplan
+    assert "BroadcastHashJoin" in dplan, dplan          # centroid join
     assert "CartesianProduct" not in dplan, dplan
     # within-cell pairs run as one Arrow-grouped GEMM task per cell
     assert "FlatMapGroupsInPandas" in dplan, dplan
-    assert dplan.count("Exchange") == 1, dplan
+    assert "SortMergeJoin" not in dplan.split("FlatMapGroupsInPandas")[0], dplan
 
     a = spark.range(10).select(F.col("id").alias("doc_id"),
                                (F.col("id") + 1).cast("int").alias("r"))
