@@ -70,6 +70,10 @@ HEADLINE = [
     "events_kmv_distinct",
     "text_rake_keywords",
     "graph_label_propagation",
+    # r16 optimization: BM25 single-scan fold (was three tokenize
+    # scans + an (id, term) explode exchange) — tracked standalone so
+    # the lexical leg's cost is visible outside docs_hybrid_rrf
+    "docs_bm25_topk",
 ]
 
 
