@@ -116,18 +116,35 @@ def _assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid
     table, score every vector against every centroid in one narrow
-    pass, keep the argmax via a per-vector window."""
-    from pyspark.sql import Window
+    pass, keep the argmax via a map-side-combinable max-struct
+    aggregate (guide §2.3/§2.4 — the r16 rework): the former
+    per-vector row_number window shuffled all n*k scored rows, each
+    dragging the full embedding array through the exchange plus a
+    sort; the partial aggregate collapses the k candidates to one row
+    per vector BEFORE the exchange, so n rows cross, no sort, and the
+    vector rides along once via any_value (every row of a group
+    carries the identical array, so the pick is value-deterministic).
 
+    Tie/edge semantics are bit-identical to the window it replaces:
+    max(struct(_sim, -cell)) == first row of ORDER BY _sim DESC, cell
+    ASC — including NaN (greatest double in both orderings) and NULL
+    _sim (struct-compare NULLS FIRST == DESC NULLS LAST: picked only
+    when every candidate is null)."""
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
-        F.col("cell"),
-        cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+        F.struct(
+            cosine(F.col(vec_col), F.col("centroid")).alias("s"),
+            (-F.col("cell")).alias("negc"),
+        ).alias("_sc"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
     return (
-        scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r", "_sim")
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.max("_sc").alias("_m"),
+        )
+        .select(id_col, vec_col, (-F.col("_m.negc")).alias("cell"))
     )
 
 
