@@ -188,8 +188,15 @@ def bigram_lm_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     floor), which this operator's add-one floor already makes exact.
     """
     doc_bigrams = _doc_bigrams(docs, id_col, text_col)
-    c2 = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = doc_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c2 is vocabulary-sized: checkpoint it and DERIVE c1 (sum of
+    # bigram counts per context == the context count, same bigints) —
+    # one corpus bigram explode instead of two (guide §2.4/§5)
+    c2 = (
+        doc_bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     return (
         doc_bigrams.join(c2, ["w1", "w2"])
@@ -236,8 +243,16 @@ def lm_perplexity_buckets(
     by definition (clean text), so c2/c1 broadcast.
     """
     tb = _doc_bigrams(train, id_col, text_col)
-    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c2 is vocabulary-sized; checkpoint it and DERIVE c1 from it
+    # (sum of bigram counts per context w1 == the context count, the
+    # same bigints) — the reference-corpus explode then runs ONCE
+    # instead of once per count table (guide §2.4/§5)
+    c2 = (
+        tb.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     sb = _doc_bigrams(score, id_col, text_col)
     # try_divide: an EMPTY reference corpus has V=0, making the
@@ -269,6 +284,10 @@ def lm_perplexity_buckets(
             ).alias("_nll"),
         )
         .withColumn("_micro", F.round(F.col("_nll") * 1e6, 0).cast("bigint"))
+        # one skinny row per doc, read TWICE (tercile edges + the
+        # bucketing map): without the cut the whole cross-corpus
+        # scoring pass executes once per consumer (guide §5)
+        .localCheckpoint(eager=False)
     )
     edges = per_doc.agg(
         F.percentile(F.col("_micro"), F.lit([1.0 / 3.0, 2.0 / 3.0])).alias("_t")

@@ -1140,8 +1140,14 @@ def semantic_dedup_pairs(
     base = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    assigned = argmin_cell(cell_distances(base, centroids, dist_scale))
-    sided = base.join(assigned, "_id").select("cid", "_id", "_v")
+    # the vector rides the argmin aggregate (keep_vec/carry_vec), so
+    # blocking needs no join back onto the vector table — the corpus
+    # crosses one id exchange instead of two (guide §2.4)
+    assigned = argmin_cell(
+        cell_distances(base, centroids, dist_scale, keep_vec=True),
+        carry_vec=True,
+    )
+    sided = assigned.select("cid", "_id", "_v")
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1704,6 +1710,15 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t"),
     ).filter(F.length("_t") > 0)
+    # NOTE (r16): lineage cuts (localCheckpoint on tf/w/norms/rare)
+    # were tried here and REVERTED — measured 1.04-1.30x SLOWER.
+    # The multi-consumer subtrees (tf under dft+w, w under norms and
+    # both dot-product sides, rare under its self-join) all sit
+    # behind IDENTICAL exchanges, which Spark already dedups at
+    # runtime via ReusedExchange — so the cuts avoided no work and
+    # added blocking materialization jobs. Lineage cuts only pay when
+    # the duplicated subtree crosses SEPARATE actions (prechecks,
+    # loops) or is not behind an identical exchange.
     tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
     n_docs = df.count()  # plan-build-time scalar, like ivf/pq builds
     dft = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))

@@ -1223,9 +1223,10 @@ def kmeans_fit(
     join-on-dim formulation pushed n*dim*k rows through a hash
     aggregate and was the measured budget of BASELINE.md's kmeans
     smoke) — then one map-side-combined argmin aggregate
-    (``argmin_cell``), one id-key shuffle to join assignments back,
-    and one (cid, dim) mean aggregation whose map-side partials are
-    k*dim rows per task — vectors themselves never shuffle. Lineage
+    (``argmin_cell`` with the vector carried through as an any_value,
+    so the M-step posexplodes the carried array — no join back, ONE
+    id exchange per round), and one (cid, dim) mean aggregation whose
+    map-side partials are k*dim rows per task. Lineage
     hygiene: the centroid table (k*dim rows) is localCheckpoint-ed
     every round (the pagerank pattern), so round N's plan reads the
     parquet scan + one tiny checkpoint instead of N nested E/M graphs.
@@ -1262,8 +1263,17 @@ def kmeans_fit(
         ex.withColumn("cid", F.pmod(hash_order(F.col("_id")), F.lit(k)))
     ).localCheckpoint()
     for _ in range(iters):
-        assign = argmin_cell(cell_distances(base, centroids, dist_scale))
-        means = _means(ex.join(assign, "_id"))
+        # E-step carries the vector THROUGH the argmin aggregate
+        # (keep_vec/carry_vec), so the M-step posexplodes the carried
+        # array instead of joining the n*dim exploded table back on
+        # _id — one id exchange per round instead of two, and the
+        # n*dim rows never shuffle (guide §2.4). Decimal-image sums
+        # make the formulations bit-identical.
+        assign = argmin_cell(
+            cell_distances(base, centroids, dist_scale, keep_vec=True),
+            carry_vec=True,
+        )
+        means = _means(assign.select("cid", F.posexplode("_v").alias("dim", "_val")))
         prior = centroids.select("cid", "dim", F.col("centroid").alias("_prev"))
         centroids = (
             prior.join(means, ["cid", "dim"], "left")
@@ -1301,6 +1311,7 @@ def cell_distances(
     base: DataFrame,
     centroids_long: DataFrame,
     dist_scale: int = 9,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Squared-L2 decimal image of every vector against every
     centroid: input ``base`` carries ``_v`` (array<double>) plus any
@@ -1340,23 +1351,40 @@ def cell_distances(
         lambda acc, x: (acc + x).cast(dec_acc),
     )
     keep = [c for c in base.columns if c != "_v"]
+    if keep_vec:
+        # let ``_v`` ride the scored rows so a downstream argmin can
+        # carry the vector through its aggregate (any_value — every
+        # row of an id-group holds the identical array) instead of the
+        # consumer joining the vectors back on _id, which re-shuffles
+        # the whole vector table per E-step (guide §2.4)
+        keep.append("_v")
     return base.crossJoin(F.broadcast(cells)).select(
         *keep, "_ccid", d2.alias("_d2")
     )
 
 
-def argmin_cell(d2: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+def argmin_cell(
+    d2: DataFrame,
+    group_cols: list[str] | None = None,
+    carry_vec: bool = False,
+) -> DataFrame:
     """Per-group nearest centroid from ``cell_distances`` output:
     min over struct(_d2, _ccid) — (d2 asc, ties to the lower cid),
     the exact order the trainer's row_number window used, but as a
     map-side-combinable aggregate (one partial row per group per task
-    instead of a full-row window sort). Returns (*group_cols, cid)."""
+    instead of a full-row window sort). Returns (*group_cols, cid);
+    with ``carry_vec`` (pairs with cell_distances ``keep_vec``) the
+    vector rides the same aggregate as an any_value — value-
+    deterministic, every row of a group holds the identical array —
+    so consumers get (*group_cols, _v, cid) without re-joining the
+    vector table on _id (one exchange instead of two, guide §2.4)."""
     keys = list(group_cols or ["_id"])
-    return (
-        d2.groupBy(*keys)
-        .agg(F.min(F.struct("_d2", "_ccid")).alias("_m"))
-        .select(*keys, F.col("_m._ccid").alias("cid"))
-    )
+    aggs = [F.min(F.struct("_d2", "_ccid")).alias("_m")]
+    if carry_vec:
+        aggs.insert(0, F.any_value(F.col("_v")).alias("_v"))
+    out = d2.groupBy(*keys).agg(*aggs)
+    cols = [*keys] + (["_v"] if carry_vec else [])
+    return out.select(*cols, F.col("_m._ccid").alias("cid"))
 
 
 def ivf_build_from_kmeans(

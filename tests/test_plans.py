@@ -510,7 +510,13 @@ def test_new_r10b_operator_plans(spark, sf_dir):
     dplan = physical_plan(
         semantic_dedup_pairs(emb, cents, threshold=0.5, max_cell=None)
     )
-    assert "BroadcastHashJoin" in dplan, dplan          # centroid join
+    # broadcast centroid table scores map-side (BNLJ from the cross
+    # join); the r16 carry_vec E-step rides the vector through the
+    # argmin aggregate, so the old assignments-back id join
+    # (BroadcastHashJoin) must be GONE — one id exchange, no second
+    # pass over the vector table
+    assert "BroadcastNestedLoopJoin" in dplan, dplan    # centroid broadcast
+    assert "BroadcastHashJoin" not in dplan, dplan      # id join-back removed
     assert "CartesianProduct" not in dplan, dplan
     # within-cell pairs run as one Arrow-grouped GEMM task per cell
     assert "FlatMapGroupsInPandas" in dplan, dplan
