@@ -458,3 +458,41 @@ def test_wave3_queries_no_cartesian(spark, sf_dir):
 
     for name in ("events_rolling_active_users", "events_theilsen_slope"):
         assert_no_cartesian(Q.queries()[name](spark, sf_dir))
+
+
+def test_argmin_cell_carry_vec_matches_join_formulation(spark):
+    """The r16 carry_vec E-step (vector rides the argmin aggregate as
+    an any_value) must return exactly the rows the old formulation
+    (skinny argmin + join back on _id) produced — same assignments,
+    same vectors — including centroid-distance ties (broken to the
+    lower cid in both shapes)."""
+    from pyspark.sql import functions as F
+
+    from cascading_hive_spark.operators.similarity import (
+        argmin_cell,
+        cell_distances,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [1.0, 1.0]),
+            (3, [0.5, 0.5]),  # equidistant from both centroids -> cid 0
+            (4, [0.9, 1.1]),
+        ],
+        "  _id long, _v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, 0, 0.0), (0, 1, 0.0), (1, 0, 1.0), (1, 1, 1.0)],
+        "cid long, dim int, centroid double",
+    )
+    carried = argmin_cell(
+        cell_distances(base, cents, keep_vec=True), carry_vec=True
+    ).select("_id", "_v", "cid")
+    joined = base.join(
+        argmin_cell(cell_distances(base, cents)), "_id"
+    ).select("_id", "_v", "cid")
+    c_rows = {r._id: (tuple(r._v), r.cid) for r in carried.collect()}
+    j_rows = {r._id: (tuple(r._v), r.cid) for r in joined.collect()}
+    assert c_rows == j_rows
+    assert c_rows[3][1] == 0  # tie broke to the lower cid
