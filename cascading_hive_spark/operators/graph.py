@@ -460,6 +460,15 @@ def triangle_count(
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
     )
+    # o feeds THREE consumers whose required distributions differ
+    # (out_pairs keyed a, heads keyed a on the build side, the closing
+    # left_semi keyed (b, c)), so the exchanges above o are NOT
+    # identical and ReusedExchange cannot dedup the orientation
+    # pipeline (scan -> windows -> distinct -> degree agg -> joins):
+    # it executed once per consumer. Materialize the edge-scale
+    # (a, b, db) rows once — the k_core/pagerank per-round discipline;
+    # measured 0.61x same-JVM (scripts/ab_tri_r16.py), counts exact.
+    o = o.localCheckpoint(eager=False)
     heads = o.select("a", F.col("b").alias("c"), F.col("db").alias("dc"))
     out_pairs = o.join(heads, "a").filter(
         (F.col("db") < F.col("dc"))

@@ -69,3 +69,21 @@ def test_k_core_raises_when_cap_exhausted(spark):
         k_core(df, 2, max_iterations=5).collect()
     # and with enough rounds the same graph converges to the empty core
     assert k_core(df, 2, max_iterations=60).isEmpty()
+
+
+def test_triangle_count_known_graph_and_orientation_materialized_once(spark):
+    """K4 plus a pendant: 4 triangles, 7 ordered wedges (sum_b
+    indeg*outdeg under the u<v orientation). Also pins the r16 wave-5
+    internals change: the oriented edge list feeds three consumers
+    whose required distributions differ (ReusedExchange cannot dedup
+    them), so the operator must materialize the orientation ONCE — the
+    plan shows a checkpoint scan (ExistingRDD) instead of three copies
+    of the scan->distinct->degree->join pipeline."""
+    from cascading_hive_spark.operators.graph import triangle_count
+
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(k4 + [(4, 5)], "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_wedges, row.n_triangles) == (7, 4)
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
