@@ -466,8 +466,12 @@ def triangle_count(
     # identical and ReusedExchange cannot dedup the orientation
     # pipeline (scan -> windows -> distinct -> degree agg -> joins):
     # it executed once per consumer. Materialize the edge-scale
-    # (a, b, db) rows once — the k_core/pagerank per-round discipline;
-    # measured 0.61x same-JVM (scripts/ab_tri_r16.py), counts exact.
+    # (a, b, db) rows once — the k_core/pagerank per-round discipline.
+    # Same-JVM A/B (scripts/ab_tri_r16.py): 0.93x on a quiet host
+    # (sf0.1's orientation subtree is small, so the local win is
+    # modest); kept for the 3x-fewer executions of the scan->window->
+    # distinct->degree->join pipeline, which is corpus-scale work on a
+    # real graph. Counts are exact integers — bit-identical either way.
     o = o.localCheckpoint(eager=False)
     heads = o.select("a", F.col("b").alias("c"), F.col("db").alias("dc"))
     out_pairs = o.join(heads, "a").filter(
