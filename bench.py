@@ -163,6 +163,43 @@ def main() -> int:
     control_runs = sorted(control_agg() for _ in range(3))
     control_sec = round(control_runs[1], 3)
 
+    # Two more fixed-work control FACETS (r16 finding: a host matched
+    # r15's codegen control to the millisecond — 0.262s vs 0.262s —
+    # while untouched shuffle- and Python-shaped queries read
+    # 1.3-1.7x their r15 medians; a pure range-sum samples only the
+    # JIT/ALU facet of host speed). control_shuffle times a real
+    # exchange (20M (k, v) rows repartitioned by key into the noop
+    # sink — serialization, spill files, fetch); control_python times
+    # the Arrow JVM<->Python round trip (2M rows through an identity
+    # mapInPandas). Extra JSON fields only — control_agg_sec keeps its
+    # cross-round meaning. Compare the facet that matches a query's
+    # shape before reading its delta as a regression.
+    def control_shuffle() -> float:
+        t0 = time.monotonic()
+        (
+            spark.range(20_000_000)
+            .selectExpr("id % 1000000 AS k", "id AS v")
+            .repartition("k")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.monotonic() - t0
+
+    def control_python() -> float:
+        t0 = time.monotonic()
+        (
+            spark.range(2_000_000)
+            .mapInPandas(lambda it: it, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.monotonic() - t0
+
+    control_shuffle_sec = round(sorted(control_shuffle() for _ in range(3))[1], 3)
+    control_python_sec = round(sorted(control_python() for _ in range(3))[1], 3)
+
     qs = Q.queries()
     # Untimed full-suite warmup sweep (VERDICT r15 #3): the per-query
     # median-of-5 does NOT absorb SUITE-level JIT/page-cache warm-up —
@@ -243,6 +280,8 @@ def main() -> int:
                 else None,
                 "waited_for_quiet_sec": int(waited),
                 "control_agg_sec": control_sec,
+                "control_shuffle_sec": control_shuffle_sec,
+                "control_python_sec": control_python_sec,
                 "warmup_sweep": warmup_sweep,
                 "warmup_sweep_sec": warmup_sec,
                 "load_avg": load_avg,

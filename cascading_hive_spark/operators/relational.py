@@ -694,9 +694,17 @@ def winsorize(
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
     keys = list(by or [])
+    # one array-argument percentile, not two scalar calls (r16): each
+    # scalar percentile aggregate carries its own per-group
+    # value->count buffer through partials and merge; the array form
+    # computes both cut points from a single buffer with the same
+    # percentile_cont interpolation per element — identical bounds.
     bounds = df.groupBy(*keys).agg(
-        F.percentile(value_col, F.lit(lower)).alias("_lo"),
-        F.percentile(value_col, F.lit(upper)).alias("_hi"),
+        F.percentile(value_col, F.lit([float(lower), float(upper)])).alias("_b")
+    ).select(
+        *keys,
+        F.element_at("_b", 1).alias("_lo"),
+        F.element_at("_b", 2).alias("_hi"),
     )
     joined = (
         df.join(F.broadcast(bounds), keys)
@@ -1229,11 +1237,19 @@ def percentile_bins(
     ps = sorted(probs)
     if not ps or any(not 0.0 < p < 1.0 for p in ps):
         raise ValueError(f"probs must be in (0, 1), got {probs}")
+    # one array-argument percentile buffer per COLUMN, not one per
+    # (column, prob) (r16): the scalar form kept len(probs) identical
+    # value->count maps per column through partials and merge; the
+    # array form computes every cut point from a single buffer with
+    # the same percentile_cont interpolation per element.
+    parr = F.lit([float(p) for p in ps])
     edges = df.agg(
+        *[F.percentile(c, parr).alias(f"_pb_{c}") for c in cols]
+    ).select(
         *[
-            F.percentile(c, F.lit(p)).alias(f"_pb_{c}_{i}")
+            F.element_at(f"_pb_{c}", i + 1).alias(f"_pb_{c}_{i}")
             for c in cols
-            for i, p in enumerate(ps)
+            for i in range(len(ps))
         ]
     )
     out = df.crossJoin(F.broadcast(edges))

@@ -232,20 +232,44 @@ def decontaminate(
     doc with a non-null text (zero-hit docs kept — the common consumer
     is ``filter(NOT contaminated)``, which must see clean docs too).
     """
-    from cascading_hive_spark.operators.dedup import shingles_from_tokens
-
-    def grams(df: DataFrame) -> DataFrame:
-        toks = df.filter(F.col(text_col).isNotNull()).select(
+    def tokens(df: DataFrame) -> DataFrame:
+        return df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("doc_id"),
             F.split(F.col(text_col), r"\s+").alias("_t"),
         )
-        return toks.select(
-            "doc_id", shingles_from_tokens(F.col("_t"), n).alias("_g")
-        )
 
-    train_g = grams(train)
-    tg = train_g.select("doc_id", F.explode("_g").alias("gram"))
-    eg = grams(eval_df).select(F.explode("_g").alias("gram")).distinct()
+    # Gram rows are produced by exploding a cheap INDEX sequence and
+    # building each gram string AFTER the Generate (r16): exploding
+    # the materialized shingle ARRAY made InferFiltersFromGenerate
+    # push a size(shingles) > 0 predicate below the Generate, which
+    # re-evaluated the whole shingle fold a second time per row — and,
+    # because the pushed predicate substitutes through the projection,
+    # with the split() inlined into every token access (no CSE through
+    # HOF lambdas: O(tokens^2) per doc; measured 26.6s at sf0.1 -> the
+    # index form's inferred filter costs one split+size). Duplicate
+    # grams now flow instead of the per-doc array_distinct: the eval
+    # side still collapses via .distinct() and the hit counts are
+    # count_distinct, so the result is bit-identical while the join
+    # probes a few more rows that the partial aggregate dedups
+    # map-side.
+    def gram_rows(toks: DataFrame) -> DataFrame:
+        n_toks = F.size(F.col("_t"))
+        ex = toks.select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(n_toks - (n - 1), F.lit(1)))
+            ).alias("_p"),
+        )
+        gram = F.when(
+            F.size(F.col("_t")) >= n,
+            F.concat_ws(" ", F.slice(F.col("_t"), F.col("_p"), n)),
+        ).otherwise(F.concat_ws(" ", F.col("_t")))
+        return ex.select("doc_id", gram.alias("gram"))
+
+    train_t = tokens(train)
+    tg = gram_rows(train_t)
+    eg = gram_rows(tokens(eval_df)).select("gram").distinct()
     if strategy == "broadcast":
         hits = (
             tg.join(F.broadcast(eg), "gram")
@@ -263,7 +287,7 @@ def decontaminate(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     return (
-        train_g.select("doc_id")
+        train_t.select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",

@@ -4868,17 +4868,27 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     x = "l_extendedprice"
+    # ONE exact-percentile buffer + ONE sketch instead of six exact
+    # buffers and two sketches (r16, the equiheight_histogram fix):
+    # each scalar percentile/percentile_approx aggregate keeps its own
+    # per-group state; the array forms compute every requested
+    # percentage from a single state with identical per-element
+    # arithmetic, so all eight values are unchanged.
+    exact = F.percentile(x, F.lit([0.5, 0.9, 0.48, 0.52, 0.88, 0.92]))
+    approx = F.percentile_approx(x, F.lit([0.5, 0.9]), 10000)
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.percentile(x, 0.5).alias("_p50"),
-            F.percentile(x, 0.9).alias("_p90"),
-            F.percentile(x, 0.48).alias("_lo50"),
-            F.percentile(x, 0.52).alias("_hi50"),
-            F.percentile(x, 0.88).alias("_lo90"),
-            F.percentile(x, 0.92).alias("_hi90"),
-            F.percentile_approx(x, 0.5, 10000).alias("_a50"),
-            F.percentile_approx(x, 0.9, 10000).alias("_a90"),
+        .agg(exact.alias("_ex"), approx.alias("_ap"))
+        .select(
+            "l_returnflag",
+            *[
+                F.element_at("_ex", i + 1).alias(a)
+                for i, a in enumerate(
+                    ["_p50", "_p90", "_lo50", "_hi50", "_lo90", "_hi90"]
+                )
+            ],
+            F.element_at("_ap", 1).alias("_a50"),
+            F.element_at("_ap", 2).alias("_a90"),
         )
         .select(
             "l_returnflag",
@@ -5860,11 +5870,18 @@ def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice")
-    p = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(x, 0.05), 2).alias("p05"),
-        F.round(F.percentile(x, 0.25), 2).alias("p25"),
-        F.round(F.percentile(x, 0.75), 2).alias("p75"),
-        F.round(F.percentile(x, 0.95), 2).alias("p95"),
+    # one array-argument percentile buffer per group, not four (r16,
+    # the equiheight_histogram fix) — per-element arithmetic identical
+    p = (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile(x, F.lit([0.05, 0.25, 0.75, 0.95])).alias("_p"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("_p", i + 1), 2).alias(a)
+                for i, a in enumerate(["p05", "p25", "p75", "p95"])
+            ],
+        )
     )
     clipped = (
         F.when(x < F.col("p05"), F.col("p05"))
@@ -6583,12 +6600,17 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # ONE array-argument percentile instead of nine scalar calls
+    # (r16): each scalar F.percentile is its own aggregate buffer — a
+    # full value->count map per expression, so the agg carried nine
+    # copies of the column's distribution through partials and merge.
+    # The array form computes all nine cut points from a single
+    # buffer; per-element interpolation is the same percentile_cont
+    # arithmetic, so the rounded bounds (and the bins) are identical.
+    pcts = F.lit([x / 10.0 for x in range(1, 10)])
     bounds = li.agg(
-        F.array(
-            *[
-                F.round(F.percentile("l_extendedprice", x / 10.0), 2)
-                for x in range(1, 10)
-            ]
+        F.transform(
+            F.percentile("l_extendedprice", pcts), lambda p: F.round(p, 2)
         ).alias("bs")
     )
     binned = li.crossJoin(F.broadcast(bounds)).select(
@@ -10202,9 +10224,21 @@ def q_docs_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.similarity import cosine_topk, dot
     from cascading_hive_spark.operators.text import hash_embed
 
-    vecs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"),
-        hash_embed(F.col("text"), dim=_HE_DIM).alias("embedding"),
+    # the embedding table is materialized ONCE (r16): hash_embed is a
+    # 2-md5-per-gram fold, and without the cut Catalyst substitutes the
+    # whole fold into every consumer expression — twice inside the
+    # pushed-down non-zero filter's self-dot and again in the
+    # projection (the executed plan carried THREE copies of the fold
+    # per corpus row; measured 46.6s -> the md5 work once). Same
+    # boundary the funnel's flag table uses; the pinned blocks are
+    # (id, dim-16 array) rows, strictly smaller than the text scanned.
+    vecs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            hash_embed(F.col("text"), dim=_HE_DIM).alias("embedding"),
+        )
+        .localCheckpoint(eager=False)
     )
     nz = vecs.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
     query = nz.filter(F.col("vec_id") == 0)
