@@ -414,10 +414,15 @@ def minhash_portable_pairs(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
-    cand = pairs.dropDuplicates(["id_a", "id_b"])
+    # same lineage cuts minhash_lsh_pairs carries (r16): cand feeds the
+    # semi-join id side AND the verification join, and the candidate
+    # gram set feeds both join sides — without the cuts the md5
+    # signature scan and the bucket shuffle re-execute per consumer.
+    # Both checkpoints are candidate-scale, never corpus-scale.
+    cand = pairs.dropDuplicates(["id_a", "id_b"]).localCheckpoint(eager=False)
 
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
-    g_cand = base.join(cand_ids, "_id", "left_semi")
+    g_cand = base.join(cand_ids, "_id", "left_semi").localCheckpoint(eager=False)
     g_a = g_cand.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
     g_b = g_cand.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
     verified = (
@@ -571,12 +576,21 @@ def minhash_incremental_pairs(
         new_new.unionByName(new_base)
         .select("p.new_id", "p.match_id", "p.match_side")
         .dropDuplicates(["new_id", "match_id"])
+        # minhash_portable_pairs' r16 lineage cuts: cand and the
+        # candidate gram set each feed two+ consumers below; without
+        # the checkpoint the md5 signature scan and the bucket shuffle
+        # re-execute per consumer. Candidate-scale, never corpus-scale.
+        .localCheckpoint(eager=False)
     )
 
     cand_ids = cand.select(
         F.explode(F.array("new_id", "match_id")).alias("_id")
     ).dropDuplicates()
-    g_cand = base.drop("_side").join(cand_ids, "_id", "left_semi")
+    g_cand = (
+        base.drop("_side")
+        .join(cand_ids, "_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
     g_a = g_cand.select(F.col("_id").alias("new_id"), F.col("_g").alias("g_a"))
     g_b = g_cand.select(F.col("_id").alias("match_id"), F.col("_g").alias("g_b"))
     verified = (

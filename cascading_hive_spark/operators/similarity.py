@@ -847,13 +847,22 @@ def ivfpq_build(
     ``partitionBy("cell")`` so probes prune to nprobe directories,
     8 bytes + a cell id per vector."""
     assignments, coarse = ivf_build(vectors, n_cells, id_col=id_col, vec_col=vec_col)
+    # assignments and residuals feed MANY separate actions below —
+    # pq_train alone runs four (dim probe, count, seed checkpoint,
+    # refine round), then pq_encode and the final index join read them
+    # again. Exchange reuse never crosses actions, so without the cuts
+    # the coarse E-step (broadcast-scored corpus pass) re-executed per
+    # action (r16; the bloom-precheck lesson). Both tables are the
+    # index's own build-time layout — at warehouse scale this boundary
+    # is the partitionBy("cell") write the docstring names.
+    assignments = assignments.localCheckpoint(eager=False)
     residuals = assignments.join(F.broadcast(coarse), "cell").select(
         F.col(id_col),
         "cell",
         F.zip_with(
             F.col(vec_col), "centroid", lambda a, b: (a.cast("double") - b)
         ).alias(vec_col),
-    )
+    ).localCheckpoint(eager=False)
     pq_cent = pq_train(residuals, m=m, k=k, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
     index = assignments.select(id_col, "cell").join(codes, id_col)
@@ -880,13 +889,17 @@ def ivfpq_build_portable(
     assignments, coarse = ivf_build_portable(
         vectors, n_cells, id_col=id_col, vec_col=vec_col
     )
+    # same multi-action lineage cuts as ivfpq_build (r16): pq_train_
+    # portable runs three actions, pq_encode and the index join two
+    # more — each re-executed the coarse E-step without the boundary
+    assignments = assignments.localCheckpoint(eager=False)
     residuals = assignments.join(F.broadcast(coarse), "cell").select(
         F.col(id_col),
         "cell",
         F.zip_with(
             F.col(vec_col), "centroid", lambda a, b: (a.cast("double") - b)
         ).alias(vec_col),
-    )
+    ).localCheckpoint(eager=False)
     pq_cent = pq_train_portable(residuals, m=m, k=k, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
     index = assignments.select(id_col, "cell").join(codes, id_col)
@@ -1696,42 +1709,41 @@ def knn_density(
     an outlier (or noise). Returns ``(id, knn_density, n_neighbors)``;
     ``n_neighbors < k`` only when the corpus has fewer than k+1 rows.
 
-    EXACT brute-force path: the corpus is broadcast against itself
-    (norms precomputed per side, self-pairs filtered BEFORE the
-    ranking window so exact-duplicate ties can never displace a real
-    neighbor). Same broadcast bound as ``knn_join`` (<~10 MB of
-    vectors); past that, ``knn_density_blocked`` is the scale path.
+    EXACT brute-force path, routed through the blocked GEMM machinery
+    as ONE synthetic cell with every vector assigned to it (r16): the
+    previous formulation broadcast the corpus against itself and ran
+    the per-pair JVM zip_with/aggregate fold for ALL n^2 cosines —
+    exactly the every-row-is-a-query shape the r13 measurement showed
+    ~6x slower than a chunked numpy GEMM candidate ranker (45.5s at
+    the bench SF; the single-cell route reads the same answers from
+    the identical exact left-to-right folds the blocked path applies
+    to its survivors — pinned bit-for-bit by
+    tests/test_similarity.py::test_knn_density_matches_numpy and the
+    full-replay SQL oracle). Same practical bound as before: the one
+    cell's task holds the whole corpus (<~10 MB of vectors, the
+    knn_join broadcast bound); past that, ``knn_density_blocked``
+    with a real IVF index is the scale path — so ``max_cell`` is
+    disabled here, matching the old path's no-guard behavior.
     """
-    from pyspark.sql import Window
-
-    q = F.broadcast(
-        vectors.select(
-            F.col(id_col).alias("_qid"),
-            F.col(vec_col).alias("_qv"),
-            norm(F.col(vec_col)).alias("_qn"),
-        )
+    row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    # empty corpus: the centroid is never compared to anything, any
+    # dim works — keep the empty-in/empty-out contract
+    dim = int(row["d"]) if row is not None else 1
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(
+        [(0, [1.0] * dim)], "cell int, centroid array<double>"
     )
-    scored = (
-        vectors.withColumn("_n", norm(F.col(vec_col)))
-        .crossJoin(q)
-        .filter(F.col(id_col) != F.col("_qid"))
-        .select(
-            F.col("_qid"),
-            F.col(id_col).alias("_nbr"),
-            F.round(
-                dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
-            ).alias("_cos"),
-        )
+    assignments = vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "cell", F.lit(0)
     )
-    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_nbr"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .groupBy(F.col("_qid").alias(id_col))
-        .agg(
-            F.round(F.avg("_cos"), 6).alias("knn_density"),
-            F.count(F.lit(1)).alias("n_neighbors"),
-        )
+    return knn_density_blocked(
+        assignments,
+        cents,
+        k=k,
+        nprobe=1,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_cell=None,
     )
 
 
