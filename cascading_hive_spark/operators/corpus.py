@@ -830,11 +830,17 @@ def dsir_bucket_counts(
     Shares ``text.char_ngram_buckets`` (the classifier featurizer) so
     weight estimation and scoring can never disagree on the feature
     space. One explode + map-side-combined groupBy to ``n_buckets``
-    rows — bounded output regardless of corpus size."""
+    rows — bounded output regardless of corpus size. The md5-per-gram
+    hash is the scan's entire cost and small corpora arrive as ONE
+    parquet file -> one task, so the input goes through ``spread()``
+    first (guide §2: round-robin to cluster parallelism, no-op on
+    already-wide scans); counts are exact integer sums, identical
+    under any partitioning."""
+    from cascading_hive_spark.operators.dedup import spread
     from cascading_hive_spark.operators.text import char_ngram_buckets
 
     return (
-        docs.select(
+        spread(docs).select(
             F.explode(
                 char_ngram_buckets(F.col(text_col), n, n_buckets, seed, portable)
             ).alias("bucket")
@@ -871,6 +877,7 @@ def dsir_weights(
     cross-engine."""
     import math
 
+    from cascading_hive_spark.operators.dedup import spread
     from cascading_hive_spark.operators.text import char_ngram_buckets
 
     if target_flag is not None:
@@ -879,9 +886,12 @@ def dsir_weights(
         # fold per document instead of re-hashing every target doc a
         # second time through the union, and one corpus scan instead
         # of two. Counts (hence weights) are identical: rc counts all
-        # raw grams, tc counts the flagged subset's grams.
+        # raw grams, tc counts the flagged subset's grams. spread()
+        # first: the md5-per-gram pass over a one-file corpus would
+        # otherwise run as ONE task on one core (guide §2) — at sf0.1
+        # this single job was most of docs_dsir_select's wall time.
         counts = (
-            raw.select(
+            spread(raw).select(
                 target_flag.alias("_is_t"),
                 F.explode(
                     char_ngram_buckets(F.col(text_col), n, n_buckets, seed, portable)
@@ -897,10 +907,12 @@ def dsir_weights(
         rc = {r["bucket"]: r["_rc"] for r in counts}
         tc = {r["bucket"]: r["_tc"] for r in counts if r["_tc"]}
     else:
-        tagged = raw.select(
-            F.lit(0).alias("_side"), F.col(text_col).alias("_t")
-        ).unionByName(
-            target.select(F.lit(1).alias("_side"), F.col(text_col).alias("_t"))
+        tagged = spread(
+            raw.select(
+                F.lit(0).alias("_side"), F.col(text_col).alias("_t")
+            ).unionByName(
+                target.select(F.lit(1).alias("_side"), F.col(text_col).alias("_t"))
+            )
         )
         counts = (
             tagged.select(

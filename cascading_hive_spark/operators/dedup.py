@@ -1151,8 +1151,14 @@ def semantic_dedup_pairs(
     """
     from cascading_hive_spark.operators.similarity import argmin_cell, cell_distances
 
-    base = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    # spread(): one-file vector scans otherwise run the whole E-step
+    # distance fold single-task (guide §2); assignment and cosine are
+    # decimal/exact-fold arithmetic, identical under any partitioning
+    base = spread(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
     )
     # the vector rides the argmin aggregate (keep_vec/carry_vec), so
     # blocking needs no join back onto the vector table — the corpus

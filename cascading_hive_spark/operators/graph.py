@@ -319,8 +319,15 @@ def pagerank_portable(
     def dec_sum(col):
         return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates(
-        ["u", "v"]
+    # the canonical edge list feeds THREE setup consumers across
+    # separate actions (node set, degree-pinned edges, dangling set) —
+    # without a cut the caller's edge DERIVATION (e.g. the hubs
+    # query's two window passes) re-executes per action (guide §5;
+    # the r16 triangle lesson). Edge-scale, same budget as e_deg.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=False)
     )
     nodes_raw = (
         e.select(F.col("u").alias("node"))

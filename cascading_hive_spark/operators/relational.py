@@ -1077,10 +1077,16 @@ def binary_auc(
 
     Returns one row: (auc, n_pos, n_neg, n_null).
     """
+    # the thin (16-byte) score/label projection feeds TWO aggregates
+    # (null audit + micro-score counts) whose shapes share no
+    # exchange — without a lineage cut the upstream scorer (e.g.
+    # classifier_auc's md5-per-gram fold) re-executes per consumer
+    # (guide §5; the r16 triangle lesson). The checkpoint is the
+    # projection, never the documents: 12 bytes/row at any scale.
     base = df.select(
         F.round(F.col(score_col) * micro_scale, 0).cast("bigint").alias("_s"),
         F.col(label_col).cast("int").alias("_y"),
-    )
+    ).localCheckpoint(eager=False)
     totals = base.agg(
         F.sum(
             (F.col("_s").isNull() | F.col("_y").isNull()).cast("long")

@@ -529,6 +529,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iterations: int = 1,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Train a PQ codebook: the embedding splits into ``m`` equal
     subvectors; each subspace gets ``k`` centroids via the SAME
@@ -551,13 +552,25 @@ def pq_train(
                 *[
                     F.struct(
                         F.lit(j).alias("sub"),
-                        F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subvec"),
+                        F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(
+                            "subvec"
+                        ),
                     )
                     for j in range(m)
                 ]
             )
         ).alias("_s"),
     ).select("_id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
+    if cut_lineage:
+        # the subvector table feeds the seed-sample window job AND
+        # every refine round's assign — separate ACTIONS, so exchange
+        # reuse never applies and each re-ran the scan+explode
+        # (the r16 ivfpq lineage lesson, guide §5). Same bytes as the
+        # input vectors — the accepted ivfpq checkpoint budget.
+        # ivfpq_build passes False: ITS input (the residual table) is
+        # already a checkpoint, and stacking a second vector-scale
+        # materialization on top measured 1.19x slower (r17 A/B).
+        sub = sub.localCheckpoint(eager=False)
 
     # Seed with ACTUAL data points (hash-ranked sample per subspace),
     # not hash-group means: k-means on a mixture seeds best from
@@ -863,7 +876,9 @@ def ivfpq_build(
             F.col(vec_col), "centroid", lambda a, b: (a.cast("double") - b)
         ).alias(vec_col),
     ).localCheckpoint(eager=False)
-    pq_cent = pq_train(residuals, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    pq_cent = pq_train(
+        residuals, m=m, k=k, id_col=id_col, vec_col=vec_col, cut_lineage=False
+    )
     codes = pq_encode(residuals, pq_cent, m=m, id_col=id_col, vec_col=vec_col)
     index = assignments.select(id_col, "cell").join(codes, id_col)
     return index, coarse, pq_cent
@@ -1246,12 +1261,19 @@ def kmeans_fit(
     Empty clusters keep their previous centroid with n = 0 (left join
     + coalesce — portable, no reseeding randomness).
     """
+    from cascading_hive_spark.operators.dedup import spread
     from cascading_hive_spark.operators.sampling import hash_order
 
     dec_sum = f"decimal(38,{sum_scale})"
-    base = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    # spread(): a one-file embeddings scan otherwise runs every
+    # E-step's n*k decimal distance folds as ONE task (guide §2) —
+    # decimal sums and the argmin are partitioning-independent, so
+    # centroids are bit-identical
+    base = spread(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
     )
     ex = base.select("_id", F.posexplode("_v").alias("dim", "_val"))
 

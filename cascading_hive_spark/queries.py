@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 import pandas as pd  # module-level so pandas_udf string type hints resolve
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cascading_hive_spark.operators import relational as R
@@ -5262,6 +5262,51 @@ _BLOOM_DECON_SQL = """
     """
 
 
+def _bloom_gram5_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, _toks) with the whitespace split MATERIALIZED once per
+    doc and the one-file corpus spread to cluster parallelism. The
+    r16 decontaminate lesson (guide §2.4/§4.2) applied to the bloom
+    family: an inline split() inside a HOF lambda is re-evaluated per
+    element access (no CSE through lambdas — O(tokens^2)/doc), and a
+    single-file scan otherwise runs the whole gram build as ONE task.
+    Token values, hence grams, hence every bloom result, are
+    unchanged."""
+    from cascading_hive_spark.operators.dedup import spread
+
+    return spread(d).select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )
+
+
+def _bloom_gram5_seq() -> Column:
+    """Start positions of the 5-token grams as a CHEAP integer
+    sequence (empty when under 5 tokens or text is NULL) — exploded
+    instead of the gram-string array so any inferred size()>0 filter
+    costs one split+size, and the gram string is built AFTER the
+    Generate (one array_join per gram, not per element access)."""
+    n_toks = F.size(F.col("_toks"))
+    return F.when(n_toks >= 5, F.sequence(F.lit(1), n_toks - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _bloom_gram5_of(p: Column) -> Column:
+    """The 5-token gram starting at (1-based) position ``p`` of the
+    materialized ``_toks`` array — NULL when ``p`` is NULL (the
+    explode_outer empty-doc row)."""
+    return F.array_join(F.slice(F.col("_toks"), p, 5), " ")
+
+
+def _bloom_bench_grams(dt: DataFrame) -> DataFrame:
+    """Benchmark gram rows (every 17th doc) for the filter build —
+    index-sequence explode, gram built after the Generate."""
+    return (
+        dt.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+        .select("_toks", F.explode(_bloom_gram5_seq()).alias("_p"))
+        .select(_bloom_gram5_of(F.col("_p")).alias("g"))
+    )
+
+
 @register("docs_bloom_decontaminate", _BLOOM_DECON_SQL)
 def q_docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cascading_hive_spark.operators.sketches import (
@@ -5271,25 +5316,33 @@ def q_docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     M_BITS, K = 131_072, 3
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda p: F.array_join(F.slice(toks, p, 5), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
-        F.explode(grams).alias("g")
+    dt = _bloom_gram5_tokens(_t(spark, sf_dir, "documents"))
+    words = bloom_dense_words(
+        bloom_build(_bloom_bench_grams(dt), "g", M_BITS, K), M_BITS
     )
-    words = bloom_dense_words(bloom_build(bench, "g", M_BITS, K), M_BITS)
-    flagged = F.filter(grams, lambda g: bloom_contains(g, words, M_BITS, K))
-    return d.select(
+    # staged projections so the gram array and the flagged subset are
+    # each built ONCE per doc (referenced >1x in the consumer, so
+    # CollapseProject keeps them materialized)
+    g_df = dt.select(
         "doc_id",
-        F.size(grams).cast("bigint").alias("n_grams"),
-        F.size(flagged).cast("bigint").alias("n_flagged"),
-        (F.size(flagged) > 0).alias("contaminated"),
+        F.transform(_bloom_gram5_seq(), _bloom_gram5_of).alias("_g"),
+    )
+    f_df = g_df.select(
+        "doc_id",
+        F.size("_g").cast("bigint").alias("n_grams"),
+        F.size(
+            F.filter(
+                F.col("_g"), lambda g: bloom_contains(g, words, M_BITS, K)
+            )
+        )
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+    return f_df.select(
+        "doc_id",
+        "n_grams",
+        "n_flagged",
+        (F.col("n_flagged") > 0).alias("contaminated"),
     )
 
 
@@ -5314,19 +5367,10 @@ def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_queries(spark)
     M_BITS, K = 131_072, 3
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda p: F.array_join(F.slice(toks, p, 5), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
-        F.explode(grams).alias("g")
+    dt = _bloom_gram5_tokens(_t(spark, sf_dir, "documents"))
+    words = bloom_dense_words(
+        bloom_build(_bloom_bench_grams(dt), "g", M_BITS, K), M_BITS
     )
-    words = bloom_dense_words(bloom_build(bench, "g", M_BITS, K), M_BITS)
     name = f"q_stream_bloom_{uuid.uuid4().hex[:8]}"
     stream = bloom_gate_stream(stream_documents(spark, sf_dir), words, M_BITS, K)
     q = (
@@ -5360,20 +5404,14 @@ def q_docs_bloom_decontaminate_bcast(
     )
 
     M_BITS, K = 2_097_152, 3
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda p: F.array_join(F.slice(toks, p, 5), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
-        F.explode(grams).alias("g")
-    )
-    bloom = bloom_build(bench, "g", M_BITS, K)
-    exploded = d.select("doc_id", F.explode_outer(grams).alias("g"))
+    dt = _bloom_gram5_tokens(_t(spark, sf_dir, "documents"))
+    bloom = bloom_build(_bloom_bench_grams(dt), "g", M_BITS, K)
+    # probe side: explode_outer of the cheap index sequence keeps the
+    # one NULL-gram row per under-5-token doc (slice on a NULL
+    # position -> NULL gram, exactly the old explode_outer(grams) row)
+    exploded = dt.select(
+        "doc_id", "_toks", F.explode_outer(_bloom_gram5_seq()).alias("_p")
+    ).select("doc_id", _bloom_gram5_of(F.col("_p")).alias("g"))
     probed = bloom_probe(exploded, "g", bloom, M_BITS, K)
     return (
         probed.groupBy("doc_id")
@@ -5418,19 +5456,10 @@ def q_streaming_bloom_gate_bigfilter(
 
     tune_for_queries(spark)
     M_BITS, K = 2_097_152, 3
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(toks) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda p: F.array_join(F.slice(toks, p, 5), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select(
-        F.explode(grams).alias("g")
+    dt = _bloom_gram5_tokens(_t(spark, sf_dir, "documents"))
+    words = bloom_dense_words(
+        bloom_build(_bloom_bench_grams(dt), "g", M_BITS, K), M_BITS
     )
-    words = bloom_dense_words(bloom_build(bench, "g", M_BITS, K), M_BITS)
     name = f"q_stream_bloom_big_{uuid.uuid4().hex[:8]}"
     stream = bloom_gate_stream_bigfilter(
         stream_documents(spark, sf_dir), words, M_BITS, K
