@@ -3249,19 +3249,33 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic.
     import uuid
 
-    from cascading_hive_spark.streaming.jobs import sessionize_stream, stream_events
+    from cascading_hive_spark.streaming.jobs import (
+        scaled_state_partitions,
+        sessionize_stream,
+        state_partitions,
+        stream_events,
+    )
 
     tune_for_queries(spark)
     name = f"q_stream_sess_{uuid.uuid4().hex[:8]}"
     stream = sessionize_stream(stream_events(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store count scaled to the replay's state size, not the
+    # core count (guide §2.2; see scaled_state_partitions) — but this
+    # job's per-group work is PYTHON (applyInPandasWithState), so it
+    # wants parallel workers where the JVM-stateful jobs want fewer
+    # store lifecycles: a smaller rows-per-partition target (measured
+    # U-curve at sf0.1: 1 part 8.0s, 16 parts 2.3s, 32 parts 5.1s)
+    with state_partitions(
+        spark, scaled_state_partitions(spark, sf_dir, rows_per_part=8_000)
+    ):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # availableNow = one batch -> exactly one (final) row per user
     emitted = spark.table(name)
     return emitted.groupBy("user_id").agg(
@@ -3413,7 +3427,12 @@ def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from cascading_hive_spark.streaming.jobs import dedup_stream, stream_events
+    from cascading_hive_spark.streaming.jobs import (
+        dedup_stream,
+        scaled_state_partitions,
+        state_partitions,
+        stream_events,
+    )
 
     tune_for_queries(spark)
     name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"
@@ -3423,14 +3442,16 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = dedup_stream(doubled, watermark="365 days").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store count scaled to the replay's state size (guide §2.2)
+    with state_partitions(spark, scaled_state_partitions(spark, sf_dir)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -3451,19 +3472,26 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from cascading_hive_spark.streaming.jobs import hourly_counts, stream_events
+    from cascading_hive_spark.streaming.jobs import (
+        hourly_counts,
+        scaled_state_partitions,
+        state_partitions,
+        stream_events,
+    )
 
     tune_for_queries(spark)
     name = f"q_stream_hourly_{uuid.uuid4().hex[:8]}"
     stream = hourly_counts(stream_events(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store count scaled to the replay's state size (guide §2.2)
+    with state_partitions(spark, scaled_state_partitions(spark, sf_dir)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -3515,19 +3543,26 @@ def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from cascading_hive_spark.operators.sketches import quantile_from_histogram
-    from cascading_hive_spark.streaming.jobs import histogram_stream, stream_events
+    from cascading_hive_spark.streaming.jobs import (
+        histogram_stream,
+        scaled_state_partitions,
+        state_partitions,
+        stream_events,
+    )
 
     tune_for_queries(spark)
     name = f"q_stream_qsketch_{uuid.uuid4().hex[:8]}"
     stream = histogram_stream(stream_events(spark, sf_dir), lo=0.0, hi=1000.0)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store count scaled to the replay's state size (guide §2.2)
+    with state_partitions(spark, scaled_state_partitions(spark, sf_dir)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return quantile_from_histogram(spark.table(name), lo=0.0, hi=1000.0)
 
 
@@ -3595,19 +3630,29 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from cascading_hive_spark.streaming.jobs import attribute_stream, stream_events
+    from cascading_hive_spark.streaming.jobs import (
+        attribute_stream,
+        scaled_state_partitions,
+        state_partitions,
+        stream_events,
+    )
 
     tune_for_queries(spark)
     name = f"q_stream_attr_{uuid.uuid4().hex[:8]}"
     stream = attribute_stream(stream_events(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the stream-stream join keeps FOUR state stores per partition and
+    # availableNow runs two micro-batches — at 32 shuffle partitions
+    # the bounded replay paid 256 store lifecycles for kilobytes of
+    # state (7.1s -> 2.9s at sf0.1 with the scaled count; guide §2.2)
+    with state_partitions(spark, scaled_state_partitions(spark, sf_dir)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -3646,19 +3691,26 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 30 min, hence > in the oracle's flag.
     import uuid
 
-    from cascading_hive_spark.streaming.jobs import session_windows_stream, stream_events
+    from cascading_hive_spark.streaming.jobs import (
+        scaled_state_partitions,
+        session_windows_stream,
+        state_partitions,
+        stream_events,
+    )
 
     tune_for_queries(spark)
     name = f"q_stream_swin_{uuid.uuid4().hex[:8]}"
     stream = session_windows_stream(stream_events(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store count scaled to the replay's state size (guide §2.2)
+    with state_partitions(spark, scaled_state_partitions(spark, sf_dir)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -7021,19 +7073,26 @@ def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from cascading_hive_spark.streaming.jobs import sliding_counts, stream_events
+    from cascading_hive_spark.streaming.jobs import (
+        scaled_state_partitions,
+        sliding_counts,
+        state_partitions,
+        stream_events,
+    )
 
     tune_for_queries(spark)
     name = f"q_stream_sliding_{uuid.uuid4().hex[:8]}"
     stream = sliding_counts(stream_events(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store count scaled to the replay's state size (guide §2.2)
+    with state_partitions(spark, scaled_state_partitions(spark, sf_dir)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -11058,68 +11117,90 @@ def q_events_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_slope(daily, ["event_type"], "bucket", "cnt")
 
 
-# r16 ROTATION NOTE (supersedes the r15 note; r15 ran 50/50 green —
-# 42 hash-matches + the 8 declared rows-only). Window recomputed
-# STALEST-FIRST over the frozen basis CORRECTNESS_r01..r15 (the
-# policy test recomputes this from the artifacts). This rotation is
-# the r15 VERDICT #1 staleness burn-down: 40 of the 50 slots go to
-# the cohort whose latest green row is round 10.
+# r17 ROTATION NOTE (supersedes the r16 note; r16 ran 50/50 green).
+# Window recomputed STALEST-FIRST over the frozen basis
+# CORRECTNESS_r01..r16 (the policy test recomputes this from the
+# artifacts). This rotation serves the r16 VERDICT #9 ask — the eight
+# queries that failed CORRECTNESS_r15 rotated OUT of the r16 sample
+# before the driver could re-verify the fixes, so they are forced
+# back in — plus re-verification of everything the r17 optimization
+# round touched.
 # (1) wordcount stays slot 1 (driver entry smoke);
-# (2) never driver-checked: the ten r16-continuation registrations
-#     (events_acf, events_dow_seasonality, events_kmv_distinct,
-#     events_ewma_forecast, events_trend_mannkendall,
-#     events_rolling_active_users, events_theilsen_slope,
-#     embedding_hard_negatives, graph_label_propagation,
-#     text_rake_keywords) enter per policy, displacing the ten
-#     alphabetically-last round-10 fill slots;
-# (3) forced re-verification of code touched this round:
-#     docs_bloom_decontaminate_bcast (its broadcast probe leg gained
-#     the eager m-bits range precheck, r15 ADVICE — the one
-#     behavior-touched query; the other bloom queries took only
-#     comment/docstring edits and were self-swept green at sf0.01);
-# (4) rows-only pair coverage flips to the PORTABLE twins this
-#     rotation (the rows-only members all carry fresh r15 rows; the
-#     twins' hash rows date to r14, so the twins are the staler
-#     half): dedup_minhash_portable, dedup_simhash_portable,
-#     ann_ivf_portable, ann_pq_portable, ann_ivfpq_portable,
-#     bpe_segment, graph_kcore_portable, embedding_pca_power_project
-#     — all oracle-able, so EVERY query in this window hash-checks
-#     (no rows-only slots this round);
-# (5) the remaining 30 slots fill stalest-first: 30 of the 43
-#     round-10 cohort queries, alphabetical (ann_cosine_topk ..
-#     graph_pagerank_hubs). The 13 that do not fit —
-#     graph_triangle_count, heavy_hitters_events,
-#     incremental_agg_merge, multimodal_meta, orders_basket_lift,
-#     orders_target_encoding, part_pareto_frontier,
-#     sample_exact_quota, sample_weighted_aes, streaming_dedup,
-#     streaming_enrich, streaming_hourly_counts, text_analyze — are
-#     self-swept this round (BASELINE.md) and top the r17 fill.
+# (2) the eight r15-failing rows-only members return for driver
+#     confirmation (VERDICT r16 #9): ann_ivf_topk, ann_ivfpq_topk,
+#     ann_pq_topk, bpe_merges, dedup_minhash_lsh, dedup_simhash,
+#     embedding_pca_project, graph_kcore_customers — all eight sat
+#     green in the r15/r16 builder sweeps and carry hash-matched
+#     twins; they are the round's _ROWS_ONLY_WINDOW;
+# (3) forced re-verification of code touched this round (the spread /
+#     index-explode / lineage-cut optimizations): docs_dsir_select,
+#     docs_dsir_weights, docs_corpus_divergence,
+#     docs_bloom_decontaminate, docs_bloom_decontaminate_bcast,
+#     streaming_bloom_gate, streaming_bloom_gate_bigfilter,
+#     dedup_semantic_pairs, dedup_semantic_keep, embedding_kmeans_fit,
+#     embedding_kmeans_inertia, classifier_auc, graph_pagerank_hubs,
+#     graph_label_propagation, ann_ivf_kmeans_probe, ann_pq_portable,
+#     ann_ivfpq_portable, ann_ivfpq_disk, lineitem_corr_matrix;
+# (4) the remaining 22 slots fill stalest-first: the 13 round-13
+#     cohort members the r16 fill could not seat
+#     (graph_triangle_count .. text_analyze) and the alphabetical
+#     head of the round-14 cohort (a13_union_partitions ..
+#     b5_token_explode).
 # Future rotations: bump _ROTATION_BASIS_ROUND, refresh _WINDOW_FORCED
 # (wordcount + the round's code-touched queries + whichever half of
 # each rows-only pair is staler), and let the policy test recompute
 # the fill.
-_ROTATION_BASIS_ROUND = 15
+_ROTATION_BASIS_ROUND = 16
 
 # Queries forced into the window regardless of staleness rank: the
-# entry smoke, this round's code-touched re-verification, and the
-# portable twins carrying pair coverage this rotation.
+# entry smoke, the eight r15-failing rows-only members (driver
+# re-confirmation), and this round's code-touched re-verification.
 _WINDOW_FORCED: list[str] = [
     "wordcount",
+    # r15-failing rows-only members (VERDICT r16 #9)
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "bpe_merges",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_pca_project",
+    "graph_kcore_customers",
+    # code touched this round
+    "docs_dsir_select",
+    "docs_dsir_weights",
+    "docs_corpus_divergence",
+    "docs_bloom_decontaminate",
     "docs_bloom_decontaminate_bcast",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "ann_ivf_portable",
+    "streaming_bloom_gate",
+    "streaming_bloom_gate_bigfilter",
+    "dedup_semantic_pairs",
+    "dedup_semantic_keep",
+    "embedding_kmeans_fit",
+    "embedding_kmeans_inertia",
+    "classifier_auc",
+    "graph_pagerank_hubs",
+    "graph_label_propagation",
+    "ann_ivf_kmeans_probe",
     "ann_pq_portable",
     "ann_ivfpq_portable",
-    "bpe_segment",
-    "graph_kcore_portable",
-    "embedding_pca_power_project",
+    "ann_ivfpq_disk",
+    "lineitem_corr_matrix",
 ]
 
-# No rows-only members are windowed this rotation (note point 4):
-# pair coverage rides the oracle-able portable twins, so all 50
-# slots hash-check.
-_ROWS_ONLY_WINDOW: set[str] = set()
+# The eight rows-only members windowed this rotation (note point 2):
+# each carries a hash-matched oracle-able twin, and the driver checks
+# their row shape; the other 42 slots hash-check.
+_ROWS_ONLY_WINDOW: set[str] = {
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "bpe_merges",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_pca_project",
+    "graph_kcore_customers",
+}
 
 # Every rows-only-by-design query paired with its hash-matched
 # oracle-able twin (VERDICT r11 #6). The twin certifies the same
@@ -11144,61 +11225,61 @@ _ROWS_ONLY_TWINS: dict[str, str] = {
 
 _DRIVER_WINDOW: list[str] = [
     "wordcount",  # slot 1: driver entry smoke, keep first
-    # -- never driver-checked (r16-continuation registrations):
-    "events_acf",
-    "events_dow_seasonality",
-    "events_kmv_distinct",
-    "events_ewma_forecast",
-    "events_trend_mannkendall",
-    "events_rolling_active_users",
-    "events_theilsen_slope",
-    "embedding_hard_negatives",
-    "graph_label_propagation",
-    "text_rake_keywords",
-    # -- code touched this round (r15 ADVICE), re-verify:
+    # -- the eight r15-failing rows-only members, back for driver
+    #    confirmation (VERDICT r16 #9; _ROWS_ONLY_WINDOW):
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "bpe_merges",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_pca_project",
+    "graph_kcore_customers",
+    # -- code touched this round (r17 optimizations), re-verify:
+    "docs_dsir_select",
+    "docs_dsir_weights",
+    "docs_corpus_divergence",
+    "docs_bloom_decontaminate",
     "docs_bloom_decontaminate_bcast",
-    # -- rows-only pair coverage via the PORTABLE twins (staler half;
-    #    the rows-only members all carry fresh r15 rows):
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "ann_ivf_portable",
-    "ann_pq_portable",
-    "ann_ivfpq_portable",
-    "bpe_segment",
-    "graph_kcore_portable",
-    "embedding_pca_power_project",
-    # -- stalest-first fill (40 of the 43 round-10 cohort queries,
-    #    alphabetical — the r15 VERDICT #1 burn-down):
-    "ann_cosine_topk",
-    "ann_ivf_append_probe",
-    "ann_ivf_kmeans_probe",
-    "ann_ivfpq_disk",
-    "ann_knn_join",
-    "cdc_apply_orders",
-    "dedup_embedding_cosine",
-    "dedup_semantic_keep",
+    "streaming_bloom_gate",
+    "streaming_bloom_gate_bigfilter",
     "dedup_semantic_pairs",
-    "dedup_tfidf_cosine",
-    "docs_bm25_topk",
-    "docs_hybrid_rrf",
-    "docs_token_budget_mix",
-    "dq_orders_constraints",
-    "embedding_centroid_confusion",
-    "embedding_centroids",
+    "dedup_semantic_keep",
     "embedding_kmeans_fit",
     "embedding_kmeans_inertia",
-    "embedding_standardize",
-    "events_ab_test",
-    "events_ab_test_by_type",
-    "events_cusum_changepoint",
-    "events_funnel_conversion",
-    "events_markov_transitions",
-    "events_psi_drift",
-    "events_resample_daily",
-    "events_retention_cohorts",
-    "events_sequence_trigrams",
-    "events_winsorized_stats",
+    "classifier_auc",
     "graph_pagerank_hubs",
+    "graph_label_propagation",
+    "ann_ivf_kmeans_probe",
+    "ann_pq_portable",
+    "ann_ivfpq_portable",
+    "ann_ivfpq_disk",
+    "lineitem_corr_matrix",
+    # -- stalest-first fill: the 13 round-13 cohort members the r16
+    #    fill could not seat, then the alphabetical head of the
+    #    round-14 cohort:
+    "graph_triangle_count",
+    "heavy_hitters_events",
+    "incremental_agg_merge",
+    "multimodal_meta",
+    "orders_basket_lift",
+    "orders_target_encoding",
+    "part_pareto_frontier",
+    "sample_exact_quota",
+    "sample_weighted_aes",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_hourly_counts",
+    "text_analyze",
+    "a13_union_partitions",
+    "agg_stats",
+    "asof_join_nearest_event",
+    "asof_join_next_event",
+    "b1_projection",
+    "b2_expression_filter",
+    "b3_count_by",
+    "b4_group_count_sorted",
+    "b5_token_explode",
 ]
 
 
