@@ -195,7 +195,10 @@ def ivf_build(
         # localCheckpoint: each Lloyd round re-reads assignments once;
         # without it the lineage re-scores all prior rounds
         centroids = _mean_centroids(assigned, vec_col, dim).localCheckpoint()
-    assignments = _assign_cells(vectors, centroids, id_col, vec_col)
+    # same double-consumer cut as ivf_build_portable (guide §5)
+    assignments = _assign_cells(vectors, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     return assignments, centroids
 
 
@@ -253,7 +256,13 @@ def ivf_build_portable(
             *[(F.col(f"_s{i}").cast("double") / F.col("_n")) for i in range(dim)]
         ).alias("centroid"),
     ).localCheckpoint()
-    assignments = _assign_cells(vectors, centroids, id_col, vec_col)
+    # consumers use the assignment table on BOTH sides of a search
+    # (query probes + cell members) — without a cut the broadcast-
+    # scored assign pass re-executes per consumer (guide §5). Index-
+    # scale rows, the same budget the index write would pay anyway.
+    assignments = _assign_cells(vectors, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     return assignments, centroids
 
 
@@ -859,7 +868,6 @@ def ivfpq_build(
     (id, cell, codes) — at 100 TB you'd write it
     ``partitionBy("cell")`` so probes prune to nprobe directories,
     8 bytes + a cell id per vector."""
-    assignments, coarse = ivf_build(vectors, n_cells, id_col=id_col, vec_col=vec_col)
     # assignments and residuals feed MANY separate actions below —
     # pq_train alone runs four (dim probe, count, seed checkpoint,
     # refine round), then pq_encode and the final index join read them
@@ -868,7 +876,8 @@ def ivfpq_build(
     # action (r16; the bloom-precheck lesson). Both tables are the
     # index's own build-time layout — at warehouse scale this boundary
     # is the partitionBy("cell") write the docstring names.
-    assignments = assignments.localCheckpoint(eager=False)
+    # (assignments now arrive checkpointed from ivf_build itself, r17)
+    assignments, coarse = ivf_build(vectors, n_cells, id_col=id_col, vec_col=vec_col)
     residuals = assignments.join(F.broadcast(coarse), "cell").select(
         F.col(id_col),
         "cell",
