@@ -67,10 +67,13 @@ def _spark():
     # GCLocker starvation (JNI lz4 critical sections vs allocation
     # spikes) on the biggest smokes — retrying the allocation instead
     # of throwing spurious OOM is the documented JVM-side fix.
+    # Core count honors $SPARK_GRAFT_CPUS (default 32) so the scaling
+    # smokes can compare 8-vs-32-core walls (r16 VERDICT #8).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     s = get_session(
         "scale-smoke",
-        master="local[32]",
-        shuffle_partitions=64,
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
         extra_conf={
             "spark.driver.extraJavaOptions": (
                 "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100"
