@@ -401,7 +401,12 @@ def pagerank_portable(
                 ).alias("rank"),
             )
             .repartition(n_part, "node")
-            .localCheckpoint()
+            # eager=False: the plan is truncated either way (the
+            # DataFrame is backed by the checkpoint RDD), but lazy
+            # materialization folds each round's blocking checkpoint
+            # job into the next consumer's job — fewer driver round
+            # trips per iteration; decimal-image ranks are identical
+            .localCheckpoint(eager=False)
         )
     return ranks
 

@@ -194,7 +194,7 @@ def ivf_build(
         assigned = _assign_cells(vectors, centroids, id_col, vec_col)
         # localCheckpoint: each Lloyd round re-reads assignments once;
         # without it the lineage re-scores all prior rounds
-        centroids = _mean_centroids(assigned, vec_col, dim).localCheckpoint()
+        centroids = _mean_centroids(assigned, vec_col, dim).localCheckpoint(eager=False)
     # same double-consumer cut as ivf_build_portable (guide §5)
     assignments = _assign_cells(vectors, centroids, id_col, vec_col).localCheckpoint(
         eager=False
@@ -255,7 +255,7 @@ def ivf_build_portable(
         F.array(
             *[(F.col(f"_s{i}").cast("double") / F.col("_n")) for i in range(dim)]
         ).alias("centroid"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # consumers use the assignment table on BOTH sides of a search
     # (query probes + cell members) — without a cut the broadcast-
     # scored assign pass re-executes per consumer (guide §5). Index-
@@ -603,11 +603,11 @@ def pq_train(
             (F.col("_rn") - 1).alias("cell"),
             F.transform("subvec", lambda x: x.cast("double")).alias("centroid"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(refine_iterations):
         assigned = _pq_assign(sub, centroids, d_sub)
-        centroids = _pq_mean_centroids(assigned, d_sub).localCheckpoint()
+        centroids = _pq_mean_centroids(assigned, d_sub).localCheckpoint(eager=False)
     return centroids
 
 
@@ -675,7 +675,7 @@ def pq_train_portable(
             (F.col("_rn") - 1).alias("cell"),
             F.transform("subvec", lambda x: x.cast("double")).alias("centroid"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1305,7 +1305,7 @@ def kmeans_fit(
 
     centroids = _means(
         ex.withColumn("cid", F.pmod(hash_order(F.col("_id")), F.lit(k)))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
         # E-step carries the vector THROUGH the argmin aggregate
         # (keep_vec/carry_vec), so the M-step posexplodes the carried
@@ -1327,7 +1327,7 @@ def kmeans_fit(
                 F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
                 F.coalesce(F.col("centroid"), F.col("_prev")).alias("centroid"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return centroids
 
@@ -1449,7 +1449,7 @@ def ivf_build_from_kmeans(
     scale notes)."""
     cents = centroids_to_cells(kmeans_fit(vectors, k=k, iters=iters,
                                           id_col=id_col, vec_col=vec_col))
-    cents = cents.localCheckpoint()
+    cents = cents.localCheckpoint(eager=False)
     assignments = _assign_cells(vectors, cents, id_col, vec_col)
     return assignments, cents
 
