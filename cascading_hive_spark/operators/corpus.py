@@ -415,7 +415,8 @@ def bpe_train(
         F.regexp_replace(F.col("w"), "(.)", "$1 "),
         F.lit("</w> "),
     )
-    words = words.select("cnt", seg.alias("seg")).localCheckpoint()
+    # lazy: the first merge round's pair-count collect materializes it
+    words = words.select("cnt", seg.alias("seg")).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -446,7 +447,7 @@ def bpe_train(
             F.regexp_replace("seg", _merge_pattern(a, b), _repl_quote(a + b)).alias(
                 "seg"
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

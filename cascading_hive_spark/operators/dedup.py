@@ -1730,6 +1730,14 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t"),
     ).filter(F.length("_t") > 0)
+    # NOTE (r17): spread() on the one-file scan was tried here and
+    # REVERTED — same-JVM A/B 1.39x slower materializing the split
+    # array before the exchange (fat word arrays shuffle instead of
+    # text bytes) and still 1.51x slower spreading the raw text rows.
+    # Unlike the dsir/bloom md5-fold scans, this pipeline is
+    # EXCHANGE-bound at sf0.1 (eight shuffle stages downstream; the
+    # two single-task tokenize stages run concurrently inside the
+    # job), so the extra round-robin exchange is pure overhead.
     # NOTE (r16): lineage cuts (localCheckpoint on tf/w/norms/rare)
     # were tried here and REVERTED — measured 1.04-1.30x SLOWER.
     # The multi-consumer subtrees (tf under dft+w, w under norms and

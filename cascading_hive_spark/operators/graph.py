@@ -64,7 +64,10 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint()
+    # lazy: the first consumer (labels-init distinct or the star seed)
+    # materializes the checkpoint in its own job — same plan cut,
+    # one fewer blocking driver round trip (the trainer-loop pattern)
+    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=False)
     if algorithm == "star":
         return _star_components(sym, max_iterations)
     labels = sym.select("u").distinct().select(
@@ -87,9 +90,10 @@ def connected_components(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            # cut lineage + materialize so convergence check and next
-            # round don't recompute the whole history
-            new_labels = new_labels.localCheckpoint()
+            # cut lineage; the convergence-check count right below is
+            # the materializing job (lazy checkpoint — no separate
+            # blocking materialization round trip)
+            new_labels = new_labels.localCheckpoint(eager=False)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -164,7 +168,7 @@ def _star_components(sym: DataFrame, max_iterations: int) -> DataFrame:
         sym.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_chk: tuple | None = None
     converged = False
@@ -173,7 +177,8 @@ def _star_components(sym: DataFrame, max_iterations: int) -> DataFrame:
         cur_sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        edges = _small_star(_large_star(cur_sym)).localCheckpoint()
+        # lazy: the checksum agg right below materializes the round
+        edges = _small_star(_large_star(cur_sym)).localCheckpoint(eager=False)
         # bit_xor, not sum: a sum of 64-bit hashes overflows LongType
         # (ANSI arithmetic); xor is order-insensitive and closed
         row = edges.agg(
@@ -333,7 +338,9 @@ def pagerank_portable(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        # lazy: the n_part count (or the repinned node checkpoint's
+        # first consumer) is the materializing job
+        .localCheckpoint(eager=False)
     )
     # fixed partition count for every per-iteration key exchange:
     # explicit so AQE's partition coalescing can't leave the pinned
@@ -355,7 +362,7 @@ def pagerank_portable(
                 (n_nodes + _GRAPH_ROWS_PER_PART - 1) // _GRAPH_ROWS_PER_PART,
             ),
         )
-    nodes = nodes_raw.repartition(n_part, "node").localCheckpoint()
+    nodes = nodes_raw.repartition(n_part, "node").localCheckpoint(eager=False)
     n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
     out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
     # the degree column rides the edge table: pre-join once, pin the
@@ -365,7 +372,7 @@ def pagerank_portable(
         e.join(out_deg, "u")
         .select("u", "v", "_deg")
         .repartition(n_part, "u")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # the dangling-node SET is static (nodes with no out-edges) —
     # compute it once so each iteration pays a semi-join on the
@@ -373,7 +380,7 @@ def pagerank_portable(
     dangling_nodes = (
         nodes.join(out_deg, nodes.node == out_deg.u, "left_anti")
         .repartition(n_part, "node")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
@@ -532,19 +539,20 @@ def k_core(
     sym = (
         und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iterations):
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        low = deg.filter(F.col("deg") < k).select("a").localCheckpoint()
+        # lazy: the isEmpty probe right below materializes it
+        low = deg.filter(F.col("deg") < k).select("a").localCheckpoint(eager=False)
         if low.isEmpty():
             converged = True
             break
         sym = (
             sym.join(low, "a", "left_anti")
             .join(low.select(F.col("a").alias("b")), "b", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     if not converged:
         # Returning here would hand back a superset that still has
@@ -608,6 +616,11 @@ def label_propagation(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .dropDuplicates(["u", "v"])
         .filter(F.col("u") != F.col("v"))
+        # eager ON PURPOSE: the lazy form measured 1.04-1.06x slower
+        # in two same-JVM A/Bs (r17) — unlike the CC/pagerank setup
+        # cuts, both this and the repinned checkpoint below feed every
+        # iteration, and folding their materialization into the first
+        # round's join serializes work the eager jobs overlap
         .localCheckpoint()
     )
     if n_part is None:

@@ -2061,7 +2061,7 @@ def pca_power_project(
                 "cov",
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     v = (
         cfull.select(F.col("dim_a").alias("dim"))
@@ -2092,7 +2092,7 @@ def pca_power_project(
                     "_vv"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     sgn = v.filter(F.col("dim") == 0).select(
         F.when(F.col("_vv") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("_sg")

@@ -9833,7 +9833,9 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expensive scans — through lineage recompute (measured ~4x
         # the sum-of-stages wall at sf0.1). At cluster scale this is
         # the natural "stage-2 flags land in the warehouse" boundary.
-        .localCheckpoint()
+        # Lazy: the modal-language aggregate's broadcast build is the
+        # materializing job — no separate blocking round trip.
+        .localCheckpoint(eager=False)
     )
     # stage 2, keep-top-language: modal prediction among Gopher
     # survivors (a <=5-row aggregate), broadcast back — min_by over
